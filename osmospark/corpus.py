@@ -1,0 +1,257 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Two parts:
+
+1. The reference test-server fixture pages, byte-for-byte (the strings the
+   reference test servers write — cited per page below). These anchor the
+   byte-identity invariant.
+2. A seeded scale-out generator (``synth_corpus``) emitting ``n_urls`` pages
+   across ``n_hosts`` hosts with Zipf-skewed host sizes and deterministic
+   link graphs, for frontier/politeness/skew/bench tests.
+
+Pages table schema (per BASELINE.json input_hint):
+``url:string, warc_ts:timestamp, html:binary, text:string, lang:string``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from .html import parse_html
+from .urlnorm import canonicalize, xxhash64_py
+
+FIXTURE_HOST = "http://fixture.local"
+
+# reference test/find.js:95-111 (JS backslash-continuation: newline removed,
+# next line's indentation retained — reproduced exactly)
+FIND_HTML = (
+    '<body>                <div class="content">                    '
+    '<ul name="test">                        <li><b>first</b></li>       '
+    '             </ul>                    <ul>                        '
+    '<li><b>one</b></li>                        <li>                    '
+    '        <b>two</b><b>three <img src="1" />, <img src="2" />, '
+    '<img src="3" /></b>                        </li>                    '
+    '</ul>                </div>               </body>'
+)
+
+# reference test/set.js:218-247
+SET_HTML = (
+    '<head><title>TITLE</title></head><body>'
+    '<div id="content">CONTENT</div>'
+    '<a href="/1">1</a><a href="/2">2</a></body>'
+)
+PAGE1_HTML = (
+    '<head><title>1</title></head>'
+    '<body><a href="/2"></a><a href="/3"></a></body>'
+)
+PAGE2_HTML = '<head><title>2</title></head><body></body>'
+PAGE3_HTML = '<head><title>3</title></head><body></body>'
+
+# reference test/follow.js:136-153
+def follow_index_html() -> str:
+    parts = ["<ul>"]
+    for i in range(1, 6):
+        parts.append(f'<li><a href="?page={i}"></a></li>')
+    parts.append('<li><a href="https://www.google.com/"></a></li>')
+    parts.append("</ul>")
+    return "".join(parts)
+
+
+def follow_page_html(page) -> str:
+    return f"<div>{page}</div>"
+
+
+# reference test/follow.js:124-134 (unicode + raw-encoding preservation)
+FOLLOW_UTF8_HTML = '<a href="/समाज-विश्व/test/test%20test test">समाज-विश्व</a>'
+FOLLOW_UTF8_TARGET_HREF = "/समाज-विश्व/test/test%20test test"
+FOLLOW_UTF8_TARGET_HTML = "<div>true</div>"
+
+# reference test/paginate.js:109-120 (backslash-continuation reproduced)
+def paginate_html(page: int) -> str:
+    return (
+        f'<div>{page}</div><a href="?page={page + 1}" rel="next">Next</a>'
+        "                "
+        f'<form method="POST"><input type="hidden" name="page" value="{page + 1}"></form>'
+    )
+
+
+# inline fixtures (no network) — reference test/filters.js:2-6, test/then.js:2,
+# test/do.js:1-12, test/parse.js:2
+FILTERS_HTML = "<head><title>test</title></head><body><b>1</b><b>2</b><b>3</b></body>"
+THEN_HTML = "<body><b>1</b><b>2</b><b>3</b></body>"
+DO_HTML = '<head><title>test</title></head><body><a href="/rel"></a></body>'
+PARSE_HTML = '<body><a href="/rel"></a></body>'
+
+
+class Page:
+    __slots__ = ("url", "html", "status", "delay_ms", "lang")
+
+    def __init__(self, url, html, status=200, delay_ms=0, lang="en"):
+        self.url = url
+        self.html = html
+        self.status = status
+        self.delay_ms = delay_ms
+        self.lang = lang
+
+
+def fixture_pages() -> list[Page]:
+    """All fixture pages keyed by canonical URL under fixture.local."""
+    h = FIXTURE_HOST
+    pages = [
+        Page(f"{h}/find", FIND_HTML),
+        Page(f"{h}/set", SET_HTML),
+        Page(f"{h}/1", PAGE1_HTML, delay_ms=500),   # delays: test/set.js:230-246
+        Page(f"{h}/2", PAGE2_HTML, delay_ms=250),
+        Page(f"{h}/3", PAGE3_HTML),
+        Page(f"{h}/follow", follow_index_html()),
+        Page(f"{h}/follow-utf8", FOLLOW_UTF8_HTML, lang="hi"),
+        Page(f"{h}{FOLLOW_UTF8_TARGET_HREF.replace('%20', ' ')}",
+             FOLLOW_UTF8_TARGET_HTML, lang="hi"),
+    ]
+    for k in range(1, 6):
+        pages.append(Page(f"{h}/follow?page={k}", follow_page_html(k)))
+    for k in range(1, 7):
+        pages.append(Page(f"{h}/paginate?page={k}", paginate_html(k)))
+    pages.append(Page(f"{h}/paginate", paginate_html(1)))
+    return pages
+
+
+class PageStore:
+    """In-memory corpus lookup keyed by canonical URL (+ optional POST params).
+
+    This is the test-scale stand-in for the distributed pages table; the
+    Spark engine does the same lookup as a join on ``xxhash64(canonical)``.
+    """
+
+    def __init__(self, pages=None):
+        self.by_key: dict[str, Page] = {}
+        self.post_by_key: dict[tuple, Page] = {}
+        for p in pages or []:
+            self.add(p)
+
+    def add(self, page: Page, method: str = "get", params=None) -> None:
+        key = canonicalize(page.url)
+        if method == "post":
+            self.post_by_key[(key, _freeze(params))] = page
+        else:
+            self.by_key[key] = page
+
+    def fetch(self, url: str, method: str = "get", params=None):
+        """Returns (status, Page|None). GET params are already merged into
+        the url by the request layer (reference lib/Command.js:343-351)."""
+        key = canonicalize(url)
+        if method == "post":
+            page = self.post_by_key.get((key, _freeze(params)))
+        else:
+            page = self.by_key.get(key)
+        if page is None:
+            return 404, None
+        return page.status, page
+
+
+def _freeze(params):
+    if not params:
+        return ()
+    return tuple(sorted((str(k), str(v)) for k, v in dict(params).items()))
+
+
+def fixture_store() -> PageStore:
+    store = PageStore(fixture_pages())
+    # POST targets for form pagination (server reads data.page,
+    # reference test/paginate.js:109-114)
+    for k in range(2, 7):
+        store.add(Page(f"{FIXTURE_HOST}/paginate", paginate_html(k)),
+                  method="post", params={"page": k})
+    return store
+
+
+# --------------------------------------------------------------------------
+# pages-table rows (for Spark / parquet)
+# --------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+_TAG_TEXT_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def visible_text(html: str) -> str:
+    doc = parse_html(html)
+    root = doc.root
+    return _WS_RE.sub(" ", root.text()).strip() if root is not None else ""
+
+
+def pages_rows(pages: list[Page]):
+    """Rows matching the input_hint schema (url, warc_ts, html, text, lang)."""
+    rows = []
+    for i, p in enumerate(pages):
+        rows.append(
+            {
+                "url": canonicalize(p.url),
+                "warc_ts": _TAG_TEXT_EPOCH + _dt.timedelta(seconds=i),
+                "html": p.html.encode("utf-8"),
+                "text": visible_text(p.html),
+                "lang": p.lang,
+            }
+        )
+    return rows
+
+
+# --------------------------------------------------------------------------
+# scale-out synthetic corpus (FIXTURES.md §8)
+# --------------------------------------------------------------------------
+
+def _host_sizes(n_urls: int, n_hosts: int, zipf_s: float = 1.2) -> list[int]:
+    weights = [1.0 / (k ** zipf_s) for k in range(1, n_hosts + 1)]
+    total = sum(weights)
+    sizes = [max(1, int(round(n_urls * w / total))) for w in weights]
+    # adjust to hit n_urls exactly on the largest host
+    sizes[0] += n_urls - sum(sizes)
+    return sizes
+
+
+def synth_corpus(
+    n_urls: int,
+    n_hosts: int = 16,
+    intra_links: int = 3,
+    cross_links: int = 1,
+    zipf_s: float = 1.2,
+):
+    """Deterministic link-graph corpus: ``n_urls`` pages over ``n_hosts``
+    hosts with Zipf-skewed host sizes; per-page link targets derived from
+    ``xxhash64(url)`` (no RNG state — reproducible at any scale).
+
+    Page html mirrors the /follow fixture shape: a <div> payload plus a
+    <ul> of intra-host and cross-host links.
+    """
+    sizes = _host_sizes(n_urls, n_hosts, zipf_s)
+    hosts = [f"host{h:04d}.test" for h in range(n_hosts)]
+    pages: list[Page] = []
+    for h, host in enumerate(hosts):
+        size = sizes[h]
+        for i in range(size):
+            url = f"http://{host}/p/{i}"
+            seed = xxhash64_py(url.encode("utf-8"))
+            links = []
+            for j in range(intra_links):
+                t = (seed + 0x9E3779B97F4A7C15 * (j + 1)) % (1 << 64)
+                links.append(f"/p/{t % size}")
+            for j in range(cross_links):
+                t = (seed ^ (0xC2B2AE3D27D4EB4F * (j + 1))) % (1 << 64)
+                th = t % n_hosts
+                links.append(f"http://{hosts[th]}/p/{t % sizes[th]}")
+            body = "".join(f'<li><a href="{l}"></a></li>' for l in links)
+            html = f"<div>{host}/p/{i}</div><ul>{body}</ul>"
+            pages.append(Page(url, html))
+    return pages
+
+
+def seed_urls(pages: list[Page], per_host: int = 1) -> list[str]:
+    """One root URL per host (FIXTURES.md §8 seed list convention)."""
+    seen: dict[str, int] = {}
+    seeds = []
+    for p in pages:
+        host = p.url.split("/")[2]
+        if seen.get(host, 0) < per_host:
+            seen[host] = seen.get(host, 0) + 1
+            seeds.append(p.url)
+    return seeds

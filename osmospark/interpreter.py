@@ -1,0 +1,820 @@
+"""Chain runtime: executes a Chain against pages, one node at a time.
+
+Two modes share this interpreter:
+
+1. **sync mode** (``Runner(store=...)``): fetch boundaries resolve
+   immediately against a PageStore. This is the single-process correctness
+   anchor — its records are byte-identical to the reference fixtures.
+2. **page scope mode** (``Runner(page_scope=True)``): fetch boundaries
+   *register continuations* instead of fetching, leaving the affected
+   record branches open. The Spark frontier engine runs this inside
+   mapInPandas: per round each page is processed to completion of its local
+   work, continuations become next-round frontier rows, and open records are
+   assembled by grouped merge afterwards.
+
+Execution semantics mirror the reference interpreter step
+(reference lib/Command.js:117-181 ``Command.start``: ref/unref bookkeeping,
+clone-on-second-``next``, fall-through to ``end`` when ``next`` was never
+called) and chain end behavior (lib/Command.js:189-227: empty-record
+fallback to the context node's text/value, merge-up into the parent).
+"""
+
+from __future__ import annotations
+
+import inspect
+import numbers
+import re as _re
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+from .forms import form_action, form_method, form_params
+from .html import Attribute, Document, Element, compile_selector, parse_html
+from .html.parser import Node, TextNode
+from .record import _UNSET, Record
+from .spec import Chain, Cmd
+from .urlnorm import resolve as _resolve_url
+
+DEFAULT_TRIES = 3        # reference index.js:104
+DEFAULT_REDIRECTS = 3    # reference index.js:95
+DEFAULT_CONCURRENCY = 5  # reference index.js:93
+
+
+# --------------------------------------------------------------------------
+# node content helpers (reference lib/commands/set.js:246-258 getContent;
+# lib/Command.js:209-221 end-of-chain fallback)
+# --------------------------------------------------------------------------
+
+def get_content(node):
+    """Trimmed text/value of a node; None for missing/Document."""
+    if node is None:
+        return None
+    if isinstance(node, Attribute):
+        return node.value().strip()
+    if isinstance(node, Element):
+        return node.text().strip()
+    if isinstance(node, TextNode):
+        return node.data.strip()
+    return None
+
+
+def raw_content(node):
+    """Untrimmed text/value (used by contains/match and the end fallback,
+    which call text()/value() without trim)."""
+    if isinstance(node, Attribute):
+        return node.value()
+    if isinstance(node, (Element, TextNode)):
+        return node.text() if isinstance(node, Element) else node.data
+    return None
+
+
+class Continuation:
+    """A fetch boundary captured in page-scope mode."""
+
+    __slots__ = ("method", "url", "params", "resume_index", "data",
+                 "sort_index", "kind", "count", "referer")
+
+    def __init__(self, method, url, params, resume_index, data, sort_index,
+                 kind, count=None, referer=None):
+        self.method = method
+        self.url = url
+        self.params = params
+        self.resume_index = resume_index
+        self.data = data          # live Record at registration time
+        self.sort_index = sort_index
+        self.kind = kind          # 'follow' | 'get' | 'paginate'
+        self.count = count        # paginate page counter
+        self.referer = referer
+
+
+class ProxyRecord(Record):
+    """Stands in for a parent record living in a previous round. Merges are
+    captured as (parent_record_id, key, sort_index, value) child-value rows
+    instead of mutating an in-memory dict."""
+
+    __slots__ = ("record_id", "captured")
+
+    def __init__(self, record_id, captured: list) -> None:
+        super().__init__(None)
+        self.record_id = record_id
+        self.captured = captured
+
+    def merge(self, child: Record) -> None:
+        if child.object is _UNSET:
+            return
+        self.captured.append(
+            (self.record_id, child.get_index(), child.get_sort_index(),
+             child.object)
+        )
+
+    def is_array(self, val=None):
+        if val is not None:
+            return super().is_array(val)
+        return False  # arrayness is resolved at assembly time
+
+
+class Runner:
+    """Executes chains. See module docstring for the two modes."""
+
+    def __init__(self, store=None, page_scope=False, tries=DEFAULT_TRIES,
+                 max_redirects=DEFAULT_REDIRECTS, python_callbacks=True):
+        self.store = store
+        self.page_scope = page_scope
+        self.tries = tries
+        self.max_redirects = max_redirects
+        self.python_callbacks = python_callbacks
+        self.results: list = []          # .data(cb) outputs, in arrival order
+        self.errors: list[str] = []
+        self.logs: list[str] = []
+        self.fetch_log: list[dict] = []  # (url, method, params, referer, status)
+        self.continuations: list[Continuation] = []
+        self.child_values: list = []     # ProxyRecord captures
+        self.stopped = False
+
+    # -- entry points ---------------------------------------------------
+    def run(self, chain: Chain, context=None, data: Record | None = None):
+        """Run a chain from its first command. Returns .data() results."""
+        if data is None:
+            data = Record()
+        self._start(chain, 0, context, data)
+        for cb in chain.on_done:
+            cb()
+        return self.results
+
+    def resume(self, chain: Chain, index: int, context, data: Record):
+        """Resume at command ``index`` (used for round continuations)."""
+        self._start(chain, index, context, data)
+
+    # -- interpreter core (reference lib/Command.js:117-181) --------------
+    def _start(self, chain: Chain, i: int, context, data: Record) -> None:
+        if context is None and i > 0:
+            return
+        if self.stopped:
+            return
+        if i >= len(chain.commands):
+            self._end(chain, context, data)
+            return
+        cmd = chain.commands[i]
+        called_next = [False]
+
+        def next_fn(c, d, index=None):
+            if called_next[0]:
+                d = d.clone()
+                d.set_sort_index(index)
+                d.ref()
+                self._start(chain, i + 1, c, d)
+            else:
+                called_next[0] = True
+                d.set_sort_index(index)
+                self._start(chain, i + 1, c, d)
+
+        def done_fn(err=None):
+            data.unref()
+            if not called_next[0]:
+                self._end(chain, context, data)
+            if err is not None:
+                self._error(chain, cmd, err)
+
+        data.ref()
+        handler = _HANDLERS[cmd.name]
+        handler(self, chain, i, cmd, context, data, next_fn, done_fn)
+
+    def _end(self, chain: Chain, context, data: Record) -> None:
+        # reference lib/Command.js:189-227
+        parent = data.parent
+        if parent is not None:
+            if data.is_empty():
+                data = data.clone()
+                fallback = raw_content(context)
+                if fallback is not None:
+                    data.set_object(fallback)
+            parent.merge(data)
+            data.unref()
+
+    def _error(self, chain: Chain, cmd: Cmd, msg) -> None:
+        text = f"({cmd.name}) {msg}"
+        self.errors.append(text)
+        for cb in chain.on_error:
+            cb(text)
+
+    def _log(self, chain: Chain, cmd: Cmd, msg) -> None:
+        text = f"({cmd.name}) {msg}"
+        self.logs.append(text)
+        for cb in chain.on_log:
+            cb(text)
+
+    # -- request layer (reference lib/Command.js:287-402 + Request.js) ----
+    def request(self, chain, cmd, method, context, href, params, cb,
+                sort_index=None):
+        if not href:
+            cb("Invalid URL", None)
+            return
+        referer = None
+        if context is not None:
+            base = context.doc().location
+            url = _resolve_url(base, href)
+            referer = base
+        else:
+            url = _resolve_url(None, href)
+
+        query = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
+        if method == "get" and isinstance(params, dict):
+            query.update({k: _param_str(v) for k, v in params.items()})
+            url = _set_query(url, query)
+            params = query
+
+        status, page, final_url = self._fetch_with_policy(url, method, params)
+        self.fetch_log.append(
+            {"url": url, "final_url": final_url, "method": method,
+             "params": dict(params) if isinstance(params, dict) else None,
+             "referer": referer, "status": status}
+        )
+        if page is None:
+            self._error(chain, cmd, f"[{method}] {url} - {status}")
+            cb(status, None)
+            return
+        doc = build_document(page.html, final_url, method=method,
+                             params=query if method == "get" else params,
+                             referer=referer, status=status)
+        doc._data_sort_index = sort_index
+        cb(None, doc)
+
+    def _fetch_with_policy(self, url, method, params):
+        """Retries (reference index.js:210-218, default 3 tries) and
+        redirects (reference lib/Request.js:103-105, default 3)."""
+        status, page = 0, None
+        for _try in range(self.tries):
+            status, page = self.store.fetch(url, method, params)
+            if page is not None:
+                break
+        final_url = url
+        hops = 0
+        while page is not None and 300 <= status < 400 and hops < self.max_redirects:
+            target = getattr(page, "redirect_to", None)
+            if not target:
+                break
+            final_url = _resolve_url(final_url, target)
+            status, page = self.store.fetch(final_url, "get", None)
+            hops += 1
+        return status, page, final_url
+
+
+def _param_str(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, numbers.Number):
+        f = float(v)
+        return str(int(f)) if f.is_integer() else str(f)
+    return str(v)
+
+
+def _set_query(url: str, query: dict) -> str:
+    parts = urlsplit(url)
+    return urlunsplit(
+        (parts.scheme, parts.netloc, parts.path, urlencode(query), "")
+    )
+
+
+def build_document(html, url, method="get", params=None, referer=None,
+                   status=200, count=None) -> Document:
+    doc = parse_html(html, base_url=url)
+    q = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
+    doc.request = {
+        "method": method,
+        "params": params if params is not None else q,
+        "query": q,
+        "headers": {"referer": referer} if referer else {},
+        "count": count,
+        "pathname": urlsplit(url).path,
+    }
+    doc.response = {"status": status}
+    return doc
+
+
+# --------------------------------------------------------------------------
+# command handlers
+# --------------------------------------------------------------------------
+
+def _h_parse(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    html, base_url = cmd.args
+    doc = build_document(html, base_url or "")
+    if not base_url:
+        doc.location = None
+    next_fn(doc, data)
+    done_fn()
+
+
+def _h_get(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    url, params = cmd.args
+    method = cmd.name
+    if callable(url):
+        res = url(context, data.get_object()) if _arity(url) >= 2 else url(context)
+        if isinstance(res, Node):
+            res = _url_from_node(res)
+        url = res
+    if callable(params):
+        params = params(context, data.get_object())
+
+    if runner.page_scope:
+        runner.continuations.append(Continuation(
+            method, _resolve_href(context, url), params, i + 1, data, None,
+            "get", referer=_doc_location(context)))
+        # branch stays open: no done(), mirrors a pending async request
+        return
+
+    def cb(err, document):
+        if err is None:
+            next_fn(document, data)
+        done_fn()
+
+    runner.request(chain, cmd, method, context, url, params, cb)
+
+
+def _h_find(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    selector = cmd.args[0]
+    if callable(selector):
+        selector = selector(context, data.get_object())
+    relative = cmd.name == "select" or chain.nested
+    nodes = compile_selector(selector).find(context, relative=relative)
+    if not nodes:
+        done_fn(f'no results for "{selector}"')
+        return
+    last = len(nodes) - 1
+    for idx, node in enumerate(nodes):
+        next_fn(node, data, idx)
+        _ = idx == last
+    done_fn()
+
+
+def _h_follow(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # reference lib/commands/follow.js:13-66
+    selector = cmd.args[0]
+    nodes = compile_selector(selector).find(context, relative=True)
+    document = context.doc()
+    if not nodes:
+        done_fn(f'no results for "{selector}" in {document.location}')
+        return
+
+    urls = []
+    for node in nodes:
+        if isinstance(node, Attribute):
+            url = node.value()
+        else:
+            attr = node.attr("href") if isinstance(node, Element) else None
+            if attr is not None:
+                # raw encoding preserved (follow.js:39-46)
+                url = attr.value()
+            else:
+                url = node.text() if isinstance(node, Element) else raw_content(node)
+        if url:
+            urls.append(url)
+
+    if not urls:
+        done_fn()
+        return
+
+    if runner.page_scope:
+        for idx, url in enumerate(urls):
+            runner.continuations.append(Continuation(
+                "get", _resolve_href(context, url), None, i + 1, data, idx,
+                "follow", referer=document.location))
+        return  # branch stays open
+
+    pending = [len(urls)]
+
+    for idx, url in enumerate(urls):
+        def cb(err, doc, _idx=None):
+            if err is None:
+                next_fn(doc, data, getattr(doc, "_data_sort_index", None))
+            pending[0] -= 1
+            if pending[0] == 0:
+                done_fn()
+        runner._log(chain, cmd, "url: " + url)
+        runner.request(chain, cmd, "get", nodes[idx], url, None, cb, idx)
+
+
+def _h_paginate(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # reference lib/commands/paginate.js:26-104
+    selector, limit_arg = cmd.args
+    document = context.doc()
+    count = (document.request or {}).get("count") or 1
+    limit = _paginate_limit(limit_arg, context, data)
+
+    next_fn(context, data, count)
+
+    if limit is not None and count > limit:
+        done_fn()
+        return
+
+    method = (document.request or {}).get("method", "get")
+    url = document.location
+    params: dict = {}
+    node = context
+
+    if callable(selector):
+        ret = selector(context, data.get_object())
+        if isinstance(ret, str):
+            url = _resolve_url(document.location, ret)
+        else:
+            params = ret or {}
+    elif isinstance(selector, dict):
+        for param, value in selector.items():
+            if isinstance(value, numbers.Number) and not isinstance(value, bool):
+                cur = (document.request or {}).get("params", {}).get(param)
+                try:
+                    cur_f = float(cur)
+                except (TypeError, ValueError):
+                    cur_f = 0.0
+                params[param] = cur_f + value
+            else:
+                params[param] = get_content(
+                    compile_selector(value).get(context, relative=True))
+    else:
+        node = compile_selector(selector).get(document)
+        if node is None:
+            done_fn(f'no results for "{selector}" in {url}')
+            return
+        if isinstance(node, Element) and node.tag == "form":
+            url = form_action(node)
+            method = form_method(node)
+            params = form_params(node)
+        elif isinstance(node, Element) and node.has_attribute("href"):
+            url = node.get_attribute("href")
+        else:
+            name = node.get_attribute("name") if isinstance(node, Element) else None
+            if name is not None:
+                value = node.get_attribute("value")
+                if value is None:
+                    value = get_content(node)
+                params[name] = value
+            else:
+                done_fn(f"no URL found in {selector}")
+                return
+
+    runner._log(chain, cmd,
+                f"loading page {count}" + (f"/{limit}" if limit else "") + f" - {url}")
+
+    if runner.page_scope:
+        runner.continuations.append(Continuation(
+            method, _resolve_href(context, url), params, i, data, count, "paginate",
+            count=count + 1, referer=document.location))
+        done_fn()
+        return
+
+    def cb(err, doc):
+        if err is None:
+            doc.request["count"] = count + 1
+            runner._start(chain, i, doc, data)
+
+    runner.request(chain, cmd, method, node, url, params, cb)
+    done_fn()
+
+
+def _paginate_limit(limit, context, data):
+    # reference lib/commands/paginate.js:106-138
+    if limit is None or isinstance(limit, numbers.Number):
+        return limit
+    if callable(limit):
+        value = limit(context, data.get_object())
+        if value is False:
+            return 0
+        if value is True:
+            return None
+        return value
+    node = compile_selector(limit).get(context, relative=True)
+    if node is None:
+        return 0
+    value = get_content(node)
+    if not value:
+        return 0
+    digits = _re.sub(r"[^0-9.]+", "", value)
+    try:
+        return int(float(digits)) if digits else 0
+    except ValueError:
+        return 0
+
+
+# -- filters (reference lib/commands/{filter,fail,success,contains,match}.js)
+
+def _h_filter(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    if compile_selector(cmd.args[0]).find(context, relative=True):
+        next_fn(context, data)
+    done_fn()
+
+
+def _h_fail(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    if compile_selector(cmd.args[0]).find(context, relative=True):
+        runner._error(chain, cmd, f"found {cmd.args[0]}")
+        done_fn()
+    else:
+        next_fn(context, data)
+        done_fn()
+
+
+def _h_success(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    if compile_selector(cmd.args[0]).find(context, relative=True):
+        next_fn(context, data)
+        done_fn()
+    else:
+        runner._error(chain, cmd, f"{cmd.args[0]} not found")
+        done_fn()
+
+
+def _h_contains(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    text = raw_content(context) or ""
+    if cmd.args[0] in text:
+        next_fn(context, data)
+    done_fn()
+
+
+def _h_match(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    pattern = cmd.args[0]
+    if isinstance(pattern, str):
+        pattern = _re.compile(pattern)
+    if pattern.search(raw_content(context) or ""):
+        next_fn(context, data)
+    done_fn()
+
+
+# -- then (reference lib/commands/then.js:60-125)
+
+def _h_then(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    cb = cmd.args[0]
+    arity, first_name = _arity(cb), _first_param(cb)
+    ctx_arg = context
+    if first_name == "document" and context is not None:
+        ctx_arg = context.doc()
+    data.get_object()  # reference Then always materializes (then.js:68-70)
+
+    called_next = [False]
+
+    def wrapped_next(c, d):
+        called_next[0] = True
+        next_fn(c, data.set_object(d))
+
+    if arity <= 2:
+        if arity == 0:
+            cb()
+        elif arity == 1:
+            cb(ctx_arg)
+        else:
+            cb(ctx_arg, data.get_object())
+        next_fn(ctx_arg, data)
+        done_fn()
+    elif arity == 3:
+        cb(ctx_arg, data.get_object(), wrapped_next)
+        # auto-done after synchronous completion (nextTick analogue)
+        done_fn()
+    else:
+        cb(ctx_arg, data.get_object(), wrapped_next, done_fn)
+
+
+# -- do (reference lib/commands/do.js:16-34)
+
+def _h_do(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    branches = cmd.args
+    pending = [len(branches)]
+
+    def branch_done():
+        pending[0] -= 1
+        if pending[0] == 0:
+            next_fn(context, data)
+            done_fn()
+
+    for branch in branches:
+        child = data.child().done(branch_done)
+        runner._start(branch, 0, context, child)
+
+
+# -- set (reference lib/commands/set.js)
+
+_SOURCE_RE = _re.compile(r":source$")
+_HTML_RE = _re.compile(r":html$")
+
+
+def _h_set(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    spec, is_array = cmd.args
+    entries = _compile_set(spec, is_array)
+    _run_set_scope(runner, chain, entries, is_array, None, context, data,
+                   next_fn, done_fn)
+
+
+def _compile_set(spec, is_array: bool):
+    """Analogue of loopObject (reference lib/commands/set.js:33-78):
+    each entry is (key, kind, payload)."""
+    entries = []
+    items = (
+        list(enumerate(spec)) if isinstance(spec, list) else list(spec.items())
+    )
+    for key, val in items:
+        if isinstance(val, Chain):
+            entries.append((key, "instance", val))
+        elif isinstance(val, dict):
+            entries.append((key, "object", (_compile_set(val, False), False)))
+        elif isinstance(val, list):
+            if len(val) > 0:
+                entries.append((key, "object", (_compile_set(val, True), True)))
+        elif val is None:
+            entries.append((key, "null", None))
+        elif callable(val):
+            entries.append((key, "func", val))
+        elif is_array or isinstance(spec, list):
+            entries.append((key, "array_sel", val))
+        elif _SOURCE_RE.search(val):
+            entries.append((key, "source", _SOURCE_RE.sub("", val)))
+        elif _HTML_RE.search(val):
+            entries.append((key, "html", _HTML_RE.sub("", val)))
+        else:
+            entries.append((key, "sel", val))
+    return entries
+
+
+def _run_set_scope(runner, chain, entries, is_array, index, context, data,
+                   next_fn, done_fn):
+    """Analogue of setObject (reference lib/commands/set.js:80-144)."""
+    total = len(entries)
+    is_nested = index is not None
+    count = [total if total > 0 else 1]
+
+    def data_done():
+        count[0] -= 1
+        if count[0] != 0:
+            return False
+        if is_nested and data_holder[0].parent is not None:
+            data_holder[0].parent.merge(data_holder[0])
+        next_fn(context, data_holder[0])
+        if done_fn is not None:
+            done_fn()
+        return True
+
+    if context is None:
+        if done_fn is not None:
+            done_fn("No context")
+        return
+
+    d = data
+    if done_fn is not None:
+        d = d.clone()          # top-level set clones (set.js:119-121)
+    if is_nested:
+        d = d.child().set_index(index).is_array(is_array).done(data_done).ref()
+    data_holder = [d]
+
+    if total == 0:
+        data_done()
+        return
+
+    if is_array:
+        d.to_array()
+        _run_set_array(runner, chain, entries, context, d, data_done, 0)
+        return
+
+    for key, kind, payload in entries:
+        if kind in ("object", "instance"):
+            _run_set_value(runner, chain, key, kind, payload, context, d,
+                           data_done)
+        else:
+            d.set(key, _eval_set_scalar(runner, kind, payload, context, d))
+            data_done()
+
+
+def _run_set_array(runner, chain, entries, context, data, data_done, idx):
+    """Serial array processing preserving order (set.js:147-167)."""
+    if idx >= len(entries):
+        return
+    key, kind, payload = entries[idx]
+    if kind in ("object", "instance"):
+        def after():
+            if data_done() is False:
+                _run_set_array(runner, chain, entries, context, data,
+                               data_done, idx + 1)
+        _run_set_value(runner, chain, key, kind, payload, context, data,
+                       after)
+    else:
+        data.push(_eval_set_scalar(runner, kind, payload, context, data))
+        if data_done() is False:
+            _run_set_array(runner, chain, entries, context, data, data_done,
+                           idx + 1)
+
+
+def _run_set_value(runner, chain, key, kind, payload, context, data, done_cb):
+    if kind == "object":
+        sub_entries, sub_is_array = payload
+        _run_set_scope(runner, chain, sub_entries, sub_is_array, key, context,
+                       data, lambda c, d: done_cb(), None)
+    else:  # instance (setInstance, set.js:169-177)
+        instance: Chain = payload
+        child = data.child().set_index(key).done(done_cb).ref()
+        runner._start(instance, 0, context, child)
+
+
+def _eval_set_scalar(runner, kind, payload, context, data):
+    if kind == "null":
+        return get_content(context)
+    if kind == "sel":
+        return get_content(compile_selector(payload).get(context, relative=True))
+    if kind == "array_sel":
+        nodes = compile_selector(payload).find(context, relative=True)
+        if not nodes:
+            return None
+        for n in nodes[:-1]:
+            data.push(get_content(n))
+        return get_content(nodes[-1])
+    if kind == "func":
+        cb = payload
+        val = cb(context, data.get_object()) if _arity(cb) >= 2 else cb(context)
+        if isinstance(val, Node):
+            return get_content(val)
+        return val
+    if kind == "source":
+        node = compile_selector(payload).get(context, relative=True)
+        return node.serialize() if node is not None else None
+    if kind == "html":
+        node = compile_selector(payload).get(context, relative=True)
+        if node is None:
+            return None
+        return node.inner_html if isinstance(node, Element) else None
+    raise ValueError(kind)  # pragma: no cover
+
+
+# -- misc commands
+
+def _h_data(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    obj = data.get_object()
+    cmd.args[0](obj)
+    runner.results.append(obj)
+    next_fn(context, data)
+    done_fn()
+
+
+def _h_delay(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # wall-clock delays are a politeness budget in batch mode (SURVEY §2.6)
+    next_fn(context, data)
+    done_fn()
+
+
+def _h_stop(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    runner.stopped = True
+    done_fn()
+
+
+_HANDLERS = {
+    "parse": _h_parse,
+    "get": _h_get,
+    "post": _h_get,
+    "find": _h_find,
+    "select": _h_find,
+    "follow": _h_follow,
+    "paginate": _h_paginate,
+    "filter": _h_filter,
+    "fail": _h_fail,
+    "success": _h_success,
+    "contains": _h_contains,
+    "match": _h_match,
+    "then": _h_then,
+    "do": _h_do,
+    "set": _h_set,
+    "data": _h_data,
+    "delay": _h_delay,
+    "stop": _h_stop,
+}
+
+
+# --------------------------------------------------------------------------
+# small helpers
+# --------------------------------------------------------------------------
+
+def _arity(fn) -> int:
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return 2
+    return sum(
+        1 for p in params.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    )
+
+
+def _first_param(fn):
+    try:
+        params = list(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        return None
+    return params[0] if params else None
+
+
+def _url_from_node(node):
+    # reference lib/commands/get.js:66-77
+    if isinstance(node, Element):
+        href = node.get_attribute("href")
+        if href:
+            return href
+        return node.text()
+    return raw_content(node)
+
+
+def _doc_location(context):
+    return context.doc().location if context is not None else None
+
+
+def _resolve_href(context, href):
+    if context is not None:
+        return _resolve_url(context.doc().location, href)
+    return _resolve_url(None, href)

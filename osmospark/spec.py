@@ -1,0 +1,180 @@
+"""Fluent chain builder — the engine's logical plan.
+
+The reference compiles fluent calls into a doubly-linked list of Command
+nodes (reference lib/Command.js:480-515 ``contextCommand``), re-parenting
+nested instances used as arguments (lib/Command.js:517-543
+``findCommandArg``, index.js:350-354 ``setParent``). Here a chain is an
+immutable-at-run-time list of ``Cmd(name, args)``; nested chains appear
+inside ``set``/``do`` args and are marked ``nested`` so ``find`` switches to
+relative evaluation (reference lib/commands/find.js:74-83).
+
+The chain is *declarative*: the local interpreter executes it synchronously
+per page, and the Spark frontier engine executes the same object inside
+mapInPandas batches, turning fetch boundaries into frontier rounds.
+"""
+
+from __future__ import annotations
+
+_CONTEXT_COMMANDS = {
+    "get", "post", "parse", "find", "select", "set", "follow", "paginate",
+    "filter", "fail", "success", "contains", "match", "then", "do", "data",
+    "delay", "stop",
+}
+_CONFIG_COMMANDS = {"config", "cookie", "header", "headers", "proxy",
+                    "done", "log", "error", "debug"}
+
+
+class Cmd:
+    __slots__ = ("name", "args")
+
+    def __init__(self, name: str, args: tuple) -> None:
+        self.name = name
+        self.args = args
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Cmd({self.name})"
+
+
+class Chain:
+    """An ordered list of commands plus chain-level config/callbacks."""
+
+    def __init__(self) -> None:
+        self.commands: list[Cmd] = []
+        self.nested = False          # True when used as a set/do argument
+        self.opts: dict = {}
+        self.on_data = []            # .data(cb) sinks
+        self.on_done = []            # .done(cb)
+        self.on_log = []
+        self.on_error = []
+
+    # -- fluent API ------------------------------------------------------
+    def _append(self, name: str, *args) -> "Chain":
+        for a in args:
+            _mark_nested(a)
+        self.commands.append(Cmd(name, args))
+        return self
+
+    def get(self, url, params=None):
+        return self._append("get", url, params)
+
+    def post(self, url, params=None):
+        return self._append("post", url, params)
+
+    def parse(self, html, base_url=None):
+        return self._append("parse", html, base_url)
+
+    def find(self, selector):
+        return self._append("find", selector)
+
+    def select(self, selector):
+        return self._append("select", selector)
+
+    def set(self, key, val=None):
+        # arg normalization mirrors reference lib/commands/set.js:18-31
+        if val is not None:
+            spec = {key: val}
+            is_array = False
+        elif isinstance(key, str):
+            spec = {key: None}
+            is_array = False
+        elif isinstance(key, list):
+            spec = key
+            is_array = True
+        else:
+            spec = key
+            is_array = isinstance(key, list)
+        for v in (spec if is_array else spec.values()):
+            _mark_nested(v)
+        self.commands.append(Cmd("set", (spec, is_array)))
+        return self
+
+    def follow(self, selector):
+        return self._append("follow", selector)
+
+    def paginate(self, selector, limit=None):
+        return self._append("paginate", selector, limit)
+
+    def filter(self, selector):
+        return self._append("filter", selector)
+
+    def fail(self, selector):
+        return self._append("fail", selector)
+
+    def success(self, selector):
+        return self._append("success", selector)
+
+    def contains(self, string):
+        return self._append("contains", string)
+
+    def match(self, regex):
+        return self._append("match", regex)
+
+    def then(self, cb):
+        return self._append("then", cb)
+
+    def do(self, *chains):
+        return self._append("do", *chains)
+
+    def delay(self, seconds):
+        return self._append("delay", seconds)
+
+    def stop(self):
+        return self._append("stop")
+
+    def data(self, cb):
+        self.on_data.append(cb)
+        return self._append("data", cb)
+
+    def done(self, cb):
+        self.on_done.append(cb)
+        return self
+
+    def log(self, cb):
+        self.on_log.append(cb)
+        return self
+
+    def error(self, cb):
+        self.on_error.append(cb)
+        return self
+
+    def config(self, key, val=None):
+        if isinstance(key, dict):
+            self.opts.update(key)
+        else:
+            self.opts[key] = val
+        return self
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "Chain(" + " → ".join(c.name for c in self.commands) + ")"
+
+
+def _mark_nested(arg) -> None:
+    """Mark nested chains (recursing into dict/list specs), the analogue of
+    findCommandArg re-parenting (reference lib/Command.js:517-543)."""
+    if isinstance(arg, Chain):
+        arg.nested = True
+    elif isinstance(arg, dict):
+        for v in arg.values():
+            _mark_nested(v)
+    elif isinstance(arg, (list, tuple)):
+        for v in arg:
+            _mark_nested(v)
+
+
+class _Factory:
+    """``O.get(...)`` / ``O.find(...)`` / ``O('/url')`` entry points,
+    mirroring the auto-generated StartingFunction set
+    (reference index.js:393-406)."""
+
+    def __call__(self, url, params=None) -> Chain:
+        return Chain().get(url, params)
+
+    def __getattr__(self, name: str):
+        if name in _CONTEXT_COMMANDS or name in _CONFIG_COMMANDS:
+            def starter(*args, **kwargs):
+                return getattr(Chain(), name)(*args, **kwargs)
+            return starter
+        raise AttributeError(name)
+
+
+O = _Factory()

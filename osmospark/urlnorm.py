@@ -1,0 +1,134 @@
+"""URL canonicalization + xxHash64 identity.
+
+Canonical form (per BASELINE.json north_star): lowercase scheme/host, strip
+fragment and default port, sort query params, percent-encode the path
+consistently. The same function runs on the driver, inside Arrow UDFs, and
+in the corpus generator, so URL identity is consistent everywhere.
+
+``xxhash64_py`` is a pure-Python XXH64 (public algorithm, XXHash spec) with
+Spark's default seed 42, bit-for-bit equal to ``F.xxhash64(col)`` on string
+columns — verified in tests — so executors can probe Bloom bitsets built
+from Spark-computed hashes without a JVM round trip.
+
+Resolution quirks mirror the reference request layer
+(reference lib/Command.js:303-338): ``//x`` → ``http://x``, bare → ``http://``.
+"""
+
+from __future__ import annotations
+
+import struct
+from urllib.parse import quote, urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_PATH_SAFE = "/%:@!$&'()*+,;=~-._"
+
+
+def resolve(base: str | None, href: str) -> str:
+    """Resolve href against a base document URL with the reference's scheme
+    defaults (reference lib/Command.js:303-338)."""
+    if href.startswith("//"):
+        return "http:" + href
+    if base:
+        return urljoin(base, href)
+    if not href.startswith("http"):
+        return "http://" + href
+    return href
+
+
+def canonicalize(url: str) -> str:
+    parts = urlsplit(url)
+    scheme = (parts.scheme or "http").lower()
+    host = parts.hostname.lower() if parts.hostname else ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = quote(parts.path or "/", safe=_PATH_SAFE)
+    if not path:
+        path = "/"
+    query = ""
+    if parts.query:
+        pairs = sorted(parts.query.split("&"))
+        query = "&".join(p for p in pairs if p)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_host(url: str) -> str:
+    return urlsplit(url).hostname or ""
+
+
+# --------------------------------------------------------------------------
+# XXH64 (public XXHash algorithm; seed 42 = Spark's default for xxhash64)
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _MASK
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _MASK
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64 over bytes; returns a SIGNED 64-bit int (Spark LongType)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = _round(v1, l1)
+            v2 = _round(v2, l2)
+            v3 = _round(v3, l3)
+            v4 = _round(v4, l4)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        (k1,) = struct.unpack_from("<Q", data, i)
+        h ^= _round(0, k1)
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        (k1,) = struct.unpack_from("<I", data, i)
+        h ^= (k1 * _P1) & _MASK
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def url_hash(url: str) -> int:
+    return xxhash64_py(canonicalize(url).encode("utf-8"))

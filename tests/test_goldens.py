@@ -1,0 +1,382 @@
+"""Golden tests ported from the reference test suite (/root/reference/test).
+
+Every expected value below is copied from the reference tests verbatim;
+file:line citations inline. These anchor the byte-identity invariant
+(BASELINE.json input_hint)."""
+
+import pytest
+
+from osmospark.corpus import (
+    DO_HTML,
+    FILTERS_HTML,
+    FIXTURE_HOST,
+    THEN_HTML,
+    fixture_store,
+)
+from osmospark.interpreter import Runner
+from osmospark.record import Record
+from osmospark.spec import O
+
+
+def run(chain):
+    r = Runner(store=fixture_store())
+    results = r.run(chain)
+    return r, results
+
+
+# -- test/internals.js:1-62 -------------------------------------------------
+
+def test_record_algebra_golden():
+    parent = Record().is_array(True)
+    child = parent.child().set("key", "value")
+    parent.merge(child)
+    assert parent.get_object() == [{"key": "value"}]
+
+    parent = Record().is_array(True)
+    parent.merge(parent.child().set("key", "value"))
+    parent.merge(parent.child().is_array(True).push("val1").push("val2"))
+    parent.merge(parent.child().is_array(True).set("key", {"nested": "value"}))
+    parent.merge(child.child().is_array(True).set_index("noIndexForArrays").push("testIndex"))
+    parent.merge(child.child().is_array(True))
+    parent.merge(child.child())
+    parent.merge(child.child().set("key", "value").push("convertedToArray"))
+    assert parent.get_object() == [
+        {"key": "value"},
+        ["val1", "val2"],
+        [{"nested": "value"}],
+        ["testIndex"],
+        [{"key": "value"}, "convertedToArray"],
+    ]
+
+
+# -- test/find.js -----------------------------------------------------------
+
+def test_find_selector_array():  # :6-18 → 7 matches
+    count = [0]
+    run(O.get(f"{FIXTURE_HOST}/find").find(["img", "b"])
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 7
+
+
+def test_find_selector_css():  # :20-32 → img src 1,2,3
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/find")
+        .find(".content ul:not([name]) li[2] b:last img")
+        .then(lambda ctx: seen.append(ctx.get_attribute("src"))))
+    assert seen == ["1", "2", "3"]
+
+
+def test_find_nested():  # :34-50 → data.b has 3 items
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/find").find("ul:last")
+        .set({"b": O.find("b")})
+        .then(lambda ctx, data: seen.append(len(data["b"]))))
+    assert seen == [3]
+
+
+def test_find_select():  # :52-65 → 2
+    count = [0]
+    run(O.get(f"{FIXTURE_HOST}/find").find("ul:last > li:last").select("b")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 2
+
+
+def test_find_xpath():  # :67-79 → 2
+    count = [0]
+    run(O.get(f"{FIXTURE_HOST}/find").find("//div[@class]/ul[2]/li")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 2
+
+
+def test_find_hybrid():  # :81-93 → 1
+    count = [0]
+    run(O.get(f"{FIXTURE_HOST}/find").find(".content//preceding::[@name]")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 1
+
+
+# -- test/set.js ------------------------------------------------------------
+
+EXPECTED_NESTED = {  # test/set.js:5-54
+    "title": "TITLE",
+    "content": "CONTENT",
+    "innerHTML": '<meta http-equiv="Content-Type" '
+                 'content="text/html; charset=UTF-8"><title>TITLE</title>',
+    "source": "<title>TITLE</title>",
+    "object": {"id": "content"},
+    "array": [
+        "TITLE",
+        {"first_link": "/1"},
+        "TITLE",
+        "TITLE",
+        {"all_links": ["/1", "/2"]},
+        {"title": "TITLE"},
+    ],
+    "find": "CONTENT",
+    "find_arr": ["/1", "/2"],
+    "get": {"title": "1"},
+    "follow": [{"title": "1"}, {"title": "2"}],
+    "follow_array": ["/1", "/2", {"title": "1"}, {"title": "2"}],
+    "get_follow": [{"page": "2", "title": "1"}, {"page": "3", "title": "1"}],
+    "get_nested_follow": {"pages": [{"page": "2"}, {"page": "3"}], "title": "1"},
+    "then": {"called": True},
+    "then_multiple": [1, 2, 3],
+    "then_none": {},
+    "then_new_context": "TITLE",
+    "then_new_data": [1, 2, 3],
+}
+
+
+def nested_set_chain():
+    def then_new_context(context, data, next):
+        next(context.doc() and _get(context, "title"), data)
+
+    def then_cb(context, data, next):
+        data["called"] = True
+        next(context, data)
+
+    def then_multiple(context, data, next, done):
+        data["called"] = True
+        for i in range(1, 4):
+            next(context, i)
+        done()
+
+    def then_new_data(context, data, next):
+        next(context, [1, 2, 3])
+
+    return O.get(f"{FIXTURE_HOST}/set").set({
+        "title": "title",
+        "content": "#content",
+        "fake": "fake-selector",
+        "innerHTML": "head:html",
+        "source": "title:source",
+        "object": {"id": "div@id", "fake": "fake-selector"},
+        "array": [
+            "title",
+            {"first_link": "a:first@href"},
+            O.find("title"),
+            O.then(lambda context, data, next: next(_get(context, "title"), data)),
+            {"all_links": ["a@href"]},
+            O.find("title").set("title"),
+        ],
+        "find": O.find("div"),
+        "find_arr": O.find("a@href"),
+        "get": O.get("/1").set({"title": "title"}),
+        "get_fail": O.get("/notfound").set({"title": "title"}),
+        "follow": O.follow("a").set({"title": "title"}),
+        "follow_fail": O.follow("fake-selector").set({"title": "title"}),
+        "follow_array": [
+            "a@href",
+            "fake-selector",
+            O.follow("a").set({"title": "title"}),
+        ],
+        "get_follow": O("/1").set({"title": "title"}).follow("a").set({"page": "title"}),
+        "get_nested_follow": O.get("/1").set({
+            "title": "title",
+            "pages": O.follow("a").set({"page": "title"}),
+        }),
+        "then": O.then(then_cb),
+        "then_multiple": O.then(then_multiple),
+        "then_new_data": O.then(then_new_data),
+        "then_new_context": O.then(
+            lambda context, data, next: next(_get(context, "title"), data)),
+        "then_none": O.then(lambda: None),
+    })
+
+
+def _get(context, selector):
+    from osmospark.html import get
+    return get(context, selector, relative=True)
+
+
+def test_set_nested_golden():
+    chain = nested_set_chain()
+    collected = []
+    chain.data(collected.append)
+    run(chain)
+    assert collected == [EXPECTED_NESTED]
+
+
+def test_set_array_root():  # test/set.js:55-61, :71-95
+    expected = ["/1", "/2",
+                {"href": "/1", "name": "1"},
+                {"href": "/2", "name": "2"},
+                [[["/1"]]]]
+    collected = []
+    chain = (O.get(f"{FIXTURE_HOST}/set")
+             .set(["a@href",
+                   O.find("a").set("name").set("href", "@href"),
+                   [[["a:first@href"]]]])
+             .data(collected.append))
+    run(chain)
+    assert collected == [expected]
+
+
+def test_set_callbacks():  # test/set.js:62-67, :97-127
+    expected = {
+        "links": [{"url": "/1", "link": 1}, {"url": "/2", "link": 2}],
+        "page2": {"title": "2"},
+    }
+    collected = []
+    chain = (O.get(f"{FIXTURE_HOST}/set")
+             .set({
+                 "links": O.find("a")
+                     .set("link", lambda link: int(link.inner_html))
+                     .set("url", lambda link: link.get_attribute("href")),
+                 "page2": O.get(lambda doc: _get(doc, "a:last"))
+                     .set("title", "title"),
+             })
+             .data(collected.append))
+    run(chain)
+    assert collected == [expected]
+
+
+# -- test/follow.js ---------------------------------------------------------
+
+def test_follow_href():  # :7-21 → 5 pages, param echo, referer
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/follow").follow("li:skip-last > a")
+        .then(lambda ctx: seen.append(
+            (ctx.request["headers"].get("referer"),
+             ctx.request["params"].get("page"),
+             _get(ctx, "div").text()))))
+    assert len(seen) == 5
+    for referer, page, div in seen:
+        assert referer == f"{FIXTURE_HOST}/follow"
+        assert page == div
+
+
+def test_follow_find_then_attr():  # :24-40 (delay variant, sans delay)
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/follow").find("li:skip-last > a").delay(0.2)
+        .follow("@href")
+        .then(lambda ctx: seen.append(ctx.request["params"].get("page"))))
+    assert sorted(seen) == ["1", "2", "3", "4", "5"]
+
+
+def test_follow_internal():  # :59-73 → 5
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/follow").follow("li > a:internal")
+        .then(lambda ctx: seen.append(ctx.request["params"].get("page"))))
+    assert len(seen) == 5
+
+
+def test_follow_unicode():  # :75-88 — raw-encoding URL resolution
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/follow-utf8").follow("a")
+        .then(lambda ctx: seen.append(_get(ctx, "div").text())))
+    assert seen == ["true"]
+
+
+# -- test/paginate.js -------------------------------------------------------
+
+def _paginate_case(selector, params=None):
+    pages = []
+    chain = O.get(f"{FIXTURE_HOST}/paginate", params)
+    chain = chain.paginate(selector, 3).set("page", "div")
+    chain.data(lambda d: pages.append(d["page"]))
+    run(chain)
+    return pages
+
+
+def test_paginate_link():  # :7-24
+    assert _paginate_case('a[rel="next"]') == ["1", "2", "3", "4"]
+
+
+def test_paginate_param():  # :26-43
+    assert _paginate_case({"page": +1}, {"page": 1}) == ["1", "2", "3", "4"]
+
+
+def test_paginate_form():  # :45-61
+    assert _paginate_case("form") == ["1", "2", "3", "4"]
+
+
+def test_paginate_func_url():  # :63-81
+    def nxt(document, data):
+        return (document.request["pathname"] + "?page="
+                + str(int(document.request["query"]["page"]) + 1))
+    assert _paginate_case(nxt, {"page": 1}) == ["1", "2", "3", "4"]
+
+
+def test_paginate_func_obj():  # :83-101
+    def nxt(document, data):
+        return {"page": int(document.request["query"]["page"]) + 1}
+    assert _paginate_case(nxt, {"page": 1}) == ["1", "2", "3", "4"]
+
+
+# -- test/filters.js ---------------------------------------------------------
+
+def test_filters_contains():
+    count = [0]
+    run(O.parse(FILTERS_HTML).find("b").contains("1")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 1
+
+
+def test_filters_fail():
+    count = [0]
+    r, _ = run(O.parse(FILTERS_HTML).find("b").fail("node():contains('1')")
+               .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 2
+    assert any("node():contains" in e for e in r.errors)
+
+
+def test_filters_filter():
+    count = [0]
+    run(O.parse(FILTERS_HTML).find("b").filter("node():not(:contains('1'))")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 2
+
+
+def test_filters_match():
+    count = [0]
+    run(O.parse(FILTERS_HTML).find("b").match(r"[1-2]")
+        .then(lambda ctx: count.__setitem__(0, count[0] + 1)))
+    assert count[0] == 2
+
+
+# -- test/then.js -------------------------------------------------------------
+
+def test_then_two_args():
+    seen = []
+    run(O.parse(THEN_HTML).find("b")
+        .then(lambda ctx: seen.append(ctx.text())))
+    assert seen == ["1", "2", "3"]
+
+
+def test_then_multi_next_fanout():
+    seen = []
+
+    def fan(context, data, next):
+        for _ in range(3):
+            next(context, data)
+
+    run(O.parse(THEN_HTML).find("b")
+        .then(lambda context, data, next: next(context, data))
+        .then(fan)
+        .then(lambda ctx: seen.append(ctx.text())))
+    assert len(seen) == 9
+
+
+def test_then_document_arg():
+    seen = []
+    run(O.parse(THEN_HTML).then(lambda document: seen.append(document)))
+    assert len(seen) == 1
+    from osmospark.html import Document
+    assert isinstance(seen[0], Document)
+
+
+# -- test/do.js ---------------------------------------------------------------
+
+def test_do_multiple():
+    expected = {"title": "test", "links": ["/rel"]}
+    collected = []
+    chain = (O.parse(DO_HTML)
+             .do(
+                 O.set({"title": "title"}),
+                 O.find("body").set("name", "true").find("none"),  # fails
+                 O.set({"links": ["a@href"]}),
+             )
+             .data(collected.append))
+    run(chain)
+    assert collected == [expected]
