@@ -1,0 +1,394 @@
+"""Vectorized page extraction for the frontier engine.
+
+One ``mapInPandas`` pass per round: each input row is (frontier fields +
+joined page html). The UDF parses the page, runs the chain in page-scope
+mode (fetch boundaries become continuations), and emits tagged rows:
+
+- ``cont``   — next-round frontier rows (follow/get/paginate expansions);
+- ``root``   — records completed entirely within this page;
+- ``child``  — values merging into a parent record from a previous round;
+- ``open``   — partially-built records awaiting children (assembled later);
+- ``fail``   — a continuation whose fetch missed (404) — drives the
+               all-failed fallback merge (reference lib/Command.js:168-180:
+               a branch that never ``next``s still ``end``s and merges its
+               accumulated data);
+- ``metric`` — per-partition fetch/parse/error counts (north rule lineage).
+
+All selectors are pre-compiled on the driver (analogue of the reference
+selector cache, index.js:413-427); the UDF is Arrow-batched — no per-row
+Python is visible to Spark (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+
+from .interpreter import ProxyRecord, Runner, build_document
+from .record import _UNSET, Record
+from .spec import Chain
+from .urlnorm import url_host, xxhash64_py
+
+OUT_SCHEMA = """
+    row_kind string,
+    url string, url_hash long, host string,
+    method string, params_json string,
+    resume_index int, chain_idx int, kind string, count int, depth int,
+    referer string,
+    record_id string, parent_record_id string, index_key string,
+    is_array boolean, sort_index long, seq long,
+    partial_json string, value_json string,
+    origin_id string, origin_sort_index long,
+    fetched long, parsed long, errors long, error_msg string
+"""
+
+_OUT_COLUMNS = [c.strip().split()[0] for c in OUT_SCHEMA.strip().split(",")]
+_OUT_TYPES = {c.strip().split()[0]: c.strip().split()[1]
+              for c in OUT_SCHEMA.strip().split(",")}
+
+
+def _to_pdf(out: list[dict]) -> pd.DataFrame:
+    """Build the output batch with nullable Int64/boolean dtypes. The
+    column MUST be constructed as object dtype first: ``pd.DataFrame`` on
+    dicts coerces None+int columns to float64, silently corrupting 64-bit
+    hashes beyond 2^53 — object → Int64 is exact."""
+    cols = {}
+    for col in _OUT_COLUMNS:
+        typ = _OUT_TYPES[col]
+        series = pd.Series([row.get(col) for row in out], dtype="object")
+        if typ in ("long", "int"):
+            series = series.astype("Int64")
+        elif typ == "boolean":
+            series = series.astype("boolean")
+        cols[col] = series
+    return pd.DataFrame(cols, columns=_OUT_COLUMNS)
+
+
+def _blank_row() -> dict:
+    return {c: None for c in _OUT_COLUMNS}
+
+
+def _dump(obj) -> str | None:
+    if obj is _UNSET:
+        return None
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
+
+def _load(s):
+    if s is None or (isinstance(s, float) and pd.isna(s)):
+        return _UNSET
+    return json.loads(s)
+
+
+def _clean_row(row: dict) -> dict:
+    """pandas ``to_dict`` turns null ints/strings into NaN floats — map any
+    NaN back to None so downstream logic sees one null flavor."""
+    return {
+        k: (None if isinstance(v, float) and pd.isna(v) else v)
+        for k, v in row.items()
+    }
+
+
+class _Emitter:
+    """Collects output rows for one page row."""
+
+    def __init__(self, round_no: int, row_uid: str):
+        self.rows: list[dict] = []
+        self.round_no = round_no
+        self.row_uid = row_uid
+        self._seq = 0
+
+    def next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    def rid(self) -> str:
+        return f"{self.row_uid}:{self.next_seq()}"
+
+    def emit(self, **fields) -> None:
+        row = _blank_row()
+        row.update(fields)
+        self.rows.append(row)
+
+
+def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict]:
+    """Run one frontier row against its fetched page. ``row`` carries the
+    frontier fields plus ``html`` (bytes or None) and ``page_status``.
+    ``chains`` is the chain registry (spec.collect_chains); the row's
+    ``chain_idx``/``resume_index`` name the exact resume point."""
+    uid = f"r{round_no}x{row['url_hash'] & 0xFFFFFFFFFFFF:x}x{row.get('_row_seq', 0)}"
+    em = _Emitter(round_no, uid)
+    depth = int(row.get("depth") or 0)
+
+    if row.get("html") is None:
+        # fetch miss: metric + fail marker for the all-failed fallback merge
+        em.emit(row_kind="metric", host=row.get("host"), fetched=1, parsed=0,
+                errors=1, depth=depth,
+                error_msg=f"[{row.get('method') or 'get'}] {row['url']} - 404")
+        if row.get("parent_record_id") is not None:
+            em.emit(row_kind="fail",
+                    parent_record_id=row.get("parent_record_id"),
+                    index_key=row.get("index_key"),
+                    is_array=bool(row.get("is_array")),
+                    origin_id=row.get("origin_id"),
+                    origin_sort_index=row.get("origin_sort_index"),
+                    partial_json=row.get("partial_json"),
+                    sort_index=row.get("sort_index"))
+        return em.rows
+
+    params = json.loads(row["params_json"]) if row.get("params_json") else None
+    doc = build_document(
+        row["html"], row["url"], method=row.get("method") or "get",
+        params=params, referer=row.get("referer"),
+        status=int(row.get("page_status") or 200),
+        count=int(row["count"]) if row.get("count") is not None else None,
+    )
+
+    data = Record()
+    captured: list = []
+    if row.get("parent_record_id") is not None:
+        proxy = ProxyRecord(row["parent_record_id"], captured)
+        data = Record(proxy)
+    partial = _load(row.get("partial_json"))
+    if partial is not _UNSET:
+        data.set_object(partial if not isinstance(partial, (dict, list))
+                        else (list(partial) if isinstance(partial, list)
+                              else dict(partial)))
+    if row.get("index_key") is not None:
+        data.set_index(row["index_key"])
+    if row.get("is_array"):
+        data.is_array(True)
+    if row.get("sort_index") is not None:
+        data.set_sort_index(int(row["sort_index"]))
+
+    runner = Runner(page_scope=True)
+    runner.child_values = captured
+    closed_roots: list = []
+    _orig_end = runner._end
+
+    def _end(chain_, context, d):
+        if d.parent is None and d.object is not _UNSET:
+            closed_roots.append((d.object, d.get_sort_index()))
+        else:
+            _orig_end(chain_, context, d)
+
+    runner._end = _end
+    resume_index = int(row.get("resume_index") or 0)
+    chain = chains[int(row.get("chain_idx") or 0)]
+    chain_index_of = {id(c): i for i, c in enumerate(chains)}
+    try:
+        runner.resume(chain, resume_index, doc, data)
+    except Exception as exc:  # surface, don't kill the task
+        em.emit(row_kind="metric", host=row.get("host"), fetched=1, parsed=0,
+                errors=1, depth=depth, error_msg=f"{row['url']}: {exc!r}")
+        return em.rows
+
+    em.emit(row_kind="metric", host=row.get("host"), fetched=1, parsed=1,
+            errors=len(runner.errors), depth=depth,
+            error_msg="; ".join(runner.errors[:3]) or None)
+
+    for obj, sort_index in closed_roots:
+        em.emit(row_kind="root", value_json=_dump(obj),
+                sort_index=sort_index, url=row["url"],
+                url_hash=row["url_hash"], depth=depth, seq=em.next_seq())
+
+    for pid, key, sort_index, value in captured:
+        em.emit(row_kind="child", parent_record_id=pid, index_key=key,
+                sort_index=sort_index, value_json=_dump(value),
+                seq=em.next_seq())
+
+    # continuations + the open-record ancestry they hang from
+    open_ids: dict[int, str] = {}
+
+    def record_ref(rec) -> str | None:
+        """Assign an id to a local open record, emitting its ancestry."""
+        if rec is None:
+            return None
+        if isinstance(rec, ProxyRecord):
+            return rec.record_id
+        rec_key = id(rec)
+        if rec_key in open_ids:
+            return open_ids[rec_key]
+        parent_id = record_ref(rec.parent)
+        rid = em.rid()
+        open_ids[rec_key] = rid
+        em.emit(row_kind="open", record_id=rid, parent_record_id=parent_id,
+                index_key=rec.get_index(), is_array=bool(rec._is_array),
+                sort_index=rec.get_sort_index(),
+                partial_json=_dump(rec.object), seq=em.next_seq())
+        return rid
+
+    origin_ids: dict[int, str] = {}
+    for cont in runner.continuations:
+        rec = cont.data
+        parent_id = record_ref(rec.parent)
+        okey = id(rec)
+        if okey not in origin_ids:
+            origin_ids[okey] = em.rid()
+        host = url_host(cont.url)
+        em.emit(
+            row_kind="cont",
+            url=cont.url,
+            url_hash=xxhash64_py(cont.url.encode("utf-8")),
+            host=host,
+            method=cont.method,
+            params_json=json.dumps(cont.params) if cont.params else None,
+            resume_index=cont.resume_index,
+            chain_idx=chain_index_of.get(id(cont.chain), 0),
+            kind=cont.kind,
+            count=cont.count,
+            depth=depth + 1,
+            referer=cont.referer,
+            parent_record_id=parent_id,
+            index_key=rec.get_index(),
+            is_array=bool(rec._is_array),
+            sort_index=cont.sort_index,
+            partial_json=_dump(rec.object),
+            origin_id=origin_ids[okey],
+            origin_sort_index=rec.get_sort_index(),
+            seq=em.next_seq(),
+        )
+    return em.rows
+
+
+def make_extract_udf(chains: list[Chain], round_no: int):
+    """Returns the mapInPandas function for this round."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            out: list[dict] = []
+            for rec in pdf.to_dict("records"):
+                rec = _clean_row(rec)
+                seq += 1
+                rec["_row_seq"] = seq
+                out.extend(process_page_row(chains, rec, round_no))
+            yield _to_pdf(out)
+
+    return extract
+
+
+def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None):
+    """Crawl-mode mapInPandas: per page, evaluate a static extraction spec
+    locally (records close per page) and expand outlinks via the follow
+    selector — the 10^10-scale fast path. Raw-encoding URL capture mirrors
+    reference lib/commands/follow.js:39-46."""
+    from .html import Attribute, Element, compile_selector
+    from .interpreter import Runner
+    from .urlnorm import canonicalize, resolve
+
+    spec_chain = Chain().set(extract_spec) if extract_spec else None
+    follow_compiled = (compile_selector(follow_selector)
+                       if follow_selector else None)
+
+    def crawl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf.to_dict("records"):
+                row = _clean_row(row)
+                seq += 1
+                depth = int(row.get("depth") or 0)
+                if row.get("html") is None:
+                    out.append({**_blank_row(), "row_kind": "metric",
+                                "host": row.get("host"), "fetched": 1,
+                                "parsed": 0, "errors": 1, "depth": depth,
+                                "error_msg": f"{row['url']} - 404"})
+                    continue
+                doc = build_document(row["html"], row["url"],
+                                     referer=row.get("referer"))
+                errors = 0
+                if spec_chain is not None:
+                    runner = Runner(page_scope=True)
+                    got: list = []
+                    orig_end = runner._end
+
+                    def _end(ch, ctx, d, _got=got, _o=orig_end):
+                        if d.parent is None and d.object is not _UNSET:
+                            _got.append(d.object)
+                        else:
+                            _o(ch, ctx, d)
+
+                    runner._end = _end
+                    try:
+                        runner.resume(spec_chain, 0, doc, Record())
+                        errors = len(runner.errors)
+                        for obj in got:
+                            out.append({**_blank_row(), "row_kind": "root",
+                                        "url": row["url"],
+                                        "url_hash": row["url_hash"],
+                                        "depth": depth,
+                                        "value_json": _dump(obj)})
+                    except Exception as exc:
+                        errors += 1
+                        out.append({**_blank_row(), "row_kind": "metric",
+                                    "host": row.get("host"), "fetched": 0,
+                                    "parsed": 0, "errors": 1, "depth": depth,
+                                    "error_msg": repr(exc)})
+                if follow_compiled is not None:
+                    nodes = follow_compiled.find(doc, relative=True)
+                    idx = 0
+                    for node in nodes:
+                        if isinstance(node, Attribute):
+                            href = node.value()
+                        elif isinstance(node, Element):
+                            a = node.attr("href")
+                            href = a.value() if a is not None else node.text()
+                        else:
+                            href = None
+                        if not href:
+                            continue
+                        target = canonicalize(resolve(row["url"], href))
+                        out.append({**_blank_row(), "row_kind": "cont",
+                                    "url": target,
+                                    "url_hash": xxhash64_py(target.encode()),
+                                    "host": url_host(target),
+                                    "method": "get", "kind": "crawl",
+                                    "depth": depth + 1,
+                                    "referer": row["url"],
+                                    "sort_index": idx,
+                                    "is_array": False})
+                        idx += 1
+                out.append({**_blank_row(), "row_kind": "metric",
+                            "host": row.get("host"), "fetched": 1,
+                            "parsed": 1, "errors": errors, "depth": depth})
+            yield _to_pdf(out)
+
+    return crawl
+
+
+def initial_continuations(chain: Chain) -> list[dict]:
+    """Run the chain with no context: the leading get/post commands register
+    the seed continuations (the analogue of the auto-start at reference
+    lib/Command.js:32-47 + index.js:158-165)."""
+    from .spec import collect_chains
+
+    chains = collect_chains(chain)
+    chain_index_of = {id(c): i for i, c in enumerate(chains)}
+    runner = Runner(page_scope=True)
+    runner.run(chain, context=None, data=Record())
+    rows = []
+    for i, cont in enumerate(runner.continuations):
+        rows.append({
+            "url": cont.url,
+            "url_hash": xxhash64_py(cont.url.encode("utf-8")),
+            "host": url_host(cont.url),
+            "method": cont.method,
+            "params_json": json.dumps(cont.params) if cont.params else None,
+            "resume_index": cont.resume_index,
+            "chain_idx": chain_index_of.get(id(cont.chain), 0),
+            "kind": cont.kind,
+            "count": cont.count,
+            "depth": 0,
+            "referer": None,
+            "parent_record_id": None,
+            "index_key": None,
+            "is_array": False,
+            "sort_index": cont.sort_index,
+            "partial_json": None,
+            "origin_id": f"seed:{i}",
+            "origin_sort_index": None,
+        })
+    return rows

@@ -1,0 +1,546 @@
+"""The batch-iterative frontier engine — the distributed crawl loop.
+
+Per round (SURVEY §3.1 lifecycle):
+
+    frontier → [canonical ids] → dedup (Bloom prefilter + exact anti-join)
+             → politeness window (per-host slots via ranking window)
+             → join pages corpus on url_hash (broadcast when small, AQE else)
+             → extraction UDF (mapInPandas, page-scope chain execution)
+             → records / child values / open records / next frontier
+             → atomic round commit (TableIO) + metrics
+
+Two execution modes:
+
+- ``run_chain(chain)``  — full Osmosis chain semantics: nested records span
+  pages; after the loop, records are assembled bottom-up by grouped merge
+  (the distributed analogue of reference lib/Data.js:282-302 merge +
+  :239-280 sortKey).
+- ``run_crawl(seeds, follow, extract)`` — the 10^10-scale path: per-page
+  extraction closes records locally; the frontier recurses on a follow
+  selector up to ``max_depth`` with URL-seen dedup (Bloom prefilter + exact
+  anti-join backstop) and per-host politeness. DFS-with-limit ordering:
+  admission prioritizes ``(depth DESC, sort lineage ASC)``, reproducing the
+  reference's LIFO queue discipline (reference lib/Queue.js:24-33,
+  index.js:253-258) at round granularity.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..extract import (
+    OUT_SCHEMA, initial_continuations, make_crawl_udf, make_extract_udf,
+)
+from ..record import merge_value
+from ..spec import Chain, collect_chains
+from ..urlnorm import xxhash64_py
+from . import bloom as bloom_mod
+from .politeness import DEFAULT_CONCURRENCY, host_slots
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("host", StringType()),
+    StructField("method", StringType()),
+    StructField("params_json", StringType()),
+    StructField("resume_index", IntegerType()),
+    StructField("chain_idx", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("count", IntegerType()),
+    StructField("depth", IntegerType()),
+    StructField("referer", StringType()),
+    StructField("parent_record_id", StringType()),
+    StructField("index_key", StringType()),
+    StructField("is_array", BooleanType()),
+    StructField("sort_index", LongType()),
+    StructField("partial_json", StringType()),
+    StructField("origin_id", StringType()),
+    StructField("origin_sort_index", LongType()),
+])
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+class FrontierEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        state: "TableIO | None" = None,
+        *,
+        concurrency: int = DEFAULT_CONCURRENCY,
+        politeness: bool = False,
+        robots_df: DataFrame | None = None,
+        dedup: bool = False,
+        bloom_buckets: int = 32,
+        bloom_bits_per_bucket: int = 1 << 20,
+        broadcast_threshold: int = 100_000,
+        round_seconds: float = 60.0,
+    ) -> None:
+        self.spark = spark
+        # corpus side: hash once; Catalyst prunes unread columns at the scan
+        self.pages = (
+            pages_df.withColumn("url_hash", F.xxhash64("url"))
+            .select("url_hash", F.col("url").alias("page_url"), "html")
+        )
+        self.state = state
+        self.concurrency = concurrency
+        self.politeness = politeness
+        self.robots_df = robots_df
+        self.dedup = dedup
+        self.bloom_buckets = bloom_buckets
+        self.bloom_bits = bloom_bits_per_bucket
+        self.broadcast_threshold = broadcast_threshold
+        self.round_seconds = round_seconds
+        self.metrics_rows: list[dict] = []
+        # driver-held bloom only for local-mode tests; at scale the bitsets
+        # live in the state table and are probed via mapInPandas per bucket
+        self._bloom = {
+            b: bloom_mod.empty_bitset(self.bloom_bits)
+            for b in range(bloom_buckets)
+        }
+
+    # ------------------------------------------------------------------
+    # shared round machinery
+    # ------------------------------------------------------------------
+
+    def _frontier_df(self, rows: list[dict]) -> DataFrame:
+        norm = [{c: r.get(c) for c in _FRONTIER_COLS} for r in rows]
+        return self.spark.createDataFrame(norm, schema=FRONTIER_SCHEMA)
+
+    def _dedup_round(self, frontier: DataFrame, seen: DataFrame | None):
+        """URL-seen dedup, the scale-correct split:
+
+        - Bloom-NEGATIVE rows are *definitely new* — pass without touching
+          the seen table;
+        - Bloom-POSITIVE rows are *possibly seen* — verified by an exact
+          left-anti join against the seen state (the backstop that makes
+          the visit set exact despite Bloom false positives);
+        - within-round duplicates collapse via dropDuplicates.
+        """
+        frontier = frontier.dropDuplicates(["url_hash"])
+        bloom_bc = self.spark.sparkContext.broadcast(
+            {b: bs.tobytes() for b, bs in self._bloom.items()})
+        buckets = self.bloom_buckets
+        # fresh StructType — .add() would mutate the df's cached schema
+        schema = StructType(
+            list(frontier.schema.fields)
+            + [StructField("maybe_seen", BooleanType())])
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            local = {b: np.frombuffer(v, dtype=np.uint8)
+                     for b, v in bloom_bc.value.items()}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    pdf = pdf.copy()
+                    pdf["maybe_seen"] = pd.Series([], dtype=bool)
+                    yield pdf
+                    continue
+                hashes = pdf["url_hash"].to_numpy()
+                bucket = np.array(
+                    [xxhash64_py((h or "").encode()) % buckets
+                     for h in pdf["host"].fillna("")],
+                    dtype=np.int64)
+                maybe = np.zeros(len(pdf), dtype=bool)
+                for b in np.unique(bucket):
+                    m = bucket == b
+                    maybe[m] = bloom_mod.contains(local[b], hashes[m])
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = maybe
+                yield pdf
+
+        flagged = frontier.mapInPandas(probe, schema)
+        fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        if seen is not None:
+            verified = maybe.join(seen, "url_hash", "left_anti")
+            fresh = fresh.unionByName(verified)
+        return fresh
+
+    def _note_seen(self, admitted: DataFrame) -> None:
+        """Fold this round's admitted URLs into the Bloom state. Deltas are
+        built distributively (one bitset per host bucket via applyInPandas)
+        so only ``n_buckets`` bitset rows — not raw URLs — reach the driver;
+        the driver ORs the deltas into the broadcast state (bloom.union)."""
+        import numpy as np
+        buckets = self.bloom_buckets
+        bits = self.bloom_bits
+
+        def build_delta(pdf: pd.DataFrame) -> pd.DataFrame:
+            bs = bloom_mod.empty_bitset(bits)
+            bloom_mod.add(bs, pdf["url_hash"].to_numpy())
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])],
+                 "bitset": [bs.tobytes()]})
+
+        deltas = (
+            admitted.select(
+                "url_hash",
+                F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
+                       F.lit(buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .applyInPandas(build_delta, "bucket int, bitset binary")
+            .collect()
+        )
+        for r in deltas:
+            self._bloom[r.bucket] = bloom_mod.union(
+                self._bloom[r.bucket],
+                np.frombuffer(r.bitset, dtype=np.uint8).copy())
+
+    def _politeness_window(self, frontier: DataFrame):
+        """Per-host fetch slots via ranking window (SURVEY §2.6): admitted
+        rows proceed this round, the rest are deferred to the next round.
+        Priority (depth DESC, sort_index ASC, url) = DFS-with-limit."""
+        if not self.politeness:
+            return frontier, None
+        slots = self.concurrency
+        if self.robots_df is not None:
+            slotted = self.robots_df.select(
+                "host", F.col("crawl_delay").alias("_cd"))
+            frontier = frontier.join(F.broadcast(slotted), "host", "left")
+            frontier = frontier.withColumn(
+                "_slots",
+                F.when(F.col("_cd").isNull(), F.lit(slots)).otherwise(
+                    F.greatest(
+                        F.lit(1),
+                        F.least(
+                            F.lit(slots * 100),
+                            (F.lit(self.round_seconds) / F.col("_cd"))
+                            .cast("int"),
+                        ),
+                    )
+                ),
+            ).drop("_cd")
+        else:
+            frontier = frontier.withColumn("_slots", F.lit(slots))
+        w = Window.partitionBy("host").orderBy(
+            F.col("depth").desc(),
+            F.col("sort_index").asc_nulls_last(),
+            F.col("url").asc(),
+        )
+        ranked = frontier.withColumn("_rank", F.row_number().over(w))
+        admitted = ranked.filter(F.col("_rank") <= F.col("_slots")) \
+                         .drop("_rank", "_slots")
+        deferred = ranked.filter(F.col("_rank") > F.col("_slots")) \
+                         .drop("_rank", "_slots")
+        return admitted, deferred
+
+    def _apply_robots(self, frontier: DataFrame) -> DataFrame:
+        """Drop robots-disallowed URLs (never fetched; logged as metrics)."""
+        if self.robots_df is None or "disallow" not in self.robots_df.columns:
+            return frontier
+        rules = F.broadcast(self.robots_df.select("host", "disallow"))
+        joined = frontier.join(rules, "host", "left")
+        path = F.parse_url(F.col("url"), F.lit("PATH"))
+        blocked = F.exists(
+            F.coalesce(F.col("disallow"), F.array()),
+            lambda p: path.startswith(p),
+        )
+        return joined.filter(~blocked).drop("disallow")
+
+    def _fetch_join(self, frontier: DataFrame, round_size: int) -> DataFrame:
+        """frontier ⋈ pages on url_hash. Small rounds broadcast the frontier
+        (corpus-side scan stays shuffle-free); large rounds fall back to a
+        shuffle hash join that AQE can skew-split."""
+        if 0 < round_size <= self.broadcast_threshold:
+            # broadcast the frontier and stream the corpus scan: a LEFT
+            # OUTER from the frontier can't build its left side, so express
+            # it as pages RIGHT OUTER broadcast(frontier)
+            joined = self.pages.join(F.broadcast(frontier), "url_hash",
+                                     "right")
+        else:
+            joined = frontier.join(self.pages.hint("shuffle_hash"),
+                                   "url_hash", "left")
+        return joined.withColumn(
+            "page_status",
+            F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
+        )
+
+    def _run_round(self, chains: list[Chain], frontier: DataFrame,
+                   round_no: int, round_size: int) -> DataFrame:
+        joined = self._fetch_join(frontier, round_size)
+        out = joined.mapInPandas(make_extract_udf(chains, round_no),
+                                 OUT_SCHEMA)
+        return out
+
+    # ------------------------------------------------------------------
+    # chain mode
+    # ------------------------------------------------------------------
+
+    def run_chain(self, chain: Chain, max_rounds: int = 25):
+        """Execute a full chain distributively; returns a DataFrame with one
+        ``value_json`` string column of assembled root records.
+
+        Each round is fully distributed (join + mapInPandas); only the
+        *record skeleton* rows (open/child/root — O(records), tiny next to
+        page bytes) come back for assembly. Crawl mode (``run_crawl``) is
+        the path engineered for 10^10-URL scale."""
+        chains = collect_chains(chain)
+        seeds = initial_continuations(chain)
+        frontier_rows = seeds
+        opens: list[dict] = []
+        children: list[dict] = []
+        roots: list[dict] = []
+        round_no = 0
+
+        while frontier_rows and round_no < max_rounds:
+            frontier = self._frontier_df(frontier_rows)
+            out_rows = [
+                r.asDict() for r in
+                self._run_round(chains, frontier, round_no,
+                                len(frontier_rows)).collect()
+            ]
+            by_kind: dict[str, list[dict]] = {}
+            for r in out_rows:
+                by_kind.setdefault(r["row_kind"], []).append(r)
+
+            children.extend(by_kind.get("child", []))
+            children.extend(
+                self._all_failed_fallback(frontier_rows,
+                                          by_kind.get("fail", [])))
+            opens.extend(by_kind.get("open", []))
+            roots.extend(by_kind.get("root", []))
+            for m in by_kind.get("metric", []):
+                self.metrics_rows.append(
+                    {"round": round_no, "host": m.get("host"),
+                     "fetched": m.get("fetched"), "parsed": m.get("parsed"),
+                     "errors": m.get("errors")})
+
+            if self.state is not None:
+                self.state.commit_round("frontier", round_no, frontier,
+                                        meta={"size": len(frontier_rows)})
+            frontier_rows = by_kind.get("cont", [])
+            round_no += 1
+
+        assembled = assemble_records(opens, children)
+        values = [o["value_json"] for o in roots if o.get("value_json")]
+        values += [json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+                   for v in assembled]
+        if not values:
+            return self.spark.createDataFrame([], "value_json string")
+        return self.spark.createDataFrame([(v,) for v in values],
+                                          "value_json string")
+
+    @staticmethod
+    def _all_failed_fallback(frontier_rows: list[dict],
+                             fail_rows: list[dict]) -> list[dict]:
+        """Origins whose every continuation failed merge their accumulated
+        partial (reference end-semantics; see extract.py docstring)."""
+        if not fail_rows:
+            return []
+        n_in: dict[str, int] = {}
+        for r in frontier_rows:
+            oid = r.get("origin_id")
+            if oid is not None:
+                n_in[oid] = n_in.get(oid, 0) + 1
+        n_fail: dict[str, int] = {}
+        rep: dict[str, dict] = {}
+        for r in fail_rows:
+            oid = r.get("origin_id")
+            n_fail[oid] = n_fail.get(oid, 0) + 1
+            rep.setdefault(oid, r)
+        out = []
+        for oid, nf in n_fail.items():
+            if nf >= n_in.get(oid, 1):
+                r = rep[oid]
+                partial = r.get("partial_json")
+                if partial and partial not in ("{}", "[]"):
+                    out.append({
+                        "parent_record_id": r.get("parent_record_id"),
+                        "index_key": r.get("index_key"),
+                        "is_array": r.get("is_array"),
+                        "sort_index": r.get("origin_sort_index"),
+                        "seq": 0,
+                        "value_json": partial,
+                    })
+        return out
+
+    def _collect_metrics(self, out: DataFrame, round_no: int) -> None:
+        m = (out.filter(F.col("row_kind") == "metric")
+             .groupBy("host")
+             .agg(F.sum("fetched").alias("fetched"),
+                  F.sum("parsed").alias("parsed"),
+                  F.sum("errors").alias("errors"))
+             .collect())
+        for r in m:
+            self.metrics_rows.append(
+                {"round": round_no, "host": r.host, "fetched": r.fetched,
+                 "parsed": r.parsed, "errors": r.errors})
+
+    # ------------------------------------------------------------------
+    # crawl mode — the 10^10-scale path
+    # ------------------------------------------------------------------
+
+    def run_crawl(
+        self,
+        seed_urls: list[str],
+        follow_selector: str,
+        extract_spec: dict | None = None,
+        max_depth: int = 3,
+        max_rounds: int | None = None,
+    ):
+        """Seed → extract → follow recursion with URL-seen dedup, robots,
+        politeness and DFS-priority admission. Records close per page (no
+        cross-page record trees), so nothing is ever collected to the
+        driver except per-round counts and bucket-sized Bloom deltas.
+
+        Returns (records_df(url, depth, value_json), visit_rounds) where
+        visit_rounds is the per-round admitted visit log metadata."""
+        from ..urlnorm import canonicalize
+
+        spark = self.spark
+        seeds = [
+            {"url": canonicalize(u), "depth": 0, "sort_index": i,
+             "referer": None, "kind": "crawl", "method": "get"}
+            for i, u in enumerate(seed_urls)
+        ]
+        for s in seeds:
+            s["url_hash"] = xxhash64_py(s["url"].encode())
+            from ..urlnorm import url_host
+            s["host"] = url_host(s["url"])
+        frontier = self._frontier_df(seeds)
+        seen: DataFrame | None = None
+        records: DataFrame | None = None
+        round_no = 0
+        visit_meta = []
+        max_rounds = max_rounds if max_rounds is not None else max_depth + 1
+
+        crawl_udf = make_crawl_udf(extract_spec, follow_selector)
+
+        while round_no < max_rounds:
+            if self.dedup:
+                frontier = self._dedup_round(frontier, seen)
+            frontier = self._apply_robots(frontier)
+            admitted, deferred = self._politeness_window(frontier)
+            admitted = admitted.persist()
+            n_admitted = admitted.count()
+            if n_admitted == 0:
+                admitted.unpersist()
+                break
+
+            if self.dedup:
+                new_seen = admitted.select("url_hash")
+                seen = (new_seen if seen is None
+                        else seen.unionByName(new_seen)).persist()
+                self._note_seen(admitted)
+
+            joined = self._fetch_join(admitted, n_admitted)
+            out = joined.mapInPandas(crawl_udf, OUT_SCHEMA).persist()
+
+            round_records = out.filter(F.col("row_kind") == "root").select(
+                "url", "depth", "value_json")
+            self._collect_metrics(out, round_no)
+
+            conts = out.filter(F.col("row_kind") == "cont") \
+                       .filter(F.col("depth") <= max_depth) \
+                       .select(*_FRONTIER_COLS)
+            if deferred is not None:
+                conts = conts.unionByName(deferred.select(*_FRONTIER_COLS))
+
+            if self.state is not None:
+                # atomic round commit — resume point (north rule)
+                self.state.commit_round(
+                    "records", round_no, round_records,
+                    meta={"admitted": n_admitted})
+                self.state.commit_round("frontier", round_no, conts)
+                conts = self.state.read_round("frontier", round_no)
+                records = None  # read back from state at the end
+            else:
+                # break lineage: plans otherwise compound across rounds
+                round_records = round_records.localCheckpoint(eager=True)
+                conts = conts.localCheckpoint(eager=True)
+                records = (round_records if records is None
+                           else records.unionByName(round_records))
+
+            if self.dedup and seen is not None:
+                seen = seen.localCheckpoint(eager=True)
+
+            visit_meta.append({"round": round_no, "admitted": n_admitted})
+            frontier = conts
+            round_no += 1
+            out.unpersist()
+            admitted.unpersist()
+
+        if self.state is not None:
+            records = self.state.read_all("records")
+            if records is not None:
+                records = records.select("url", "depth", "value_json")
+        if records is None:
+            records = spark.createDataFrame(
+                [], "url string, depth int, value_json string")
+        return records, visit_meta
+
+def assemble_records(opens: list[dict], children: list[dict]) -> list:
+    """Pure bottom-up assembly shared by driver fold and applyInPandas.
+
+    opens: (record_id, parent_record_id, index_key, is_array, sort_index,
+    partial_json, seq); children: (parent_record_id, index_key, is_array,
+    sort_index, seq, value_json). Returns completed root objects."""
+    by_id = {o["record_id"]: dict(o) for o in opens}
+    kids: dict[str | None, list[dict]] = {}
+    for c in children:
+        kids.setdefault(c["parent_record_id"], []).append(dict(c))
+    # open records that are parents of other open records
+    open_parents = {o["parent_record_id"] for o in opens
+                    if o["parent_record_id"] in by_id}
+    remaining = dict(by_id)
+    roots: list = []
+
+    def close(o: dict):
+        partial = (json.loads(o["partial_json"])
+                   if o.get("partial_json") is not None else None)
+        own_kids = kids.pop(o["record_id"], [])
+        if partial is None and not own_kids:
+            return None  # empty record: never merged (Data.js:284-286)
+        obj = partial if partial is not None else (
+            [] if o.get("is_array") else {})
+        # group by key, order by (sort_index, seq) — the distributed sortKey
+        own_kids.sort(key=lambda c: (
+            c["index_key"] is None, c["index_key"] or "",
+            c["sort_index"] if c["sort_index"] is not None else 1 << 60,
+            c["seq"] if c["seq"] is not None else 0))
+        if isinstance(obj, list):
+            own_kids.sort(key=lambda c: (
+                c["sort_index"] if c["sort_index"] is not None else 1 << 60,
+                c["seq"] if c["seq"] is not None else 0))
+        for c in own_kids:
+            val = (json.loads(c["value_json"])
+                   if c.get("value_json") is not None else None)
+            merge_value(obj, c.get("index_key"), val, isinstance(obj, list))
+        return obj
+
+    progress = True
+    while remaining and progress:
+        progress = False
+        closable = [
+            rid for rid, o in remaining.items()
+            if not any(p.get("parent_record_id") == rid
+                       for p in remaining.values() if p is not o)
+        ]
+        for rid in closable:
+            o = remaining.pop(rid)
+            obj = close(o)
+            progress = True
+            if obj is None:
+                continue
+            pid = o.get("parent_record_id")
+            if pid is None:
+                roots.append(obj)
+            else:
+                kids.setdefault(pid, []).append({
+                    "parent_record_id": pid,
+                    "index_key": o.get("index_key"),
+                    "sort_index": o.get("sort_index"),
+                    "seq": o.get("seq"),
+                    "value_json": json.dumps(obj, ensure_ascii=False),
+                })
+    return roots

@@ -70,19 +70,20 @@ class Continuation:
     """A fetch boundary captured in page-scope mode."""
 
     __slots__ = ("method", "url", "params", "resume_index", "data",
-                 "sort_index", "kind", "count", "referer")
+                 "sort_index", "kind", "count", "referer", "chain")
 
     def __init__(self, method, url, params, resume_index, data, sort_index,
-                 kind, count=None, referer=None):
+                 kind, count=None, referer=None, chain=None):
         self.method = method
         self.url = url
         self.params = params
-        self.resume_index = resume_index
+        self.resume_index = resume_index  # command index WITHIN self.chain
         self.data = data          # live Record at registration time
         self.sort_index = sort_index
         self.kind = kind          # 'follow' | 'get' | 'paginate'
         self.count = count        # paginate page counter
         self.referer = referer
+        self.chain = chain        # the Chain the resume index refers to
 
 
 class ProxyRecord(Record):
@@ -316,7 +317,7 @@ def _h_get(runner, chain, i, cmd, context, data, next_fn, done_fn):
     if runner.page_scope:
         runner.continuations.append(Continuation(
             method, _resolve_href(context, url), params, i + 1, data, None,
-            "get", referer=_doc_location(context)))
+            "get", referer=_doc_location(context), chain=chain))
         # branch stays open: no done(), mirrors a pending async request
         return
 
@@ -375,7 +376,7 @@ def _h_follow(runner, chain, i, cmd, context, data, next_fn, done_fn):
         for idx, url in enumerate(urls):
             runner.continuations.append(Continuation(
                 "get", _resolve_href(context, url), None, i + 1, data, idx,
-                "follow", referer=document.location))
+                "follow", referer=document.location, chain=chain))
         return  # branch stays open
 
     pending = [len(urls)]
@@ -454,8 +455,9 @@ def _h_paginate(runner, chain, i, cmd, context, data, next_fn, done_fn):
 
     if runner.page_scope:
         runner.continuations.append(Continuation(
-            method, _resolve_href(context, url), params, i, data, count, "paginate",
-            count=count + 1, referer=document.location))
+            method, _resolve_href(context, url), params, i, data, count,
+            "paginate", count=count + 1, referer=document.location,
+            chain=chain))
         done_fn()
         return
 

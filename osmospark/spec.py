@@ -161,6 +161,33 @@ def _mark_nested(arg) -> None:
             _mark_nested(v)
 
 
+def collect_chains(root: Chain) -> list[Chain]:
+    """All chains reachable from ``root`` (root first): nested instances in
+    set specs / do args, recursively. Gives each chain a stable index so a
+    continuation can name its chain across rounds."""
+    out: list[Chain] = []
+    seen: set[int] = set()
+
+    def walk(obj) -> None:
+        if isinstance(obj, Chain):
+            if id(obj) in seen:
+                return
+            seen.add(id(obj))
+            out.append(obj)
+            for cmd in obj.commands:
+                for a in cmd.args:
+                    walk(a)
+        elif isinstance(obj, dict):
+            for v in obj.values():
+                walk(v)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                walk(v)
+
+    walk(root)
+    return out
+
+
 class _Factory:
     """``O.get(...)`` / ``O.find(...)`` / ``O('/url')`` entry points,
     mirroring the auto-generated StartingFunction set

@@ -1,0 +1,108 @@
+"""Distributed engine tests: chain mode must equal the sync interpreter
+(byte-identical records); crawl mode must dedup, respect depth, and stay
+deterministic."""
+
+import json
+
+import pytest
+
+from osmospark.corpus import FIXTURE_HOST, fixture_store, synth_corpus, pages_rows, seed_urls
+from osmospark.frontier import FrontierEngine
+from osmospark.interpreter import Runner
+from osmospark.spec import O
+
+
+def chain_nested_follow():
+    # the §7.1 minimum end-to-end slice: test/set.js get_nested_follow shape
+    return O.get(f"{FIXTURE_HOST}/set").set({
+        "title": "title",
+        "links": ["a@href"],
+        "follow": O.follow("a").set({"title": "title"}),
+        "follow_fail": O.follow("fake-selector").set({"title": "title"}),
+        "get_fail": O.get("/notfound").set({"title": "title"}),
+        "get_follow": O("/1").set({"title": "title"}).follow("a").set({"page": "title"}),
+        "get_nested_follow": O.get("/1").set({
+            "title": "title",
+            "pages": O.follow("a").set({"page": "title"}),
+        }),
+    })
+
+
+def sync_records(chain_factory):
+    collected = []
+    chain = chain_factory().data(collected.append)
+    Runner(store=fixture_store()).run(chain)
+    return collected
+
+
+def test_chain_mode_matches_sync_interpreter(spark, fixture_pages_df):
+    expected = sync_records(chain_nested_follow)
+    engine = FrontierEngine(spark, fixture_pages_df)
+    records = engine.run_chain(chain_nested_follow())
+    got = [json.loads(r.value_json) for r in records.collect()]
+    assert got == expected
+
+
+def test_chain_mode_array_root(spark, fixture_pages_df):
+    def factory():
+        return O.get(f"{FIXTURE_HOST}/set").set([
+            "a@href",
+            O.find("a").set("name").set("href", "@href"),
+            [[["a:first@href"]]],
+        ])
+    expected = sync_records(factory)
+    engine = FrontierEngine(spark, fixture_pages_df)
+    got = [json.loads(r.value_json)
+           for r in engine.run_chain(factory()).collect()]
+    assert got == expected
+
+
+def test_chain_mode_paginate(spark, fixture_pages_df):
+    def factory():
+        return (O.get(f"{FIXTURE_HOST}/paginate")
+                .paginate('a[rel="next"]', 3).set("page", "div"))
+    expected = sync_records(factory)
+    engine = FrontierEngine(spark, fixture_pages_df)
+    got = [json.loads(r.value_json)
+           for r in engine.run_chain(factory()).collect()]
+    assert sorted(got, key=lambda d: d["page"]) == sorted(
+        expected, key=lambda d: d["page"])
+
+
+def test_crawl_mode_dedup_and_depth(spark):
+    pages = synth_corpus(n_urls=60, n_hosts=4)
+    pages_df = spark.createDataFrame(
+        pages_rows(pages),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    seeds = seed_urls(pages)
+    engine = FrontierEngine(spark, pages_df, dedup=True, politeness=False)
+    records, visits = engine.run_crawl(
+        seeds, "li > a", extract_spec={"payload": "div"}, max_depth=2)
+    rows = records.collect()
+    # dedup: each visited URL extracted exactly once
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls))
+    assert all(r.depth <= 2 for r in rows)
+    # every record extracted its payload
+    assert all(json.loads(r.value_json)["payload"] for r in rows)
+    # determinism: rerun yields the identical visit set
+    engine2 = FrontierEngine(spark, pages_df, dedup=True, politeness=False)
+    records2, _ = engine2.run_crawl(
+        seeds, "li > a", extract_spec={"payload": "div"}, max_depth=2)
+    assert sorted(urls) == sorted(r.url for r in records2.collect())
+
+
+def test_crawl_mode_politeness_defers(spark):
+    pages = synth_corpus(n_urls=40, n_hosts=2)
+    pages_df = spark.createDataFrame(
+        pages_rows(pages),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    seeds = seed_urls(pages)
+    engine = FrontierEngine(spark, pages_df, dedup=True, politeness=True,
+                            concurrency=2)
+    records, visits = engine.run_crawl(
+        seeds, "li > a", extract_spec={"payload": "div"},
+        max_depth=2, max_rounds=12)
+    # no round admits more than concurrency × hosts
+    assert all(v["admitted"] <= 2 * 2 for v in visits)
+    assert records.count() > 0
