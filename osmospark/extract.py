@@ -300,6 +300,12 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None):
                 doc = build_document(row["html"], row["url"],
                                      referer=row.get("referer"))
                 errors = 0
+                if spec_chain is None:
+                    # no extraction spec: the visit itself is the record
+                    out.append({**_blank_row(), "row_kind": "root",
+                                "url": row["url"],
+                                "url_hash": row["url_hash"],
+                                "depth": depth, "value_json": None})
                 if spec_chain is not None:
                     runner = Runner(page_scope=True)
                     got: list = []

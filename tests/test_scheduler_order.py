@@ -64,8 +64,9 @@ def test_engine_admission_is_depth_first_under_politeness(spark):
         "url string, warc_ts timestamp, html binary, text string, lang string")
     engine = FrontierEngine(spark, pages_df, dedup=True, politeness=True,
                             concurrency=3)
-    records, visits = engine.run_crawl(seeds, "li > a", max_depth=2,
-                                       max_rounds=10)
+    records, visits = engine.run_crawl(seeds, "li > a",
+                                       extract_spec={"payload": "div"},
+                                       max_depth=2, max_rounds=10)
     rows = records.collect()
     # deferred shallow rows must not starve: every depth present eventually
     depths = {r.depth for r in rows}
