@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "urls_per_sec": ...}.
+
+--scaling mode: run the same job at local[8] and local[32] in separate
+subprocesses (a JVM can't change master in-process) and write the
+throughputs + scaling efficiency to BENCH/BASELINE.md — the sandbox
+evidence for the north rule's N→4N ≥0.8 criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(cpus: str):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("osmospark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from osmospark.frontier import FrontierEngine
+
+    spark = _spark(cpus)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # crawl corpus: deterministic Zipf-skewed link graph scaled off the
+    # testdata size (input_hint shape; no external data)
+    from osmospark.corpus import pages_rows, seed_urls, synth_corpus
+    crawl_pages_raw = synth_corpus(n_urls=docs_n * 20, n_hosts=32,
+                                   intra_links=4, cross_links=2)
+    pages = spark.createDataFrame(
+        pages_rows(crawl_pages_raw, with_text=False),
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).repartition(max(8, int(cpus))).cache()
+    n_pages = pages.count()  # materialize corpus outside the timings
+    seeds = seed_urls(crawl_pages_raw)
+
+    # warm the Python workers (interpreter fork + module imports) so the
+    # timings measure steady-state throughput, not process spin-up
+    FrontierEngine(spark, pages).extract_corpus({"w": "div"}).count()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # q1: whole-corpus extraction (find/set/@attr UDF over every page)
+    timed("crawl_extract", lambda: _count(
+        FrontierEngine(spark, pages).extract_corpus(
+            {"payload": "div", "links": ["a@href"]})))
+
+    # q2: frontier BFS with Bloom dedup over the link graph, extracting
+    # per page (the full schedule+extract pipeline the metric names)
+    def frontier_bench():
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=False)
+        records, _ = eng.run_crawl(
+            seeds, "li > a",
+            extract_spec={"payload": "div", "links": ["a@href"]},
+            max_depth=7, max_rounds=8)
+        return _count(records)
+
+    timed("crawl_frontier", frontier_bench)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+
+    from osmospark.functions import (
+        brute_force_topk, lsh_topk, near_duplicates, quality_scores,
+        token_counts,
+    )
+
+    timed("dedup_minhash", lambda: _count(near_duplicates(docs, 0.5)))
+    timed("text_stats", lambda: _count(
+        token_counts(docs).join(quality_scores(docs), "doc_id")))
+    timed("ann_brute", lambda: _count(
+        brute_force_topk(emb, list(range(16)), k=10)))
+    timed("ann_lsh", lambda: _count(lsh_topk(emb, list(range(16)), k=10)))
+
+    total = round(sum(timings.values()), 3)
+    urls_done = counts["crawl_extract"] + counts["crawl_frontier"]
+    result = {
+        "metric": "osmospark headline suite (extract+frontier+dedup+ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": int(cpus),
+        "pages": n_pages,
+        "urls_per_sec": round(
+            urls_done / max(1e-9, timings["crawl_extract"]
+                            + timings["crawl_frontier"]), 1),
+        "counts": counts,
+    }
+    spark.stop()
+    return result
+
+
+def scaling_report() -> None:
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results["8"]["urls_per_sec"]
+    t32 = results["32"]["urls_per_sec"]
+    eff = round(t32 / (4 * t8), 3) if t8 else None
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("# BENCH — scaling evidence (local[8] vs local[32])\n\n")
+        f.write("No real cluster in this sandbox; the north rule's N→4N\n"
+                "criterion is evidenced by running the identical job at two\n"
+                "parallelism levels on the same input.\n\n")
+        f.write("| metric | local[8] | local[32] |\n|---|---|---|\n")
+        f.write(f"| URLs scheduled+extracted /sec | {t8} | {t32} |\n")
+        f.write(f"| total suite sec | {results['8']['value']} | "
+                f"{results['32']['value']} |\n")
+        for q in results["8"]["queries"]:
+            f.write(f"| {q} sec | {results['8']['queries'][q]} | "
+                    f"{results['32']['queries'][q]} |\n")
+        f.write(f"\n**Scaling efficiency (8→32 cores): {eff}** "
+                f"(target ≥ 0.8 would require ≥ {round(4*t8*0.8,1)} "
+                f"urls/sec at 32 cores; measured {t32}).\n")
+        f.write(f"\nsf dir: {SF_DIR}; pages: "
+                f"{results['32'].get('pages')}.\n")
+    print(json.dumps({"scaling_efficiency_8_to_32": eff,
+                      "urls_per_sec": {"8": t8, "32": t32}}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_report()
+    else:
+        print(json.dumps(run_bench()))

@@ -180,8 +180,10 @@ def visible_text(html: str) -> str:
     return _WS_RE.sub(" ", root.text()).strip() if root is not None else ""
 
 
-def pages_rows(pages: list[Page]):
-    """Rows matching the input_hint schema (url, warc_ts, html, text, lang)."""
+def pages_rows(pages: list[Page], with_text: bool = True):
+    """Rows matching the input_hint schema (url, warc_ts, html, text, lang).
+    ``with_text=False`` skips the visible-text pass (the crawl engine reads
+    only url+html; generation of big bench corpora stays cheap)."""
     rows = []
     for i, p in enumerate(pages):
         rows.append(
@@ -189,7 +191,7 @@ def pages_rows(pages: list[Page]):
                 "url": canonicalize(p.url),
                 "warc_ts": _TAG_TEXT_EPOCH + _dt.timedelta(seconds=i),
                 "html": p.html.encode("utf-8"),
-                "text": visible_text(p.html),
+                "text": visible_text(p.html) if with_text else "",
                 "lang": p.lang,
             }
         )

@@ -377,6 +377,26 @@ class FrontierEngine:
                  "parsed": r.parsed, "errors": r.errors})
 
     # ------------------------------------------------------------------
+    # whole-corpus extraction (no frontier recursion)
+    # ------------------------------------------------------------------
+
+    def extract_corpus(self, extract_spec: dict,
+                       follow_selector: str | None = None) -> DataFrame:
+        """Apply an extraction spec to every page of the corpus in one pass
+        (the 'extract everything' mode): a single mapInPandas over the scan,
+        zero shuffles, records close per page."""
+        frontier_like = self.pages.select(
+            "url_hash", F.col("page_url").alias("url"), "html",
+            F.lit(200).alias("page_status"), F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("referer"),
+            F.lit(None).cast("string").alias("host"),
+        )
+        out = frontier_like.mapInPandas(
+            make_crawl_udf(extract_spec, follow_selector), OUT_SCHEMA)
+        return (out.filter(F.col("row_kind") == "root")
+                .select("url", "value_json"))
+
+    # ------------------------------------------------------------------
     # crawl mode — the 10^10-scale path
     # ------------------------------------------------------------------
 
@@ -407,6 +427,8 @@ class FrontierEngine:
             s["url_hash"] = xxhash64_py(s["url"].encode())
             from ..urlnorm import url_host
             s["host"] = url_host(s["url"])
+        import time as _time
+
         frontier = self._frontier_df(seeds)
         seen: DataFrame | None = None
         records: DataFrame | None = None
@@ -417,25 +439,36 @@ class FrontierEngine:
         crawl_udf = make_crawl_udf(extract_spec, follow_selector)
 
         while round_no < max_rounds:
+            phase_t: dict[str, float] = {}
+            t0 = _time.perf_counter()
             if self.dedup:
                 frontier = self._dedup_round(frontier, seen)
             frontier = self._apply_robots(frontier)
             admitted, deferred = self._politeness_window(frontier)
             admitted = admitted.persist()
             n_admitted = admitted.count()
+            phase_t["dedup_admit"] = round(_time.perf_counter() - t0, 2)
             if n_admitted == 0:
                 admitted.unpersist()
                 break
 
+            t0 = _time.perf_counter()
             if self.dedup:
                 new_seen = admitted.select("url_hash")
                 seen = (new_seen if seen is None
                         else seen.unionByName(new_seen)).persist()
                 self._note_seen(admitted)
+            phase_t["seen_update"] = round(_time.perf_counter() - t0, 2)
 
+            t0 = _time.perf_counter()
             joined = self._fetch_join(admitted, n_admitted)
-            out = joined.mapInPandas(crawl_udf, OUT_SCHEMA).persist()
+            out = joined.mapInPandas(crawl_udf, OUT_SCHEMA)
+            # ONE materialization per round: everything downstream (records,
+            # next frontier, metrics) reads the checkpointed blocks
+            out = out.localCheckpoint(eager=True)
+            phase_t["extract"] = round(_time.perf_counter() - t0, 2)
 
+            t0 = _time.perf_counter()
             round_records = out.filter(F.col("row_kind") == "root").select(
                 "url", "depth", "value_json")
             self._collect_metrics(out, round_no)
@@ -455,19 +488,21 @@ class FrontierEngine:
                 conts = self.state.read_round("frontier", round_no)
                 records = None  # read back from state at the end
             else:
-                # break lineage: plans otherwise compound across rounds
-                round_records = round_records.localCheckpoint(eager=True)
-                conts = conts.localCheckpoint(eager=True)
                 records = (round_records if records is None
                            else records.unionByName(round_records))
 
             if self.dedup and seen is not None:
-                seen = seen.localCheckpoint(eager=True)
+                # coalesce: unions would otherwise accumulate partitions
+                # round over round (32 → 64 → ... → task-count blowup)
+                seen = seen.coalesce(
+                    self.spark.sparkContext.defaultParallelism
+                ).localCheckpoint(eager=True)
+            phase_t["commit"] = round(_time.perf_counter() - t0, 2)
 
-            visit_meta.append({"round": round_no, "admitted": n_admitted})
+            visit_meta.append({"round": round_no, "admitted": n_admitted,
+                               "phases": phase_t})
             frontier = conts
             round_no += 1
-            out.unpersist()
             admitted.unpersist()
 
         if self.state is not None:

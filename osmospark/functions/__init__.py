@@ -1,0 +1,21 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing. All hot paths are built-in Spark expressions
+or Arrow-batched pandas UDFs — no row-at-a-time Python."""
+
+from .dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    ngram_jaccard,
+    simhash,
+)
+from .similarity import brute_force_topk, lsh_topk, recall_at_k
+from .textstats import fingerprints, lang_id, quality_scores, token_counts
+
+__all__ = [
+    "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
+    "near_duplicates", "ngram_jaccard", "simhash",
+    "brute_force_topk", "lsh_topk", "recall_at_k",
+    "fingerprints", "lang_id", "quality_scores", "token_counts",
+]

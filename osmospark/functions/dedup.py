@@ -1,0 +1,151 @@
+"""Deduplication over the documents table — the operations a 100 TB
+training-data pipeline runs before anything else.
+
+- exact:          hash-groupBy on a normalized fingerprint;
+- minhash + LSH:  shingle → minhash signature → banded bucket keys →
+                  bucket join (candidate pairs without O(n²));
+- simhash:        64-bit bitwise-majority signature over token hashes;
+- n-gram Jaccard: exact similarity on LSH candidates (verify stage).
+
+Everything below is built-in expressions (transform/aggregate/filter over
+arrays) — no Python UDFs — so Catalyst pipelines it inside whole-stage
+codegen and the only shuffles are the groupBys/joins on dedup keys.
+
+Portability note: shingle hashes use lexicographic MIN over
+``substr(md5(seed || shingle), 1, 16)`` — minhash over a uniform hex-string
+space — because that exact expression also runs on the DuckDB oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 12          # signature length
+LSH_BANDS = 4           # bands of 3 rows each
+SHINGLE_W = 3           # 3-word shingles
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _shingles(col):
+    words = F.split(_norm_text(col), " ")
+    n = F.size(words)
+    return F.when(n >= SHINGLE_W, F.transform(
+        F.sequence(F.lit(1), n - SHINGLE_W + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_W)),
+    )).otherwise(F.array(_norm_text(col)))
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup: groups of identical normalized content; keeps the min
+    doc_id as canonical. One shuffle on the fingerprint."""
+    norm = _norm_text(F.col("text"))
+    return (
+        documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(documents: DataFrame,
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-document minhash signature columns mh_0..mh_{n-1}."""
+    sh = _shingles(F.col("text"))
+    cols = [F.col("doc_id")]
+
+    def hasher(k):
+        # NB: a `lambda s, _k=k:` default-arg closure would make the lambda
+        # 2-ary and Spark would bind the array INDEX to _k — use a factory
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"seed{k}:"), s)), 1, 16)
+
+    for k in range(n_hashes):
+        cols.append(F.array_min(F.transform(sh, hasher(k))).alias(f"mh_{k}"))
+    return documents.select(*cols)
+
+
+def lsh_candidate_pairs(documents: DataFrame,
+                        n_hashes: int = N_MINHASH,
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Banded LSH: documents sharing any band key become candidate pairs.
+    Shuffles: one per band groupBy — all on short string keys."""
+    sigs = minhash_signatures(documents, n_hashes)
+    rows = n_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"mh_{b * rows + r}")
+                                 for r in range(rows)])
+        band_frames.append(
+            sigs.select(F.col("doc_id"),
+                        F.lit(b).alias("band"),
+                        key.alias("band_key")))
+    exploded = band_frames[0]
+    for bf in band_frames[1:]:
+        exploded = exploded.unionByName(bf)
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs (the verify stage after
+    LSH). Broadcast-joins the shingle sets onto the pair list."""
+    sh = documents.select(F.col("doc_id"),
+                          F.array_distinct(_shingles(F.col("text")))
+                          .alias("sh"))
+    out = (
+        pairs
+        .join(sh.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")), 6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def near_duplicates(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """MinHash-LSH → exact Jaccard ≥ threshold: the full near-dup pipeline."""
+    pairs = lsh_candidate_pairs(documents)
+    return (ngram_jaccard(documents, pairs)
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash signature: per bit, the sign of the sum over tokens of
+    (+1 / -1) by that bit of the token hash. Portable hash: bit b of a
+    token = hex digit parity of md5. Narrower than 64 bits by default to
+    keep the expression tree small; widen via ``bits``."""
+    words = F.split(_norm_text(F.col("text")), " ")
+
+    def bit_sum(b):
+        def step(acc, w):
+            return acc + F.when(
+                F.conv(F.substring(F.md5(w), b + 1, 1), 16, 10)
+                .cast("int") % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        return F.aggregate(words, F.lit(0), step)
+
+    sig = F.concat(*[
+        F.when(bit_sum(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits)
+    ])
+    return documents.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side, no Python);
+  the query side is broadcast so the big side streams without a shuffle.
+- ``lsh_topk``: random-hyperplane (sign) LSH — bucket join + exact rerank
+  inside buckets; the scale path (candidates per query ≈ N / 2^planes
+  instead of N). Multi-probe via Hamming-adjacent buckets keeps recall up.
+
+Hyperplanes are deterministic (seeded) Python-generated constants compiled
+into both the Spark plan and the DuckDB oracle SQL, so the two sides agree
+exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_K = 5
+DEFAULT_PLANES = 6
+
+
+def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = 42):
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, query_ids: list[int],
+                     k: int = DEFAULT_K) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query vec_ids.
+    Output: (query_id, rank, neighbor_id) — integer-only for stable
+    cross-engine comparison."""
+    e = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+            .orderBy("query_id", "rank"))
+
+
+def _bucket_expr(vec_col, planes):
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(c)) for c in p])) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_buckets(embeddings: DataFrame, planes) -> DataFrame:
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return e.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int],
+             k: int = DEFAULT_K, n_planes: int = 4, n_tables: int = 3,
+             multiprobe: int = 1) -> DataFrame:
+    """ANN: multi-table sign-LSH (L independent plane sets), candidates =
+    union over tables of same-bucket (± multiprobe Hamming-1) vectors,
+    exact cosine rerank within candidates.
+
+    At 100 TB the bucketed join replaces the full cross product: the probe
+    side is tiny (queries × probes × tables) and broadcast, so the corpus
+    side streams partition-local with no shuffle; n_planes grows with
+    log(N) to keep bucket sizes bounded, n_tables buys recall linearly in
+    scan cost."""
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    cand = None
+    for t in range(n_tables):
+        planes = hyperplanes(first["d"], n_planes, seed=42 + 1000 * t)
+        b = e.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+        queries = (b.filter(F.col("vec_id").isin(query_ids))
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("bucket").alias("qbucket")))
+        probes = [F.col("qbucket")]
+        if multiprobe:
+            for i in range(n_planes):
+                probes.append(F.concat(
+                    F.substring("qbucket", 1, i),
+                    F.when(F.substring("qbucket", i + 1, 1) == "1",
+                           F.lit("0")).otherwise(F.lit("1")),
+                    F.substring("qbucket", i + 2, n_planes - i - 1),
+                ))
+        q_probe = queries.select(
+            "query_id", F.explode(F.array(*probes)).alias("bucket")
+        ).dropDuplicates(["query_id", "bucket"])
+        table_cand = (b.join(F.broadcast(q_probe), "bucket")
+                      .filter(F.col("vec_id") != F.col("query_id"))
+                      .select("query_id", "vec_id"))
+        cand = table_cand if cand is None else cand.unionByName(table_cand)
+
+    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    qv = (e.filter(F.col("vec_id").isin(query_ids))
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    scored = (cand.join(e, "vec_id").join(F.broadcast(qv), "query_id")
+              .select("query_id", "vec_id",
+                      cosine(F.col("qv"), F.col("v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+            .orderBy("query_id", "rank"))
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
+    """Fraction of exact top-k pairs the ANN result recovered."""
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    return len(e & a) / max(1, len(e))

@@ -1,0 +1,98 @@
+"""Training-data op tests that go beyond the SQL-oracle contract:
+ANN recall, multimodal plumbing, dedup pipeline sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_ann_lsh_recall(spark, emb):
+    from osmospark.functions import brute_force_topk, lsh_topk, recall_at_k
+    qids = list(range(8))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = lsh_topk(emb, qids, k=5, multiprobe=1)
+    r = recall_at_k(exact, approx)
+    # random-hyperplane LSH with multiprobe over random embeddings:
+    # recall is imperfect by design, but must be substantially better
+    # than chance — chance top-5 of ~1000 is ~0.5%
+    assert r >= 0.3, f"recall@5 {r}"
+
+
+def test_ann_lsh_rank_is_exact_within_candidates(spark, emb):
+    from osmospark.functions import lsh_topk
+    out = lsh_topk(emb, [0], k=5).collect()
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks)
+    assert len({r.neighbor_id for r in out}) == len(out)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from osmospark.functions import exact_duplicates
+    rows = [(1, "same text here", "en", "s", 14),
+            (2, "same  TEXT here ", "en", "s", 14),   # ws/case normalized
+            (3, "different", "en", "s", 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0].canonical_id == 1 and got[0].n_copies == 2
+
+
+def test_near_duplicates_finds_planted_near_dup(spark):
+    from osmospark.functions import near_duplicates
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base, "en", "s", len(base)),
+            (2, base.replace("lazy", "sleepy"), "en", "s", len(base)),
+            (3, "completely unrelated content about database query engines",
+             "en", "s", 55)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    pairs = {(r.doc_a, r.doc_b) for r in near_duplicates(df, 0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    from osmospark.functions.multimodal import (
+        FEATURE_SCHEMA, media_features, synth_media_df,
+    )
+    media = synth_media_df(spark, n=30)
+    feats = media.mapInPandas(media_features(fake=True), FEATURE_SCHEMA)
+    rows = feats.collect()
+    assert len(rows) == 30
+    by_kind = {r.kind: r for r in rows}
+    assert by_kind["video"].frames == 4      # frame sampling (stride 2 of 8)
+    assert by_kind["image"].frames == 8
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feat)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from osmospark.functions.multimodal import _decode_bytes
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(b"x", "image", fake=False)
+
+
+def test_simhash_near_duplicates_close(spark):
+    from osmospark.functions import simhash
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base, "en", "s", len(base)),
+            (2, base + " extra", "en", "s", len(base) + 6),
+            (3, "totally different words everywhere nothing shared at all",
+             "en", "s", 55)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sigs = {r.doc_id: r.simhash for r in simhash(df, bits=16).collect()}
+    d12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    d13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert d12 < d13

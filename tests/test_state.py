@@ -1,0 +1,110 @@
+"""State-layer tests: Bloom math, politeness/robots, TableIO atomic
+commits + resume, URL canonicalization."""
+
+import numpy as np
+import pytest
+
+from osmospark.frontier import bloom
+from osmospark.frontier.politeness import host_slots, is_allowed, parse_robots
+from osmospark.urlnorm import canonicalize, resolve, xxhash64_py
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    m = bloom.sizing(10_000)
+    bs = bloom.empty_bitset(m)
+    keys = np.array([xxhash64_py(f"u{i}".encode()) for i in range(10_000)],
+                    dtype=np.int64)
+    bloom.add(bs, keys)
+    assert bloom.contains(bs, keys).all()          # zero false negatives
+    probe = np.array([xxhash64_py(f"x{i}".encode()) for i in range(10_000)],
+                     dtype=np.int64)
+    fpr = bloom.contains(bs, probe).mean()
+    assert fpr < 0.05, fpr
+
+
+def test_bloom_union_is_or():
+    m = bloom.sizing(100)
+    a, b = bloom.empty_bitset(m), bloom.empty_bitset(m)
+    ka = np.array([1, 2, 3], dtype=np.int64)
+    kb = np.array([4, 5], dtype=np.int64)
+    bloom.add(a, ka)
+    bloom.add(b, kb)
+    u = bloom.union(a, b)
+    assert bloom.contains(u, ka).all() and bloom.contains(u, kb).all()
+
+
+def test_robots_parse_and_match():
+    rules = parse_robots("""
+        User-agent: *
+        Disallow: /private/
+        Allow: /private/ok
+        Crawl-delay: 2
+        User-agent: evilbot
+        Disallow: /
+    """)
+    assert rules["crawl_delay"] == 2.0
+    assert not is_allowed("/private/x", rules)
+    assert is_allowed("/private/ok/page", rules)
+    assert is_allowed("/public", rules)
+
+
+def test_host_slots():
+    assert host_slots(None, concurrency=5) == 5
+    assert host_slots(10.0, concurrency=5, round_seconds=60) == 6
+    assert host_slots(120.0, concurrency=5, round_seconds=60) == 1
+
+
+def test_canonicalize():
+    assert canonicalize("HTTP://Example.COM:80/a/b?z=1&a=2#frag") == \
+        "http://example.com/a/b?a=2&z=1"
+    assert canonicalize("https://x.io:443/") == "https://x.io/"
+    assert canonicalize("https://x.io:8443/p") == "https://x.io:8443/p"
+    # %20 preserved, literal space encoded — both reach the same canonical
+    assert canonicalize("http://h/a%20b") == canonicalize("http://h/a b")
+
+
+def test_resolve_scheme_defaults():
+    # reference lib/Command.js:332-338
+    assert resolve(None, "//x.com/a") == "http://x.com/a"
+    assert resolve(None, "x.com/a") == "http://x.com/a"
+    assert resolve("http://h/base/page", "/abs") == "http://h/abs"
+    assert resolve("http://h/base/", "rel") == "http://h/base/rel"
+
+
+def test_tableio_atomic_commit_and_resume(spark, tmp_path):
+    from osmospark.tableio import TableIO
+    io = TableIO(str(tmp_path), spark)
+    df0 = spark.range(5).withColumnRenamed("id", "url_hash")
+    io.commit_round("frontier", 0, df0, meta={"size": 5})
+    df1 = spark.range(5, 8).withColumnRenamed("id", "url_hash")
+    io.commit_round("frontier", 1, df1)
+    assert io.last_round("frontier") == 1
+    assert io.read_round("frontier", 1).count() == 3
+    assert io.read_all("frontier").count() == 8
+    # resume view: a fresh TableIO over the same dir sees committed state
+    io2 = TableIO(str(tmp_path), spark)
+    assert io2.last_round("frontier") == 1
+
+
+def test_crawl_resume_from_state(spark, tmp_path):
+    """A crawl with a state dir can be resumed: records persist per round
+    and read_all returns the union."""
+    from osmospark.corpus import pages_rows, seed_urls, synth_corpus
+    from osmospark.frontier import FrontierEngine
+    from osmospark.tableio import TableIO
+
+    pages = synth_corpus(n_urls=30, n_hosts=2)
+    pages_df = spark.createDataFrame(
+        pages_rows(pages),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    io = TableIO(str(tmp_path / "state"), spark)
+    engine = FrontierEngine(spark, pages_df, state=io, dedup=True)
+    records, visits = engine.run_crawl(
+        seed_urls(pages), "li > a", extract_spec={"p": "div"}, max_depth=3)
+    n = records.count()
+    assert n > 0
+    assert io.last_round("records") == len(visits) - 1
+    # a fresh session-equivalent reader reconstructs the same records
+    io2 = TableIO(str(tmp_path / "state"), spark)
+    again = io2.read_all("records")
+    assert again.count() == n
