@@ -320,8 +320,15 @@ def _shingle_sql(norm=_NORM):
 
 
 def _minhash_sql(k: int) -> str:
-    return (f"list_min(list_transform(sh, s -> "
-            f"substr(md5('seed{k}:' || s), 1, 16)))")
+    # mirrors osmospark.functions.dedup.minhash_signatures: md5 hex (15
+    # chars = 60 bits) → bigint once per shingle, then double hashing
+    # (h + k·(h mod P2)) mod M per signature
+    return (f"list_min(list_transform(hs, h -> "
+            f"(h + {k} * (h % 1000000007)) % 2147483647))")
+
+
+_HS_SQL = ("list_transform(sh, s -> "
+           "('0x' || substr(md5(s), 1, 15))::BIGINT)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -329,14 +336,15 @@ def oracle_sql() -> dict[str, str]:
     rows = N_MINHASH // LSH_BANDS
     band_exprs = []
     for b in range(LSH_BANDS):
-        parts = " || '|' || ".join(_minhash_sql(b * rows + r)
-                                   for r in range(rows))
+        parts = " || '|' || ".join(
+            f"({_minhash_sql(b * rows + r)})::VARCHAR"
+            for r in range(rows))
         band_exprs.append(f"({parts}) AS band_{b}")
 
     near_dup_sql = f"""
         WITH sh_t AS (
             SELECT doc_id, list_distinct({_shingle_sql()}) AS shd,
-                   {_shingle_sql()} AS sh
+                   {_HS_SQL.replace('sh,', f'({_shingle_sql()}),')} AS hs
             FROM documents
         ),
         bands AS (
@@ -525,7 +533,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_bands": f"""
             SELECT doc_id, {", ".join(band_exprs)}
-            FROM (SELECT doc_id, {_shingle_sql()} AS sh FROM documents)
+            FROM (SELECT doc_id, {_HS_SQL} AS hs
+                  FROM (SELECT doc_id, {_shingle_sql()} AS sh
+                        FROM documents))
         """,
         "near_duplicates": near_dup_sql,
         "simhash": simhash_sql,

@@ -229,22 +229,99 @@ def synth_corpus(
     hosts = [f"host{h:04d}.test" for h in range(n_hosts)]
     pages: list[Page] = []
     for h, host in enumerate(hosts):
-        size = sizes[h]
-        for i in range(size):
-            url = f"http://{host}/p/{i}"
-            seed = xxhash64_py(url.encode("utf-8"))
-            links = []
-            for j in range(intra_links):
-                t = (seed + 0x9E3779B97F4A7C15 * (j + 1)) % (1 << 64)
-                links.append(f"/p/{t % size}")
-            for j in range(cross_links):
-                t = (seed ^ (0xC2B2AE3D27D4EB4F * (j + 1))) % (1 << 64)
-                th = t % n_hosts
-                links.append(f"http://{hosts[th]}/p/{t % sizes[th]}")
-            body = "".join(f'<li><a href="{l}"></a></li>' for l in links)
-            html = f"<div>{host}/p/{i}</div><ul>{body}</ul>"
+        for i in range(sizes[h]):
+            url, html = _synth_page(h, i, hosts, sizes,
+                                    intra_links, cross_links)
             pages.append(Page(url, html))
     return pages
+
+
+def _synth_page(h: int, i: int, hosts: list[str], sizes: list[int],
+                intra_links: int, cross_links: int,
+                weight: int = 0) -> tuple[str, str]:
+    """One deterministic page of the synthetic corpus: link graph derived
+    from xxhash64(url) (no RNG state). ``weight`` appends that many filler
+    paragraphs so parse cost per page is tunable for benchmarks (weight=0
+    keeps the historical byte-exact shape)."""
+    host = hosts[h]
+    size = sizes[h]
+    n_hosts = len(hosts)
+    url = f"http://{host}/p/{i}"
+    seed = xxhash64_py(url.encode("utf-8"))
+    links = []
+    for j in range(intra_links):
+        t = (seed + 0x9E3779B97F4A7C15 * (j + 1)) % (1 << 64)
+        links.append(f"/p/{t % size}")
+    for j in range(cross_links):
+        t = (seed ^ (0xC2B2AE3D27D4EB4F * (j + 1))) % (1 << 64)
+        th = t % n_hosts
+        links.append(f"http://{hosts[th]}/p/{t % sizes[th]}")
+    body = "".join(f'<li><a href="{l}"></a></li>' for l in links)
+    fill = ""
+    if weight:
+        words = []
+        for w in range(weight):
+            t = (seed + 0xA24BAED4963EE407 * (w + 1)) % (1 << 64)
+            words.append(
+                f'<p class="fill" data-k="{t & 0xffff}">'
+                f'tok{t % 9973} tok{(t >> 16) % 9973} tok{(t >> 32) % 9973} '
+                f'tok{(t >> 48) % 9973} <span>s{t % 251}</span></p>')
+        fill = "".join(words)
+    html = f"<div>{host}/p/{i}</div><ul>{body}</ul>{fill}"
+    return url, html
+
+
+def synth_corpus_df(spark, n_urls: int, n_hosts: int = 16,
+                    intra_links: int = 3, cross_links: int = 1,
+                    zipf_s: float = 1.2, weight: int = 0,
+                    partitions: int | None = None):
+    """Distributed corpus generation: identical pages to ``synth_corpus``
+    (plus optional ``weight`` filler) but synthesized executor-side from
+    ``spark.range`` — the generator never materializes the corpus on the
+    driver, so bench corpora scale to millions of pages (the 100 TB-minded
+    path; driver holds only the ``n_hosts`` size table)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    sizes = _host_sizes(n_urls, n_hosts, zipf_s)
+    hosts = [f"host{h:04d}.test" for h in range(n_hosts)]
+    # prefix[h] = first global index of host h
+    prefix = [0] * n_hosts
+    for h in range(1, n_hosts):
+        prefix[h] = prefix[h - 1] + sizes[h - 1]
+    total = prefix[-1] + sizes[-1]
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ts = _dt.datetime(2024, 1, 1)
+
+    def gen(batches):
+        import bisect
+        import pandas as pd
+        for pdf in batches:
+            urls, htmls = [], []
+            for gid in pdf["id"]:
+                h = bisect.bisect_right(prefix, int(gid)) - 1
+                i = int(gid) - prefix[h]
+                url, html = _synth_page(h, i, hosts, sizes,
+                                        intra_links, cross_links, weight)
+                urls.append(url)
+                htmls.append(html.encode("utf-8"))
+            yield pd.DataFrame({
+                "url": urls,
+                "warc_ts": [ts] * len(urls),
+                "html": htmls,
+                "text": [None] * len(urls),
+                "lang": ["en"] * len(urls),
+            })
+
+    return spark.range(0, total, 1, parts).mapInPandas(
+        gen,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def synth_seed_urls(n_hosts: int, per_host: int = 1) -> list[str]:
+    """Seed list of the synthetic corpus without materializing it."""
+    return [f"http://host{h:04d}.test/p/{i}"
+            for h in range(n_hosts) for i in range(per_host)]
 
 
 def seed_urls(pages: list[Page], per_host: int = 1) -> list[str]:

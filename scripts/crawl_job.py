@@ -1,0 +1,136 @@
+"""spark-submit entry point for the frontier crawl — the north rule's
+"ships via spark-submit --py-files" path.
+
+Usage (package first with scripts/package.py → dist/osmospark.zip):
+
+    spark-submit --master local[32] \
+        --py-files dist/osmospark.zip \
+        scripts/crawl_job.py \
+        --corpus /path/to/pages.parquet \
+        --seeds http://a/ http://b/ \
+        --state /path/to/state_dir \
+        --follow "li > a" --max-depth 5 --max-rounds 6 \
+        --extract '{"payload": "div", "links": ["a@href"]}'
+
+If --corpus is omitted, a deterministic synthetic Common-Crawl-style corpus
+is generated (input_hint shape: url, warc_ts, html binary, text, lang) —
+no external data. If --state names a directory with committed rounds, the
+job RESUMES from the last committed frontier round (checkpoint/resume per
+the north rule); pass --fresh to ignore prior state.
+
+On success prints one JSON line with rounds, urls visited, records, and
+throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", default=None,
+                   help="parquet path of pages table (url, warc_ts, html, "
+                        "text, lang); default: synthetic corpus")
+    p.add_argument("--n-urls", type=int, default=2000,
+                   help="synthetic corpus size when --corpus omitted")
+    p.add_argument("--n-hosts", type=int, default=16)
+    p.add_argument("--seeds", nargs="*", default=None)
+    p.add_argument("--follow", default="a")
+    p.add_argument("--extract", default='{"payload": "div"}',
+                   help="extraction spec JSON (find/set tree)")
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--state", default=None,
+                   help="state dir for atomic round commits + resume")
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore existing committed rounds in --state")
+    p.add_argument("--politeness", action="store_true")
+    p.add_argument("--concurrency", type=int, default=5)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="optional parquet path for extracted records")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.appName("osmospark-crawl")
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+
+    from osmospark.corpus import pages_rows, seed_urls, synth_corpus
+    from osmospark.frontier import FrontierEngine
+    from osmospark.tableio import TableIO
+
+    if args.corpus:
+        pages = spark.read.parquet(args.corpus)
+        seeds = args.seeds
+        if not seeds:
+            raise SystemExit("--seeds required with --corpus")
+    else:
+        raw = synth_corpus(n_urls=args.n_urls, n_hosts=args.n_hosts)
+        pages = spark.createDataFrame(
+            pages_rows(raw, with_text=False),
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+        seeds = args.seeds or seed_urls(raw)
+
+    state = TableIO(args.state, spark) if args.state else None
+    start_round = 0
+    if state is not None and not args.fresh:
+        last = state.last_round("frontier")
+        if last >= 0:
+            start_round = last + 1
+
+    eng = FrontierEngine(
+        spark, pages, state=state,
+        dedup=not args.no_dedup,
+        politeness=args.politeness,
+        concurrency=args.concurrency)
+
+    if start_round > 0:
+        # resume: reload seen-set and continue from the committed frontier
+        frontier = state.read_round("frontier", start_round - 1)
+        seeds_arg = None
+    else:
+        frontier = None
+        seeds_arg = seeds
+
+    t0 = time.perf_counter()
+    records, meta = eng.run_crawl(
+        seeds_arg if seeds_arg is not None else [],
+        args.follow,
+        extract_spec=json.loads(args.extract),
+        max_depth=args.max_depth,
+        max_rounds=args.max_rounds,
+        resume_frontier=frontier,
+        start_round=start_round,
+    )
+    n_records = records.count()
+    wall = time.perf_counter() - t0
+    visited = sum(m["admitted"] for m in meta)
+
+    if args.out:
+        records.write.mode("overwrite").parquet(args.out)
+
+    print(json.dumps({
+        "rounds": len(meta),
+        "start_round": start_round,
+        "urls_visited": visited,
+        "records": n_records,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(visited / max(wall, 1e-9), 1),
+        "per_round": meta,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
