@@ -80,6 +80,8 @@ class FrontierEngine:
         politeness: bool = False,
         robots_df: DataFrame | None = None,
         dedup: bool = False,
+        seen_mode: str = "auto",
+        seen_broadcast_keys: int = 4_000_000,
         bloom_buckets: int = 32,
         bloom_bits_per_bucket: int = 1 << 20,
         broadcast_threshold: int = 100_000,
@@ -96,6 +98,8 @@ class FrontierEngine:
         self.politeness = politeness
         self.robots_df = robots_df
         self.dedup = dedup
+        self.seen_mode = seen_mode
+        self.seen_broadcast_keys = seen_broadcast_keys
         self.bloom_buckets = bloom_buckets
         self.bloom_bits = bloom_bits_per_bucket
         self.broadcast_threshold = broadcast_threshold
@@ -118,6 +122,12 @@ class FrontierEngine:
         self._exact = {
             b: np.empty(0, dtype=np.int64) for b in range(bloom_buckets)
         }
+        # auto mode: the seen set is a list of per-round persisted key
+        # DataFrames (url_hash); dedup = JVM broadcast LEFT ANTI while the
+        # set fits `seen_broadcast_keys`, shuffle anti-join (AQE) beyond.
+        # Deltas are never re-stored — each round persists only its own keys.
+        self._seen_parts: list[DataFrame] = []
+        self._seen_count = 0
 
     # ------------------------------------------------------------------
     # shared round machinery
@@ -135,13 +145,27 @@ class FrontierEngine:
           sort_index ASC, referer ASC); a bare dropDuplicates would keep an
           arbitrary row, making visit order differ between a resumed and a
           one-shot crawl (the only shuffle);
-        - the probe mapInPandas checks each row's host bucket: Bloom-NEGATIVE
-          rows are *definitely new*; Bloom-POSITIVE rows are verified against
-          the bucket's exact sorted hash array (``searchsorted``) — the
-          backstop that keeps the visit set exact despite Bloom false
-          positives, with no per-round anti-join against a growing seen
-          table.
+        - cross-round seen filtering has two backends:
+          * ``auto`` (default): JVM-side LEFT ANTI join against the union of
+            per-round persisted key DataFrames — broadcast (one hashed
+            relation per executor, built JVM-side, no Python involved) while
+            the seen set fits ``seen_broadcast_keys``, shuffle anti-join that
+            AQE can skew-split beyond. The anti-join runs BEFORE the window
+            so already-seen rows never enter the shuffle.
+          * ``bloom``: the partitioned Bloom + exact-array probe
+            (mapInPandas), the structure that persists as a state table at
+            10^10 scale — Bloom-NEGATIVE rows are *definitely new*;
+            Bloom-POSITIVE rows are verified against the bucket's exact
+            sorted hash array (``searchsorted``), the backstop that keeps
+            the visit set exact despite Bloom false positives.
         """
+        if self.seen_mode != "bloom" and self._seen_parts:
+            seen = self._seen_parts[0]
+            for p in self._seen_parts[1:]:
+                seen = seen.unionByName(p)
+            if self._seen_count <= self.seen_broadcast_keys:
+                seen = F.broadcast(seen)
+            frontier = frontier.join(seen, "url_hash", "left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("depth").desc(),
             F.col("sort_index").asc_nulls_last(),
@@ -149,6 +173,8 @@ class FrontierEngine:
         )
         frontier = (frontier.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1).drop("_rn"))
+        if self.seen_mode != "bloom":
+            return frontier
         state_bc = self.spark.sparkContext.broadcast({
             b: (self._bloom[b].tobytes(), self._exact[b].tobytes())
             for b in range(self.bloom_buckets)
@@ -192,13 +218,35 @@ class FrontierEngine:
 
         return frontier.mapInPandas(probe, schema)
 
-    def _note_seen(self, admitted: DataFrame) -> None:
-        """Fold this round's admitted URLs into the URL-seen state. Deltas
-        are built distributively (one row per host bucket via applyInPandas:
-        Bloom bitset + sorted hash array) so only ``n_buckets`` delta rows —
-        not per-URL rows — cross stages; the driver merges them into the
-        broadcast state. On a cluster the same delta rows append to the
-        state table instead (see class docstring)."""
+    def _note_seen(self, admitted: DataFrame,
+                   n_rows: int | None = None) -> None:
+        """Fold this round's admitted URLs into the URL-seen state.
+
+        ``auto`` backend: persist just this round's key column as a new seen
+        part (materialized while the admitted rows are still cached, so the
+        part never recomputes through the dedup/politeness pipeline).
+
+        ``bloom`` backend: deltas are built distributively (one row per host
+        bucket via applyInPandas: Bloom bitset + sorted hash array) so only
+        ``n_buckets`` delta rows — not per-URL rows — cross stages; the
+        driver merges them into the broadcast state. On a cluster the same
+        delta rows append to the state table instead (see class
+        docstring)."""
+        if self.seen_mode != "bloom":
+            if n_rows is not None:
+                # fast path: ``admitted`` is already a filter over
+                # checkpointed blocks — its select is lineage-stable with
+                # zero extra jobs; the caller supplies the exact count.
+                self._seen_parts.append(admitted.select("url_hash"))
+                self._seen_count += n_rows
+                return
+            # slow path (resume rebuild): checkpoint — NOT persist — so the
+            # part never recomputes through upstream lineage the caller may
+            # later unpersist/invalidate (that recompute is quadratic).
+            part = admitted.select("url_hash").localCheckpoint(eager=True)
+            self._seen_count += part.count()
+            self._seen_parts.append(part)
+            return
         import numpy as np
         buckets = self.bloom_buckets
         bits = self.bloom_bits
@@ -230,12 +278,14 @@ class FrontierEngine:
             merged = np.union1d(self._exact[r.bucket], delta)
             self._exact[r.bucket] = merged
 
-    def _politeness_window(self, frontier: DataFrame):
-        """Per-host fetch slots via ranking window (SURVEY §2.6): admitted
-        rows proceed this round, the rest are deferred to the next round.
+    def _rank_politeness(self, frontier: DataFrame) -> DataFrame:
+        """Per-host fetch-slot ranking (SURVEY §2.6): adds ``_rank``/``_slots``
+        columns (no filtering here — the caller checkpoints the ranked frame
+        ONCE and derives both admitted and deferred from the same blocks, so
+        the admission pipeline never recomputes).
         Priority (depth DESC, sort_index ASC, url) = DFS-with-limit."""
         if not self.politeness:
-            return frontier, None
+            return frontier
         slots = self.concurrency
         if self.robots_df is not None:
             slotted = self.robots_df.select(
@@ -261,12 +311,7 @@ class FrontierEngine:
             F.col("sort_index").asc_nulls_last(),
             F.col("url").asc(),
         )
-        ranked = frontier.withColumn("_rank", F.row_number().over(w))
-        admitted = ranked.filter(F.col("_rank") <= F.col("_slots")) \
-                         .drop("_rank", "_slots")
-        deferred = ranked.filter(F.col("_rank") > F.col("_slots")) \
-                         .drop("_rank", "_slots")
-        return admitted, deferred
+        return frontier.withColumn("_rank", F.row_number().over(w))
 
     def _apply_robots(self, frontier: DataFrame) -> DataFrame:
         """Drop robots-disallowed URLs (never fetched; logged as metrics)."""
@@ -284,13 +329,25 @@ class FrontierEngine:
     def _fetch_join(self, frontier: DataFrame, round_size: int) -> DataFrame:
         """frontier ⋈ pages on url_hash. Small rounds broadcast the frontier
         (corpus-side scan stays shuffle-free); large rounds fall back to a
-        shuffle hash join that AQE can skew-split."""
+        shuffle hash join that AQE can skew-split.
+
+        The outer-join shape matters enormously: a naive
+        ``pages.join(broadcast(frontier), 'right')`` CANNOT honor the hint
+        (RightOuter only supports BuildLeft) and silently degrades to
+        broadcasting/shuffling the whole html corpus every round. So the
+        broadcast path is INNER join (hits; corpus html never moves) plus a
+        key-only broadcast LEFT ANTI for the 404 misses — the anti side
+        carries just ``url_hash`` longs, never page bytes."""
         if 0 < round_size <= self.broadcast_threshold:
-            # broadcast the frontier and stream the corpus scan: a LEFT
-            # OUTER from the frontier can't build its left side, so express
-            # it as pages RIGHT OUTER broadcast(frontier)
-            joined = self.pages.join(F.broadcast(frontier), "url_hash",
-                                     "right")
+            hits = self.pages.join(F.broadcast(frontier), "url_hash",
+                                   "inner")
+            misses = (
+                frontier.join(F.broadcast(self.pages.select("url_hash")),
+                              "url_hash", "left_anti")
+                .withColumn("page_url", F.lit(None).cast("string"))
+                .withColumn("html", F.lit(None).cast("binary"))
+            )
+            joined = hits.unionByName(misses.select(*hits.columns))
         else:
             joined = frontier.join(self.pages.hint("shuffle_hash"),
                                    "url_hash", "left")
@@ -400,7 +457,8 @@ class FrontierEngine:
 
     def _flush_metrics(self) -> None:
         """Aggregate all rounds' per-partition metric rows in ONE job (the
-        per-round rows read from already-checkpointed blocks)."""
+        per-round rows read from already-checkpointed blocks; the deferred
+        404-miss anti-joins execute here, once, not per round)."""
         if not self._pending_metrics:
             return
         dfs = self._pending_metrics
@@ -495,25 +553,42 @@ class FrontierEngine:
         max_rounds = max_rounds if max_rounds is not None else max_depth + 1
         end_round = start_round + max_rounds
 
-        crawl_udf = make_crawl_udf(extract_spec, follow_selector)
+        # the engine recomputes cont url_hash JVM-side (F.xxhash64 ==
+        # xxhash64_py, verified) — the UDF skips per-link Python hashing
+        crawl_udf = make_crawl_udf(extract_spec, follow_selector,
+                                   hash_conts=False)
 
+        # Each round is exactly TWO substantial jobs, both fully parallel:
+        #   A. admission pipeline (seen anti-join/probe → within-round window
+        #      winner → robots → politeness ranking) → localCheckpoint
+        #   B. fetch join + extraction UDF → localCheckpoint
+        # plus O(1) block-scan counts. No persist/unpersist dance: every
+        # derived frame (admitted, deferred, seen part, records, next
+        # frontier) is a filter over checkpointed blocks.
         while round_no < end_round:
             phase_t: dict[str, float] = {}
             t0 = _time.perf_counter()
+            fr = frontier
             if self.dedup:
-                frontier = self._dedup_round(frontier)
-            frontier = self._apply_robots(frontier)
-            admitted, deferred = self._politeness_window(frontier)
-            admitted = admitted.persist()
+                fr = self._dedup_round(fr)
+            fr = self._apply_robots(fr)
+            fr = self._rank_politeness(fr)
+            ranked = fr.localCheckpoint(eager=True)
+            if self.politeness:
+                admitted = ranked.filter(
+                    F.col("_rank") <= F.col("_slots")).drop("_rank", "_slots")
+                deferred = ranked.filter(
+                    F.col("_rank") > F.col("_slots")).drop("_rank", "_slots")
+            else:
+                admitted, deferred = ranked, None
             n_admitted = admitted.count()
             phase_t["dedup_admit"] = round(_time.perf_counter() - t0, 2)
             if n_admitted == 0:
-                admitted.unpersist()
                 break
 
             t0 = _time.perf_counter()
             if self.dedup:
-                self._note_seen(admitted)
+                self._note_seen(admitted, n_rows=n_admitted)
                 if self.state is not None:
                     # persist the round's admitted ids so a resumed crawl
                     # rebuilds the URL-seen buckets (north rule: resumable)
@@ -522,8 +597,27 @@ class FrontierEngine:
             phase_t["seen_update"] = round(_time.perf_counter() - t0, 2)
 
             t0 = _time.perf_counter()
-            joined = self._fetch_join(admitted, n_admitted)
-            out = joined.mapInPandas(crawl_udf, OUT_SCHEMA)
+            if 0 < n_admitted <= self.broadcast_threshold:
+                # hot path: INNER broadcast join only — corpus html never
+                # moves, no 404 union in the round job. The miss metrics
+                # (key-only anti-join over the checkpointed admitted blocks)
+                # are deferred to the single _flush_metrics job.
+                joined = self.pages.join(F.broadcast(admitted), "url_hash",
+                                         "inner")
+                self._pending_metrics.append(
+                    admitted.join(
+                        F.broadcast(self.pages.select("url_hash")),
+                        "url_hash", "left_anti")
+                    .groupBy("host")
+                    .agg(F.count("*").alias("fetched"),
+                         F.lit(0).cast("long").alias("parsed"),
+                         F.count("*").alias("errors"))
+                    .withColumn("round", F.lit(round_no)))
+            else:
+                joined = self._fetch_join(admitted, n_admitted)
+            out = joined.select("url", "url_hash", "host", "depth",
+                                "referer", "html") \
+                .mapInPandas(crawl_udf, OUT_SCHEMA)
             # ONE materialization per round: everything downstream (records,
             # next frontier, metrics) reads the checkpointed blocks
             out = out.localCheckpoint(eager=True)
@@ -532,13 +626,17 @@ class FrontierEngine:
             t0 = _time.perf_counter()
             round_records = out.filter(F.col("row_kind") == "root").select(
                 "url", "depth", "value_json")
-            # metrics aggregate lazily (one job at the end, not per round)
+            # metrics aggregate lazily (one job at the end, not per round);
+            # normalized to the narrow (round, host, fetched, parsed,
+            # errors) shape shared with the deferred miss metrics
             self._pending_metrics.append(
                 out.filter(F.col("row_kind") == "metric")
-                   .withColumn("round", F.lit(round_no)))
+                   .select(F.lit(round_no).alias("round"), "host",
+                           "fetched", "parsed", "errors"))
 
             conts = out.filter(F.col("row_kind") == "cont") \
                        .filter(F.col("depth") <= max_depth) \
+                       .withColumn("url_hash", F.xxhash64("url")) \
                        .select(*_FRONTIER_COLS)
             if deferred is not None:
                 conts = conts.unionByName(deferred.select(*_FRONTIER_COLS))
@@ -560,7 +658,6 @@ class FrontierEngine:
                                "phases": phase_t})
             frontier = conts
             round_no += 1
-            admitted.unpersist()
 
         self._flush_metrics()
         if self.state is not None:
