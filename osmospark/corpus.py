@@ -76,6 +76,79 @@ def paginate_html(page: int) -> str:
     )
 
 
+# reference test/submit.js:133-178 (inputs1) and :180-198 (inputs2) —
+# the form-parameter collection matrix, html strings reproduced exactly
+SUBMIT_INPUTS1 = (
+    '<select name="s1"><option value="1">one</option>'
+    '<option value="2" selected>two</option></select>'
+    '<select name="s2"><option value="1">one</option>'
+    '<option selected>two</option></select>'
+    '<input type="checkbox" name="cb1" value="one" />'
+    '<input type="checkbox" name="cb1" value="two" />'
+    '<input type="checkbox" name="cb2" value="one" />'
+    '<input type="checkbox" name="cb2" value="two" checked />'
+    '<input type="checkbox" name="cb3" value="one" checked />'
+    '<input type="checkbox" name="cb3" checked />'
+    '<input type="checkbox" name="cb3[]" checked />'
+    '<input type="text" name="disabled" disabled />'
+    '<textarea name="ta">text area test</textarea>'
+    '<input type="submit" name="sub1" value="submit" />'
+    '<input type="submit" name="sub2" value="Submit 2" />'
+)
+SUBMIT_INPUTS2 = (
+    '<input type="text" name="it1" value="test" />'
+    '<input type="submit" form="form1" name="sub2" />'
+    '<button type="submit" name="sub1" value="button" />'
+    '<button type="submit" name="sub3" form="form2" formmethod="POST" '
+    'formaction="/form-multipart" formenctype="multipart/form-data" '
+    'value="3" />'
+)
+
+# reference test/submit.js:199-216 server page shape
+SUBMIT_FORM_HTML = (
+    f'<form id="form1" method="POST">{SUBMIT_INPUTS1}</form>'
+    f'<form id="form2" method="GET">{SUBMIT_INPUTS2}</form>'
+    '<div id="dynamic-data">success</div>'
+)
+
+# collected-params goldens (reference test/submit.js getInputs():107-131;
+# list values carry the [] dup-promotion of lib/Form.js:157-170)
+SUBMIT_EXPECTED1_SUB1 = {
+    "s1": "2", "s2": "two", "cb2": "two", "cb3": ["one", "on", "on"],
+    "ta": "text area test", "sub1": "submit",
+}
+SUBMIT_EXPECTED1_SUB2 = {
+    "s1": "2", "s2": "two", "cb2": "two", "cb3": ["one", "on", "on"],
+    "ta": "text area test", "sub2": "Submit 2",
+}
+SUBMIT_EXPECTED1_FORMATTR = {
+    "s1": "2", "s2": "two", "cb2": "two", "cb3": ["one", "on", "on"],
+    "ta": "text area test", "sub2": "Submit Query",
+}
+SUBMIT_EXPECTED2_SUB1 = {"it1": "test", "sub1": "button"}
+
+# login fixture (reference test/login.js shape: password form + echo)
+LOGIN_HTML = (
+    '<form method="POST" action="/login-check">'
+    '<input type="text" name="user" />'
+    '<input type="password" name="pass" />'
+    '<input type="submit" name="go" value="Login" /></form>'
+)
+
+
+def qs_indexed(params: dict) -> dict:
+    """The observable wire shape: needle/qs encodes array params as
+    name[0], name[1], ... (what the reference server echoes back)."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, list):
+            for j, item in enumerate(v):
+                out[f"{k}[{j}]"] = str(item)
+        else:
+            out[k] = str(v)
+    return out
+
+
 # inline fixtures (no network) — reference test/filters.js:2-6, test/then.js:2,
 # test/do.js:1-12, test/parse.js:2
 FILTERS_HTML = "<head><title>test</title></head><body><b>1</b><b>2</b><b>3</b></body>"
@@ -114,7 +187,28 @@ def fixture_pages() -> list[Page]:
     for k in range(1, 7):
         pages.append(Page(f"{h}/paginate?page={k}", paginate_html(k)))
     pages.append(Page(f"{h}/paginate", paginate_html(1)))
+
+    # submit/login fixtures: the form page plus GET echo targets (the
+    # reference server echoes method + received params as JSON,
+    # test/submit.js:199-216)
+    from urllib.parse import urlencode as _urlencode
+    base = f"{h}/submit-form"
+    pages.append(Page(base, SUBMIT_FORM_HTML))
+    pages.append(Page(f"{h}/login", LOGIN_HTML))
+    for exp in (SUBMIT_EXPECTED1_SUB2, SUBMIT_EXPECTED1_FORMATTR,
+                SUBMIT_EXPECTED2_SUB1,
+                {"it1": "success", "sub1": "button"}):
+        q = qs_indexed(exp)
+        pages.append(Page(base + "?" + _urlencode(q),
+                          _submit_echo("GET", q)))
     return pages
+
+
+def _submit_echo(method: str, data: dict) -> str:
+    import json as _json
+    return (f'<div id="method">{method}</div>'
+            f'<div id="data">{_json.dumps(data, separators=(",", ":"))}'
+            '</div>')
 
 
 class PageStore:
@@ -163,6 +257,18 @@ def fixture_store() -> PageStore:
     for k in range(2, 7):
         store.add(Page(f"{FIXTURE_HOST}/paginate", paginate_html(k)),
                   method="post", params={"page": k})
+    # POST submit targets (form1 is method=POST; multipart button posts to
+    # /form-multipart — reference test/submit.js:199-230)
+    store.add(
+        Page(f"{FIXTURE_HOST}/submit-form",
+             _submit_echo("POST", qs_indexed(SUBMIT_EXPECTED1_SUB1))),
+        method="post", params=SUBMIT_EXPECTED1_SUB1)
+    store.add(Page(f"{FIXTURE_HOST}/form-multipart", "<div>success</div>"),
+              method="post", params={"it1": "test", "sub3": "3"})
+    store.add(
+        Page(f"{FIXTURE_HOST}/login-check",
+             '<div id="status">welcome</div>'),
+        method="post", params={"user": "u1", "pass": "p1", "go": "Login"})
     return store
 
 

@@ -40,7 +40,7 @@ OUT_SCHEMA = """
     record_id string, parent_record_id string, index_key string,
     is_array boolean, sort_index long, seq long,
     partial_json string, value_json string,
-    origin_id string, origin_sort_index long,
+    origin_id string, origin_sort_index long, root_id string,
     fetched long, parsed long, errors long, error_msg string
 """
 
@@ -121,6 +121,9 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
     uid = f"r{round_no}x{row['url_hash'] & 0xFFFFFFFFFFFF:x}x{row.get('_row_seq', 0)}"
     em = _Emitter(round_no, uid)
     depth = int(row.get("depth") or 0)
+    # the ROOT of this row's record tree, carried across rounds so final
+    # assembly is a plain groupBy(root_id) — the distributed sortKey merge
+    incoming_root = row.get("root_id")
 
     if row.get("html") is None:
         # fetch miss: metric + fail marker for the all-failed fallback merge
@@ -135,7 +138,8 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
                     origin_id=row.get("origin_id"),
                     origin_sort_index=row.get("origin_sort_index"),
                     partial_json=row.get("partial_json"),
-                    sort_index=row.get("sort_index"))
+                    sort_index=row.get("sort_index"),
+                    root_id=incoming_root or row.get("parent_record_id"))
         return em.rows
 
     params = json.loads(row["params_json"]) if row.get("params_json") else None
@@ -197,10 +201,22 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
     for pid, key, sort_index, value in captured:
         em.emit(row_kind="child", parent_record_id=pid, index_key=key,
                 sort_index=sort_index, value_json=_dump(value),
-                seq=em.next_seq())
+                seq=em.next_seq(), root_id=incoming_root or pid)
 
     # continuations + the open-record ancestry they hang from
     open_ids: dict[int, str] = {}
+
+    def root_for(rec) -> str | None:
+        """The cross-round root id of a record's parent chain: the topmost
+        local open record's id, or the carried-in root when the chain hangs
+        off a previous round's record (ProxyRecord)."""
+        cur = rec
+        while cur.parent is not None and not isinstance(cur.parent,
+                                                        ProxyRecord):
+            cur = cur.parent
+        if cur.parent is None:
+            return open_ids.get(id(cur))
+        return incoming_root or cur.parent.record_id
 
     def record_ref(rec) -> str | None:
         """Assign an id to a local open record, emitting its ancestry."""
@@ -217,7 +233,8 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
         em.emit(row_kind="open", record_id=rid, parent_record_id=parent_id,
                 index_key=rec.get_index(), is_array=bool(rec._is_array),
                 sort_index=rec.get_sort_index(),
-                partial_json=_dump(rec.object), seq=em.next_seq())
+                partial_json=_dump(rec.object), seq=em.next_seq(),
+                root_id=root_for(rec))
         return rid
 
     origin_ids: dict[int, str] = {}
@@ -249,6 +266,7 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
             origin_id=origin_ids[okey],
             origin_sort_index=rec.get_sort_index(),
             seq=em.next_seq(),
+            root_id=root_for(rec),
         )
     return em.rows
 

@@ -64,6 +64,7 @@ FRONTIER_SCHEMA = StructType([
     StructField("partial_json", StringType()),
     StructField("origin_id", StringType()),
     StructField("origin_sort_index", LongType()),
+    StructField("root_id", StringType()),
 ])
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
@@ -371,89 +372,118 @@ class FrontierEngine:
         """Execute a full chain distributively; returns a DataFrame with one
         ``value_json`` string column of assembled root records.
 
-        Each round is fully distributed (join + mapInPandas); only the
-        *record skeleton* rows (open/child/root — O(records), tiny next to
-        page bytes) come back for assembly. Crawl mode (``run_crawl``) is
-        the path engineered for 10^10-URL scale."""
+        Fully distributed: every round is (fetch join + mapInPandas →
+        localCheckpoint); record-skeleton rows (open/child/root) stay in
+        DataFrames, and final assembly is a ``groupBy(root_id).
+        applyInPandas`` — the distributed sort-agg merge of SURVEY §2.4
+        (each record tree assembles on one executor, keyed by the root id
+        threaded through every continuation). The all-failed fallback merge
+        (reference lib/Command.js:168-180) is a per-origin count join, also
+        distributed. The only driver-side values are per-round counts."""
         chains = collect_chains(chain)
-        seeds = initial_continuations(chain)
-        frontier_rows = seeds
-        opens: list[dict] = []
-        children: list[dict] = []
-        roots: list[dict] = []
+        frontier = self._frontier_df(initial_continuations(chain))
+        n_frontier = frontier.count()
+        out_parts: list[DataFrame] = []
+        frontier_parts: list[DataFrame] = []
         round_no = 0
 
-        while frontier_rows and round_no < max_rounds:
-            frontier = self._frontier_df(frontier_rows)
-            out_rows = [
-                r.asDict() for r in
-                self._run_round(chains, frontier, round_no,
-                                len(frontier_rows)).collect()
-            ]
-            by_kind: dict[str, list[dict]] = {}
-            for r in out_rows:
-                by_kind.setdefault(r["row_kind"], []).append(r)
-
-            children.extend(by_kind.get("child", []))
-            children.extend(
-                self._all_failed_fallback(frontier_rows,
-                                          by_kind.get("fail", [])))
-            opens.extend(by_kind.get("open", []))
-            roots.extend(by_kind.get("root", []))
-            for m in by_kind.get("metric", []):
-                self.metrics_rows.append(
-                    {"round": round_no, "host": m.get("host"),
-                     "fetched": m.get("fetched"), "parsed": m.get("parsed"),
-                     "errors": m.get("errors")})
-
+        while n_frontier > 0 and round_no < max_rounds:
+            frontier_parts.append(frontier)
             if self.state is not None:
                 self.state.commit_round("frontier", round_no, frontier,
-                                        meta={"size": len(frontier_rows)})
-            frontier_rows = by_kind.get("cont", [])
+                                        meta={"size": n_frontier})
+            out = self._run_round(chains, frontier, round_no, n_frontier) \
+                .localCheckpoint(eager=True)
+            out_parts.append(out)
+            self._pending_metrics.append(
+                out.filter(F.col("row_kind") == "metric")
+                   .select(F.lit(round_no).alias("round"), "host",
+                           "fetched", "parsed", "errors"))
+            frontier = out.filter(F.col("row_kind") == "cont") \
+                          .select(*_FRONTIER_COLS)
+            n_frontier = frontier.count()
             round_no += 1
 
-        assembled = assemble_records(opens, children)
-        values = [o["value_json"] for o in roots if o.get("value_json")]
-        values += [json.dumps(v, ensure_ascii=False, separators=(",", ":"))
-                   for v in assembled]
-        if not values:
+        self._flush_metrics()
+        if not out_parts:
             return self.spark.createDataFrame([], "value_json string")
-        return self.spark.createDataFrame([(v,) for v in values],
-                                          "value_json string")
+        allout = out_parts[0]
+        for p in out_parts[1:]:
+            allout = allout.unionByName(p)
 
-    @staticmethod
-    def _all_failed_fallback(frontier_rows: list[dict],
-                             fail_rows: list[dict]) -> list[dict]:
-        """Origins whose every continuation failed merge their accumulated
-        partial (reference end-semantics; see extract.py docstring)."""
-        if not fail_rows:
-            return []
-        n_in: dict[str, int] = {}
-        for r in frontier_rows:
-            oid = r.get("origin_id")
-            if oid is not None:
-                n_in[oid] = n_in.get(oid, 0) + 1
-        n_fail: dict[str, int] = {}
-        rep: dict[str, dict] = {}
-        for r in fail_rows:
-            oid = r.get("origin_id")
-            n_fail[oid] = n_fail.get(oid, 0) + 1
-            rep.setdefault(oid, r)
-        out = []
-        for oid, nf in n_fail.items():
-            if nf >= n_in.get(oid, 1):
-                r = rep[oid]
-                partial = r.get("partial_json")
-                if partial and partial not in ("{}", "[]"):
-                    out.append({
-                        "parent_record_id": r.get("parent_record_id"),
-                        "index_key": r.get("index_key"),
-                        "is_array": r.get("is_array"),
-                        "sort_index": r.get("origin_sort_index"),
-                        "seq": 0,
-                        "value_json": partial,
-                    })
-        return out
+        # all-failed fallback (per-origin count join): an origin whose every
+        # continuation 404'd merges its accumulated partial
+        fronts = frontier_parts[0]
+        for p in frontier_parts[1:]:
+            fronts = fronts.unionByName(p)
+        n_in = (fronts.filter(F.col("origin_id").isNotNull())
+                .groupBy("origin_id").agg(F.count("*").alias("_n_in")))
+        fails = allout.filter(F.col("row_kind") == "fail")
+        fallback = (
+            fails.groupBy("origin_id")
+            .agg(F.count("*").alias("_n_fail"),
+                 F.first("parent_record_id").alias("parent_record_id"),
+                 F.first("index_key").alias("index_key"),
+                 F.first("is_array").alias("is_array"),
+                 F.first("origin_sort_index").alias("sort_index"),
+                 F.first("partial_json").alias("value_json"),
+                 F.first("root_id").alias("root_id"))
+            .join(n_in, "origin_id")
+            .filter(F.col("_n_fail") >= F.col("_n_in"))
+            .filter(F.col("value_json").isNotNull()
+                    & ~F.col("value_json").isin("{}", "[]"))
+            .select(F.lit("child").alias("row_kind"),
+                    F.lit(None).cast("string").alias("record_id"),
+                    "parent_record_id", "index_key", "is_array",
+                    "sort_index", F.lit(0).cast("long").alias("seq"),
+                    F.lit(None).cast("string").alias("partial_json"),
+                    "value_json", "root_id")
+        )
+
+        node_cols = ["row_kind", "record_id", "parent_record_id",
+                     "index_key", "is_array", "sort_index", "seq",
+                     "partial_json", "value_json", "root_id"]
+        nodes = (allout.filter(F.col("row_kind").isin("open", "child"))
+                 .select(*node_cols)
+                 .unionByName(fallback.select(*node_cols)))
+
+        def assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            recs = pdf.to_dict("records")
+            opens = [r for r in recs if r["row_kind"] == "open"]
+            children = [r for r in recs if r["row_kind"] == "child"]
+            for r in opens + children:
+                for k, v in list(r.items()):
+                    # nullable Int64/boolean dtypes yield pd.NA scalars
+                    if v is not None and not isinstance(
+                            v, (str, bytes, list, dict)) and pd.isna(v):
+                        r[k] = None
+            roots = assemble_records(opens, children)
+            rid = pdf["root_id"].iloc[0] if len(pdf) else None
+            return pd.DataFrame({
+                "root_id": [rid] * len(roots),
+                "value_json": [json.dumps(v, ensure_ascii=False,
+                                          separators=(",", ":"))
+                               for v in roots]})
+
+        assembled = (nodes.filter(F.col("root_id").isNotNull())
+                     .groupBy("root_id")
+                     .applyInPandas(assemble_group,
+                                    "root_id string, value_json string"))
+
+        closed = allout.filter(F.col("row_kind") == "root") \
+            .filter(F.col("value_json").isNotNull())
+        # deterministic output order: in-page-closed roots by emission
+        # lineage first, then assembled trees by root id
+        result = (closed
+                  .select("value_json",
+                          F.col("url_hash").cast("string").alias("_k1"),
+                          F.col("seq").cast("string").alias("_k2"))
+                  .unionByName(assembled.select(
+                      "value_json", F.col("root_id").alias("_k1"),
+                      F.lit("").alias("_k2")))
+                  .orderBy("_k1", "_k2")
+                  .select("value_json"))
+        return result
 
     def _flush_metrics(self) -> None:
         """Aggregate all rounds' per-partition metric rows in ONE job (the

@@ -218,7 +218,14 @@ class Runner:
 
         query = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
         if method == "get" and isinstance(params, dict):
-            query.update({k: _param_str(v) for k, v in params.items()})
+            for k, v in params.items():
+                if isinstance(v, (list, tuple)):
+                    # qs-style indexed serialization (the reference's needle
+                    # client encodes array params as name[0], name[1], ...)
+                    for j, item in enumerate(v):
+                        query[f"{k}[{j}]"] = _param_str(item)
+                else:
+                    query[k] = _param_str(v)
             url = _set_query(url, query)
             params = query
 
@@ -746,6 +753,87 @@ def _h_data(runner, chain, i, cmd, context, data, next_fn, done_fn):
     done_fn()
 
 
+def _issue_form_request(runner, chain, i, cmd, context, data, next_fn,
+                        done_fn, method, url, params):
+    """Shared fetch tail of submit/login (reference lib/commands/
+    submit.js:38-46, login.js:55-66)."""
+    if runner.page_scope:
+        runner.continuations.append(Continuation(
+            method, url, params, i + 1, data, None, "get",
+            referer=_doc_location(context), chain=chain))
+        return  # branch stays open: pending async request
+
+    def cb(err, document):
+        if err is None:
+            next_fn(document, data)
+        done_fn()
+
+    runner.request(chain, cmd, method, context, url, params, cb)
+
+
+def _h_submit(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # reference lib/commands/submit.js:16-49: locate form/submit button,
+    # collect input params (lib/Form.js:84-174), merge user params, request
+    selector, user_params = cmd.args
+    node = compile_selector(selector).get(context, relative=True)
+    if node is None or not isinstance(node, Element):
+        done_fn(f"No results for {selector}")
+        return
+    method = form_method(node)
+    url = form_action(node)
+    params = form_params(node)
+    if callable(user_params):
+        user_params = (user_params(context, data.get_object())
+                       if _arity(user_params) >= 2 else user_params(context))
+    if isinstance(user_params, dict):
+        params.update(user_params)
+    _issue_form_request(runner, chain, i, cmd, context, data, next_fn,
+                        done_fn, method, url, params)
+
+
+def _h_login(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # reference lib/commands/login.js:17-72: find the password form, fill
+    # the last named text input before the password field + the password
+    # field, submit with the FORM's method/action
+    user, password = cmd.args
+    doc = context.doc()
+    login_form = None
+    for e in doc.descendants():
+        if isinstance(e, Element) and e.tag == "form" and any(
+            isinstance(c, Element) and c.tag == "input"
+            and (c.get_attribute("type") or "").lower() == "password"
+            for c in e.descendants()
+        ):
+            login_form = e
+            break
+    if login_form is None:
+        runner._error(chain, cmd, "No login form found")
+        done_fn()
+        return
+    inputs = [c for c in login_form.descendants()
+              if isinstance(c, Element) and c.tag == "input"]
+    pass_pos = next(
+        (k for k, c in enumerate(inputs)
+         if (c.get_attribute("type") or "").lower() == "password"), None)
+    if pass_pos is None:
+        done_fn("No password field found")
+        return
+    user_input = next(
+        (c for c in reversed(inputs[:pass_pos])
+         if c.has_attribute("name")
+         and (c.get_attribute("type") or "text").lower() == "text"), None)
+    if user_input is None:
+        done_fn("No user field found")
+        return
+    pass_input = inputs[pass_pos]
+    params = form_params(login_form)
+    params[user_input.get_attribute("name")] = user
+    params[pass_input.get_attribute("name")] = password
+    _issue_form_request(runner, chain, i, cmd, context, data, next_fn,
+                        done_fn, form_method(login_form),
+                        form_action(login_form), params)
+
+
 def _h_delay(runner, chain, i, cmd, context, data, next_fn, done_fn):
     # wall-clock delays are a politeness budget in batch mode (SURVEY §2.6)
     next_fn(context, data)
@@ -765,6 +853,8 @@ _HANDLERS = {
     "select": _h_find,
     "follow": _h_follow,
     "paginate": _h_paginate,
+    "submit": _h_submit,
+    "login": _h_login,
     "filter": _h_filter,
     "fail": _h_fail,
     "success": _h_success,

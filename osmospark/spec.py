@@ -94,6 +94,17 @@ class Chain:
     def paginate(self, selector, limit=None):
         return self._append("paginate", selector, limit)
 
+    def submit(self, selector, params=None):
+        """Submit a form or submit button (reference
+        lib/commands/submit.js:16-49). ``params`` may be a dict or a
+        callback over (context, data) merged onto the collected inputs."""
+        return self._append("submit", selector, params)
+
+    def login(self, user, password):
+        """Fill and submit the page's login form (reference
+        lib/commands/login.js:17-72)."""
+        return self._append("login", user, password)
+
     def filter(self, selector):
         return self._append("filter", selector)
 

@@ -1,0 +1,119 @@
+"""Structured Streaming surfaces (SURVEY §2.10).
+
+The reference is a pull-based async pipeline, not a stream processor — its
+unbounded crawl loop, backpressure window, and per-item delay map onto the
+batch-iterative engine (``osmospark.frontier``). These operators are the
+Spark-native *incremental* equivalents for pipelines that want continuous
+feeding instead of rounds:
+
+- ``read_pages_stream`` / ``stream_extract`` — a landing directory of
+  Common-Crawl-style page files (input_hint schema) is extracted
+  incrementally with the SAME crawl UDF the batch engine uses; each
+  micro-batch behaves exactly like one frontier round's extract job.
+- ``stream_outlinks`` — the streaming frontier feed: cont rows →
+  canonical url + ``xxhash64`` id, deduplicated with streaming
+  ``dropDuplicates`` (state-store backed — the streaming analogue of the
+  URL-seen table; bound state with ``watermark`` +
+  ``dropDuplicatesWithinWatermark`` when the link stream has event time).
+- ``stream_windowed_metrics`` — tumbling event-time windows with a
+  late-data watermark over fetch/parse metric events.
+
+All transformations here are plan-shape identical to their batch
+counterparts (same UDF, same expressions), so correctness is anchored by
+the batch oracles; tests replay a static directory with
+``trigger(availableNow=True)`` and compare against the batch run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a landing directory of pages parquet files.
+    ``maxFilesPerTrigger`` is the backpressure knob (the analogue of the
+    reference's concurrency window, index.js:245-270)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_extract(pages_stream: DataFrame, extract_spec: dict | None,
+                   follow_selector: str | None = None) -> DataFrame:
+    """Incremental extraction: the SAME crawl UDF as the batch engine over a
+    streaming pages source. Output rows are tagged (root/cont/metric)
+    exactly like a frontier round's output."""
+    from ..extract import OUT_SCHEMA, make_crawl_udf
+
+    udf = make_crawl_udf(extract_spec, follow_selector, hash_conts=False)
+    src = pages_stream.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("referer"),
+        "html",
+        F.col("warc_ts"),
+    )
+    out = src.drop("warc_ts").mapInPandas(udf, OUT_SCHEMA)
+    return out
+
+
+def stream_records(out_stream: DataFrame) -> DataFrame:
+    """Completed per-page records of an incremental extraction."""
+    return (out_stream.filter(F.col("row_kind") == "root")
+            .select("url", "depth", "value_json"))
+
+
+def stream_outlinks(out_stream: DataFrame,
+                    dedup: bool = True) -> DataFrame:
+    """Streaming frontier feed: cont rows → (url, url_hash, host), with
+    streaming-state dedup (each url emitted once across the whole stream —
+    the incremental URL-seen set). State is the Spark state store,
+    partitioned by url_hash: the same salted-key sharding story as the
+    batch seen table."""
+    conts = (out_stream.filter(F.col("row_kind") == "cont")
+             .select("url", F.xxhash64("url").alias("url_hash"), "host",
+                     "depth", "referer"))
+    if dedup:
+        conts = conts.dropDuplicates(["url_hash"])
+    return conts
+
+
+def stream_windowed_metrics(events: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours",
+                            ts_col: str = "ts",
+                            key_col: str = "event_type") -> DataFrame:
+    """Tumbling event-time windows + late-data watermark (SURVEY §2.10) —
+    order-independent aggregates so batch replay equals streaming. The same
+    plan runs on a batch frame (watermark skipped — Spark 4 rejects it
+    outside streaming) for oracle comparison."""
+    # watermarks require TIMESTAMP (tz) — NTZ sources are cast identically
+    # on both the streaming and the batch-oracle side
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (events
+            .groupBy(F.window(ts_col, window).alias("w"), key_col)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("value"), 2).alias("min_value"),
+                 F.round(F.max("value"), 2).alias("max_value"))
+            .select(F.col("w.start").alias("window_start"), key_col,
+                    "n", "min_value", "max_value"))
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> None:
+    """Replay a bounded stream to completion into an in-memory table
+    (``availableNow`` trigger) — the test-harness replay path."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

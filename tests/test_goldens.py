@@ -380,3 +380,84 @@ def test_do_multiple():
              .data(collected.append))
     run(chain)
     assert collected == [expected]
+
+
+# -- test/submit.js ---------------------------------------------------------
+# The reference server echoes method + received params as JSON in #data
+# (test/submit.js:199-216); expected objects from getInputs():107-131 with
+# needle/qs indexed-array keys (cb3[0], cb3[1], ...).
+
+import json as _json
+
+from osmospark.html import find as _find
+from osmospark.corpus import (
+    SUBMIT_EXPECTED1_SUB1,
+    SUBMIT_EXPECTED1_SUB2,
+    SUBMIT_EXPECTED1_FORMATTR,
+    SUBMIT_EXPECTED2_SUB1,
+    qs_indexed,
+)
+
+
+def _submit_case(selector, params=None):
+    got = []
+    chain = (O.get(f"{FIXTURE_HOST}/submit-form")
+             .submit(selector, params)
+             .then(lambda ctx: got.append(
+                 _json.loads(_find(ctx, "#data")[0].text()))))
+    r, _ = run(chain)
+    assert not r.errors, r.errors
+    assert len(got) == 1
+    return got[0]
+
+
+def test_submit_form1():  # submit.js:13-26 (form1)
+    assert _submit_case("form") == qs_indexed(SUBMIT_EXPECTED1_SUB1)
+
+
+def test_submit_form2():  # submit.js:28-40 (form2: GET, button sub1 picked,
+    # sub2 skipped because form="form1" != form2 — lib/Form.js:30-42)
+    assert _submit_case("form[2]") == qs_indexed(SUBMIT_EXPECTED2_SUB1)
+
+
+def test_submit_button():  # submit.js:42-55: submit via a specific button
+    assert (_submit_case('form:first [name="sub2"]')
+            == qs_indexed(SUBMIT_EXPECTED1_SUB2))
+
+
+def test_submit_form_attr():  # submit.js:57-72: button with form="form1"
+    # resolves to form1's inputs; valueless submit -> 'Submit Query'
+    assert (_submit_case('form[2] [name="sub2"]')
+            == qs_indexed(SUBMIT_EXPECTED1_FORMATTR))
+
+
+def test_submit_context_params():  # submit.js:74-91: callback params
+    # merged over collected inputs (it1: '#dynamic-data' text)
+    def params(ctx):
+        return {"it1": _find(ctx, "#dynamic-data")[0].text()}
+    assert (_submit_case("form[2]", params)
+            == qs_indexed({"it1": "success", "sub1": "button"}))
+
+
+def test_submit_multipart_attrs():  # submit.js:93-105: formmethod/
+    # formaction/formenctype on the button drive a POST elsewhere
+    got = []
+    chain = (O.get(f"{FIXTURE_HOST}/submit-form")
+             .submit('form[2] [name="sub3"]')
+             .then(lambda ctx: got.append(_find(ctx, "div")[0].text())))
+    r, _ = run(chain)
+    assert not r.errors, r.errors
+    assert got == ["success"]
+
+
+def test_login_fills_and_posts():  # lib/commands/login.js:17-72 semantics
+    got = []
+    chain = (O.get(f"{FIXTURE_HOST}/login")
+             .login("u1", "p1")
+             .then(lambda ctx: got.append(_find(ctx, "#status")[0].text())))
+    r, _ = run(chain)
+    assert not r.errors, r.errors
+    assert got == ["welcome"]
+    # the fetch log records the filled POST
+    post = [f for f in r.fetch_log if f["method"] == "post"][-1]
+    assert post["params"] == {"user": "u1", "pass": "p1", "go": "Login"}
