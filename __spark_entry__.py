@@ -206,6 +206,41 @@ def q_events_windowed(spark, sf_dir):
                     "n", "min_value", "max_value"))
 
 
+def q_politeness_window(spark, sf_dir):
+    """Per-host fetch-slot admission as a ranking window (SURVEY §2.6 /
+    frontier engine _rank_politeness): row_number over (host, priority)
+    <= slots. Events stand in for a frontier (host from user_id)."""
+    ev = _events(spark, sf_dir)
+    host = F.concat(F.lit("host"), F.pmod(F.col("user_id"), F.lit(20)))
+    ranked = ev.select("event_id", host.alias("host"), "ts")
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (ranked.withColumn("slot", F.row_number().over(w))
+            .filter(F.col("slot") <= 5)
+            .select("host", "event_id", F.col("slot").cast("int")
+                    .alias("slot")))
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt disallow-prefix filtering exactly as the frontier
+    engine's _apply_robots: broadcast rules join + EXISTS(prefix) drop."""
+    docs = _documents(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [(f"host{h}", ["/d/1", "/d/3"]) for h in range(0, 10, 3)],
+        "host string, disallow array<string>")
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), F.pmod(F.col("doc_id"), F.lit(10)))
+        .alias("host"),
+        F.concat(F.lit("/d/"), F.pmod(F.col("doc_id"), F.lit(50)))
+        .alias("path"))
+    joined = frontier.join(F.broadcast(rules), "host", "left")
+    blocked = F.exists(
+        F.coalesce(F.col("disallow"), F.array()),
+        lambda p: F.col("path").startswith(p))
+    return (joined.filter(~blocked)
+            .select("doc_id", "host", "path"))
+
+
 def q_token_counts(spark, sf_dir):
     return token_counts(_documents(spark, sf_dir))
 
@@ -288,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "limit_parse": q_limit_parse,
         "events_windowed": q_events_windowed,
+        "politeness_window": q_politeness_window,
+        "robots_filter": q_robots_filter,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -489,6 +526,24 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 2) AS min_value,
                    round(max(value), 2) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "politeness_window": """
+            SELECT host, event_id, slot FROM (
+                SELECT 'host' || (user_id % 20) AS host, event_id,
+                       row_number() OVER (
+                           PARTITION BY 'host' || (user_id % 20)
+                           ORDER BY ts, event_id)::INT AS slot
+                FROM events)
+            WHERE slot <= 5
+        """,
+        "robots_filter": """
+            SELECT doc_id,
+                   'host' || (doc_id % 10) AS host,
+                   '/d/' || (doc_id % 50) AS path
+            FROM documents
+            WHERE NOT ((doc_id % 10) IN (0, 3, 6, 9)
+                       AND (('/d/' || (doc_id % 50)) LIKE '/d/1%'
+                            OR ('/d/' || (doc_id % 50)) LIKE '/d/3%'))
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -286,6 +286,27 @@ def visible_text(html: str) -> str:
     return _WS_RE.sub(" ", root.text()).strip() if root is not None else ""
 
 
+def post_pages_rows(store: "PageStore", with_text: bool = False):
+    """POST-target pages exported as pages-table rows, keyed by
+    ``urlnorm.post_fetch_key`` (canonical url + '#post:' + sorted params) —
+    SURVEY §2.8: POST pages live in the corpus keyed by (url, params_hash),
+    so distributed form-submit / form-paginate fetches join exactly like
+    GETs."""
+    rows = []
+    for i, ((url, frozen), page) in enumerate(
+            sorted(store.post_by_key.items())):
+        key = url + "#post" + (
+            ":" + "&".join(f"{k}={v}" for k, v in frozen) if frozen else "")
+        rows.append({
+            "url": key,
+            "warc_ts": _TAG_TEXT_EPOCH + _dt.timedelta(seconds=100_000 + i),
+            "html": page.html.encode("utf-8"),
+            "text": visible_text(page.html) if with_text else "",
+            "lang": page.lang,
+        })
+    return rows
+
+
 def pages_rows(pages: list[Page], with_text: bool = True):
     """Rows matching the input_hint schema (url, warc_ts, html, text, lang).
     ``with_text=False`` skips the visible-text pass (the crawl engine reads

@@ -29,7 +29,7 @@ import pandas as pd
 from .interpreter import ProxyRecord, Runner, build_document
 from .record import _UNSET, Record
 from .spec import Chain
-from .urlnorm import url_host, xxhash64_py
+from .urlnorm import post_fetch_key, url_host, xxhash64_py
 
 OUT_SCHEMA = """
     row_kind string,
@@ -245,10 +245,12 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
         if okey not in origin_ids:
             origin_ids[okey] = em.rid()
         host = url_host(cont.url)
+        fetch_key = (post_fetch_key(cont.url, cont.params)
+                     if cont.method == "post" else cont.url)
         em.emit(
             row_kind="cont",
             url=cont.url,
-            url_hash=xxhash64_py(cont.url.encode("utf-8")),
+            url_hash=xxhash64_py(fetch_key.encode("utf-8")),
             host=host,
             method=cont.method,
             params_json=json.dumps(cont.params) if cont.params else None,
@@ -477,9 +479,11 @@ def initial_continuations(chain: Chain) -> list[dict]:
     runner.run(chain, context=None, data=Record())
     rows = []
     for i, cont in enumerate(runner.continuations):
+        fetch_key = (post_fetch_key(cont.url, cont.params)
+                     if cont.method == "post" else cont.url)
         rows.append({
             "url": cont.url,
-            "url_hash": xxhash64_py(cont.url.encode("utf-8")),
+            "url_hash": xxhash64_py(fetch_key.encode("utf-8")),
             "host": url_host(cont.url),
             "method": cont.method,
             "params_json": json.dumps(cont.params) if cont.params else None,

@@ -53,6 +53,18 @@ def canonicalize(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+def post_fetch_key(url: str, params) -> str:
+    """Corpus join key for POST fetches: POST-target pages are distinct
+    rows of the pages table keyed by canonical url + sorted params
+    (SURVEY §2.8: 'POST-target pages keyed by (url, params_hash) in
+    corpus'). GET rows keep the bare canonical url."""
+    canon = canonicalize(url)
+    if not params:
+        return canon + "#post"
+    items = sorted((str(k), str(v)) for k, v in dict(params).items())
+    return canon + "#post:" + "&".join(f"{k}={v}" for k, v in items)
+
+
 def url_host(url: str) -> str:
     return urlsplit(url).hostname or ""
 

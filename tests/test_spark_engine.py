@@ -106,3 +106,42 @@ def test_crawl_mode_politeness_defers(spark):
     # no round admits more than concurrency × hosts
     assert all(v["admitted"] <= 2 * 2 for v in visits)
     assert records.count() > 0
+
+
+def _pages_with_post(spark):
+    from osmospark.corpus import fixture_pages, pages_rows, post_pages_rows
+    rows = pages_rows(fixture_pages(), with_text=False) \
+        + post_pages_rows(fixture_store())
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def test_chain_mode_paginate_form_post(spark):
+    """Distributed POST: form pagination joins the corpus on
+    post_fetch_key (url + sorted params) — SURVEY §2.8."""
+    def factory():
+        return (O.get(f"{FIXTURE_HOST}/paginate")
+                .paginate("form", 3).set("page", "div"))
+    collected = []
+    Runner(store=fixture_store()).run(factory().data(collected.append))
+    engine = FrontierEngine(spark, _pages_with_post(spark))
+    got = [json.loads(r.value_json)
+           for r in engine.run_chain(factory()).collect()]
+    assert sorted(got, key=lambda d: d["page"]) == sorted(
+        collected, key=lambda d: d["page"]) and len(got) == 4
+
+
+def test_chain_mode_submit_post(spark):
+    """Distributed submit: POST target resolved via params-keyed corpus
+    row; echo page extracted into the record."""
+    def factory():
+        return (O.get(f"{FIXTURE_HOST}/submit-form")
+                .submit("form").set({"data": "#data"}))
+    collected = []
+    Runner(store=fixture_store()).run(factory().data(collected.append))
+    engine = FrontierEngine(spark, _pages_with_post(spark))
+    got = [json.loads(r.value_json)
+           for r in engine.run_chain(factory()).collect()]
+    assert got == collected and len(got) == 1
