@@ -104,6 +104,22 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     timed("crawl_frontier", frontier_bench)
 
+    # q3: politeness-bound crawl — binding per-host slots + salted
+    # two-phase admission (politeness intentionally serializes hot hosts,
+    # so it is benchmarked as a bounded-rounds crawl, separate from the
+    # full-coverage headline)
+    def polite_bench():
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=500, politeness_salt_buckets=32,
+                             broadcast_threshold=1_000_000)
+        records, _ = eng.run_crawl(
+            seeds, "li > a",
+            extract_spec={"payload": "div", "links": ["a@href"]},
+            max_depth=5, max_rounds=4)
+        return _count(records)
+
+    timed("crawl_polite", polite_bench)
+
     # parquet at small sf reads as 1-2 splits — repartition so the text /
     # vector pipelines actually parallelize (at 100 TB the scan itself
     # yields thousands of splits and this is a no-op concern)
@@ -168,7 +184,7 @@ def scaling_report() -> None:
     null_out = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "scripts", "scaling_null.py"), "--quick"],
+                      "scripts", "scaling_null.py")],
         capture_output=True, text=True, check=True)
     null = json.loads([l for l in null_out.stdout.strip().splitlines()
                        if l.startswith("{")][-1])

@@ -81,6 +81,7 @@ class FrontierEngine:
         politeness: bool = False,
         robots_df: DataFrame | None = None,
         dedup: bool = False,
+        politeness_salt_buckets: int = 0,
         seen_mode: str = "auto",
         seen_broadcast_keys: int = 4_000_000,
         bloom_buckets: int = 32,
@@ -99,6 +100,7 @@ class FrontierEngine:
         self.politeness = politeness
         self.robots_df = robots_df
         self.dedup = dedup
+        self.politeness_salt_buckets = politeness_salt_buckets
         self.seen_mode = seen_mode
         self.seen_broadcast_keys = seen_broadcast_keys
         self.bloom_buckets = bloom_buckets
@@ -307,11 +309,33 @@ class FrontierEngine:
             ).drop("_cd")
         else:
             frontier = frontier.withColumn("_slots", F.lit(slots))
-        w = Window.partitionBy("host").orderBy(
-            F.col("depth").desc(),
-            F.col("sort_index").asc_nulls_last(),
-            F.col("url").asc(),
-        )
+        order = [F.col("depth").desc(),
+                 F.col("sort_index").asc_nulls_last(),
+                 F.col("url").asc()]
+        S = self.politeness_salt_buckets
+        if S > 1:
+            # Two-phase admission against hot-host skew (SURVEY §7.3): a
+            # 10^9-row host would make the single per-host ranking window
+            # one straggler task. Phase 1 ranks within (host, salt) buckets
+            # — rows beyond `slots` in their bucket cannot be in the host's
+            # global top `slots`, so they defer without ever entering the
+            # per-host shuffle. Phase 2 ranks only the survivors
+            # (≤ hosts × S × slots rows — bounded however hot the host).
+            # The total order (…, url) is salt-invariant, so the admitted
+            # set is IDENTICAL to the single-window plan.
+            salt = F.pmod(F.coalesce(F.col("url_hash"), F.lit(0)),
+                          F.lit(S))
+            w1 = Window.partitionBy("host", salt).orderBy(*order)
+            b_ranked = frontier.withColumn(
+                "_brank", F.row_number().over(w1))
+            cand = b_ranked.filter(F.col("_brank") <= F.col("_slots"))
+            rest = b_ranked.filter(F.col("_brank") > F.col("_slots"))
+            w2 = Window.partitionBy("host").orderBy(*order)
+            cand = cand.withColumn("_rank", F.row_number().over(w2))
+            rest = rest.withColumn(
+                "_rank", F.col("_slots") + F.col("_brank"))
+            return cand.unionByName(rest).drop("_brank")
+        w = Window.partitionBy("host").orderBy(*order)
         return frontier.withColumn("_rank", F.row_number().over(w))
 
     def _apply_robots(self, frontier: DataFrame) -> DataFrame:

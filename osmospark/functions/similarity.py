@@ -94,31 +94,33 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
-    cand = None
-    for t in range(n_tables):
-        planes = hyperplanes(first["d"], n_planes, seed=42 + 1000 * t)
-        b = e.withColumn("bucket", _bucket_expr(F.col("v"), planes))
-        queries = (b.filter(F.col("vec_id").isin(query_ids))
-                   .select(F.col("vec_id").alias("query_id"),
-                           F.col("bucket").alias("qbucket")))
-        probes = [F.col("qbucket")]
-        if multiprobe:
-            for i in range(n_planes):
-                probes.append(F.concat(
-                    F.substring("qbucket", 1, i),
-                    F.when(F.substring("qbucket", i + 1, 1) == "1",
-                           F.lit("0")).otherwise(F.lit("1")),
-                    F.substring("qbucket", i + 2, n_planes - i - 1),
-                ))
-        q_probe = queries.select(
-            "query_id", F.explode(F.array(*probes)).alias("bucket")
-        ).dropDuplicates(["query_id", "bucket"])
-        table_cand = (b.join(F.broadcast(q_probe), "bucket")
-                      .filter(F.col("vec_id") != F.col("query_id"))
-                      .select("query_id", "vec_id"))
-        cand = table_cand if cand is None else cand.unionByName(table_cand)
-
-    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    # ONE projection computes every table's bucket, then posexplode tags
+    # rows with their table index — a per-table loop would union n_tables
+    # full plans (3× the Catalyst compile time and 3 corpus scans)
+    all_planes = [hyperplanes(first["d"], n_planes, seed=42 + 1000 * t)
+                  for t in range(n_tables)]
+    buckets = F.array(*[_bucket_expr(F.col("v"), p) for p in all_planes])
+    b = e.select("vec_id", "v",
+                 F.posexplode(buckets).alias("table", "bucket"))
+    queries = (b.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"), "table",
+                       F.col("bucket").alias("qbucket")))
+    probes = [F.col("qbucket")]
+    if multiprobe:
+        for i in range(n_planes):
+            probes.append(F.concat(
+                F.substring("qbucket", 1, i),
+                F.when(F.substring("qbucket", i + 1, 1) == "1",
+                       F.lit("0")).otherwise(F.lit("1")),
+                F.substring("qbucket", i + 2, n_planes - i - 1),
+            ))
+    q_probe = queries.select(
+        "query_id", "table", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "table", "bucket"])
+    cand = (b.join(F.broadcast(q_probe), ["table", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .dropDuplicates(["query_id", "vec_id"]))
     qv = (e.filter(F.col("vec_id").isin(query_ids))
           .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     scored = (cand.join(e, "vec_id").join(F.broadcast(qv), "query_id")

@@ -73,3 +73,28 @@ def test_engine_admission_is_depth_first_under_politeness(spark):
     assert 0 in depths and 2 in depths
     # politeness cap respected every round
     assert all(v["admitted"] <= 3 * 2 for v in visits)
+
+
+def test_salted_two_phase_admission_identical(spark):
+    """SURVEY §7.3: salted two-phase slot admission must produce the SAME
+    per-round visit log and record set as the single-window plan — the
+    salt only changes the physical shuffle, never the admitted set."""
+    pages, store = _corpus(n_urls=60, n_hosts=2)  # skewed: few hot hosts
+    seeds = seed_urls(pages)
+    pages_df = spark.createDataFrame(
+        pages_rows(pages),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+    def run(salt):
+        eng = FrontierEngine(spark, pages_df, dedup=True, politeness=True,
+                             concurrency=3, politeness_salt_buckets=salt)
+        records, visits = eng.run_crawl(
+            seeds, "li > a", extract_spec={"payload": "div"},
+            max_depth=3, max_rounds=12)
+        return ([v["admitted"] for v in visits],
+                sorted((r.url, r.depth) for r in records.collect()))
+
+    plain_admitted, plain_records = run(0)
+    salted_admitted, salted_records = run(7)
+    assert salted_admitted == plain_admitted
+    assert salted_records == plain_records
