@@ -194,7 +194,7 @@ class Document(Node):
     """
 
     __slots__ = ("children", "location", "request", "response",
-                 "_data_sort_index")
+                 "_data_sort_index", "opts")
 
     def __init__(self) -> None:
         super().__init__()
@@ -202,6 +202,7 @@ class Document(Node):
         self.location = None   # set by the fetch layer (str URL)
         self.request = None    # dict: method/params/headers/count
         self.response = None   # dict: status/headers
+        self.opts = {}         # scoped options at the current command
 
     text = None  # sentinel: Document has no text() (see class docstring)
 

@@ -116,12 +116,18 @@ class Runner:
     """Executes chains. See module docstring for the two modes."""
 
     def __init__(self, store=None, page_scope=False, tries=DEFAULT_TRIES,
-                 max_redirects=DEFAULT_REDIRECTS, python_callbacks=True):
+                 max_redirects=DEFAULT_REDIRECTS, python_callbacks=True,
+                 opts: dict | None = None):
         self.store = store
         self.page_scope = page_scope
         self.tries = tries
         self.max_redirects = max_redirects
         self.python_callbacks = python_callbacks
+        # instance-level options (reference osmosis.config); per-command
+        # scoped deltas fold on top — see _opts_at
+        self.base_opts: dict = dict(opts or {})
+        self.current_opts: dict = self.base_opts
+        self._opts_cache: dict[int, list[dict]] = {}
         self.results: list = []          # .data(cb) outputs, in arrival order
         self.errors: list[str] = []
         self.logs: list[str] = []
@@ -175,8 +181,43 @@ class Runner:
                 self._error(chain, cmd, err)
 
         data.ref()
+        # positional opts scoping (reference lib/Command.js:235-251): the
+        # opts visible at command i are the instance opts + every config
+        # delta at positions <= i; attach to the context doc so `then`
+        # callbacks can introspect them (reference this.getOpts())
+        self.current_opts = self._opts_at(chain, i)
+        if context is not None:
+            try:
+                context.doc().opts = self.current_opts
+            except Exception:
+                pass
         handler = _HANDLERS[cmd.name]
         handler(self, chain, i, cmd, context, data, next_fn, done_fn)
+
+    def _opts_at(self, chain: Chain, i: int) -> dict:
+        """Folded options at command position ``i`` (copy-on-write: a new
+        dict is built only at positions with a config delta)."""
+        key = id(chain)
+        folds = self._opts_cache.get(key)
+        if folds is None:
+            folds = []
+            cur = self.base_opts
+            for cmd in chain.commands:
+                if cmd.name == "config":
+                    cur = dict(cur)
+                    for k, v in cmd.args[0].items():
+                        if k in ("headers", "cookies") and isinstance(
+                                v, dict):
+                            merged = dict(cur.get(k) or {})
+                            merged.update(v)
+                            cur[k] = merged
+                        else:
+                            cur[k] = v
+                folds.append(cur)
+            self._opts_cache[key] = folds
+        if i >= len(folds):
+            return folds[-1] if folds else self.base_opts
+        return folds[i]
 
     def _end(self, chain: Chain, context, data: Record) -> None:
         # reference lib/Command.js:189-227
@@ -229,11 +270,24 @@ class Runner:
             url = _set_query(url, query)
             params = query
 
+        # scoped opts → request headers/cookies/user-agent
+        # (reference lib/Request.js:70-76, cookie merge :145-167)
+        opts = self.current_opts
+        req_headers = dict(opts.get("headers") or {})
+        cookies = opts.get("cookies") or {}
+        if cookies:
+            req_headers["cookie"] = "; ".join(
+                f"{k}={v}" for k, v in sorted(cookies.items()))
+        ua = opts.get("user_agent")
+        if ua is not None:
+            req_headers["user-agent"] = ua() if callable(ua) else ua
+
         status, page, final_url = self._fetch_with_policy(url, method, params)
         self.fetch_log.append(
             {"url": url, "final_url": final_url, "method": method,
              "params": dict(params) if isinstance(params, dict) else None,
-             "referer": referer, "status": status}
+             "referer": referer, "status": status,
+             "headers": req_headers}
         )
         if page is None:
             self._error(chain, cmd, f"[{method}] {url} - {status}")
@@ -242,6 +296,8 @@ class Runner:
         doc = build_document(page.html, final_url, method=method,
                              params=query if method == "get" else params,
                              referer=referer, status=status)
+        for k, v in req_headers.items():
+            doc.request["headers"].setdefault(k, v)
         doc._data_sort_index = sort_index
         cb(None, doc)
 
@@ -249,13 +305,15 @@ class Runner:
         """Retries (reference index.js:210-218, default 3 tries) and
         redirects (reference lib/Request.js:103-105, default 3)."""
         status, page = 0, None
-        for _try in range(self.tries):
+        tries = int(self.current_opts.get("tries", self.tries))
+        redirects = int(self.current_opts.get("follow", self.max_redirects))
+        for _try in range(tries):
             status, page = self.store.fetch(url, method, params)
             if page is not None:
                 break
         final_url = url
         hops = 0
-        while page is not None and 300 <= status < 400 and hops < self.max_redirects:
+        while page is not None and 300 <= status < 400 and hops < redirects:
             target = getattr(page, "redirect_to", None)
             if not target:
                 break
@@ -834,6 +892,14 @@ def _h_login(runner, chain, i, cmd, context, data, next_fn, done_fn):
                         form_action(login_form), params)
 
 
+def _h_config(runner, chain, i, cmd, context, data, next_fn, done_fn):
+    # pure pass-through at runtime: the delta was folded positionally by
+    # Runner._opts_at (reference lib/commands/config.js is a config-type
+    # command with no runtime body either)
+    next_fn(context, data)
+    done_fn()
+
+
 def _h_delay(runner, chain, i, cmd, context, data, next_fn, done_fn):
     # wall-clock delays are a politeness budget in batch mode (SURVEY §2.6)
     next_fn(context, data)
@@ -855,6 +921,7 @@ _HANDLERS = {
     "paginate": _h_paginate,
     "submit": _h_submit,
     "login": _h_login,
+    "config": _h_config,
     "filter": _h_filter,
     "fail": _h_fail,
     "success": _h_success,

@@ -149,11 +149,29 @@ class Chain:
         return self
 
     def config(self, key, val=None):
-        if isinstance(key, dict):
-            self.opts.update(key)
-        else:
-            self.opts[key] = val
-        return self
+        """Scoped option mutation (reference lib/commands/config.js:13-35;
+        prototype-chain inheritance lib/Command.js:235-251): options set
+        here are visible to THIS command position and later ones — never
+        to earlier commands."""
+        delta = dict(key) if isinstance(key, dict) else {key: val}
+        return self._append("config", delta)
+
+    def cookie(self, name, value):
+        """reference lib/commands/cookie.js:15-45 (scoped like config)."""
+        return self._append("config", {"cookies": {name: value}})
+
+    def header(self, name, value):
+        """reference lib/commands/header.js:13-25."""
+        return self._append("config", {"headers": {name: value}})
+
+    def headers(self, obj):
+        """reference lib/commands/headers.js:12-24."""
+        return self._append("config", {"headers": dict(obj)})
+
+    def proxy(self, p):
+        """reference lib/commands/proxy.js:11-14 (slot attribute only —
+        no live proxies against a static corpus, SURVEY §2.1)."""
+        return self._append("config", {"proxy": p})
 
     def __repr__(self) -> str:  # pragma: no cover
         return "Chain(" + " → ".join(c.name for c in self.commands) + ")"

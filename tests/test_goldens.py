@@ -461,3 +461,47 @@ def test_login_fills_and_posts():  # lib/commands/login.js:17-72 semantics
     # the fetch log records the filled POST
     post = [f for f in r.fetch_log if f["method"] == "post"][-1]
     assert post["params"] == {"user": "u1", "pass": "p1", "go": "Login"}
+
+
+# -- test/config.js:10-42 ---------------------------------------------------
+# opts scoping: instance opts inherit everywhere; per-command config deltas
+# are visible to their own position and LATER commands only (reference
+# prototype-chain inheritance, lib/Command.js:235-251)
+
+def test_config_scoped_opts():
+    seen = []
+    chain = (O.parse(THEN_HTML)
+             .config("proxy", "localhost")
+             .then(lambda ctx: seen.append(dict(ctx.doc().opts)))
+             .config("test", True)
+             .then(lambda ctx: seen.append(dict(ctx.doc().opts))))
+    Runner(store=fixture_store(), opts={"ext": True, "one": 1}).run(chain)
+    assert len(seen) == 2
+    assert seen[0]["one"] == 1 and seen[0]["ext"] is True
+    assert seen[0]["proxy"] == "localhost" and "test" not in seen[0]
+    assert seen[1]["test"] is True and seen[1]["proxy"] == "localhost"
+
+
+def test_headers_cookies_on_request():
+    # reference test/config.js cookie/header echo semantics: scoped
+    # headers/cookies ride every later request
+    r = Runner(store=fixture_store(),
+               opts={"headers": {"x-test": "1"},
+                     "cookies": {"session": "abc"},
+                     "user_agent": "osmospark/1.0"})
+    r.run(O.get(f"{FIXTURE_HOST}/set").set("title"))
+    f = r.fetch_log[0]
+    assert f["headers"]["x-test"] == "1"
+    assert f["headers"]["cookie"] == "session=abc"
+    assert f["headers"]["user-agent"] == "osmospark/1.0"
+
+
+def test_chain_cookie_header_ops_scope_to_later_requests():
+    r = Runner(store=fixture_store())
+    r.run(O.get(f"{FIXTURE_HOST}/1")
+           .header("x-later", "yes").cookie("c", "v")
+           .follow("a"))
+    first, rest = r.fetch_log[0], r.fetch_log[1:]
+    assert "x-later" not in first["headers"]
+    assert rest and all(f["headers"]["x-later"] == "yes" for f in rest)
+    assert all(f["headers"]["cookie"] == "c=v" for f in rest)
