@@ -75,11 +75,17 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     n_pages = pages.count()  # materialize corpus outside the timings
     seeds = synth_seed_urls(n_hosts, per_host=32)
 
-    # warm the Python workers (interpreter fork + module imports) so the
-    # timings measure steady-state throughput, not process spin-up: a ~2%
-    # sample spread over every core
+    # warm the Python workers (interpreter fork + module imports) AND the
+    # JVM codegen of every crawl-round operator (window, localCheckpoint,
+    # broadcast join) so timings measure steady state, not first-job
+    # compilation: a ~2% sample plus one seed-only crawl round
     warm = pages.sample(False, 0.02, seed=1)
     FrontierEngine(spark, warm).extract_corpus({"w": "div"}).count()
+    FrontierEngine(spark, warm, dedup=True, politeness=True,
+                   politeness_salt_buckets=4,
+                   broadcast_threshold=1_000_000).run_crawl(
+        seeds[:4], "li > a", extract_spec={"w": "div"},
+        max_depth=0, max_rounds=1)
 
     def timed(name, fn):
         t0 = time.perf_counter()
