@@ -443,15 +443,19 @@ class FrontierEngine:
         n_in = (fronts.filter(F.col("origin_id").isNotNull())
                 .groupBy("origin_id").agg(F.count("*").alias("_n_in")))
         fails = allout.filter(F.col("row_kind") == "fail")
+        # every fail row of an origin carries identical ancestry/partial
+        # values (extract.py emits them from the origin's single record),
+        # so min() — deterministic across partitions, unlike first() —
+        # selects exactly that shared value
         fallback = (
             fails.groupBy("origin_id")
             .agg(F.count("*").alias("_n_fail"),
-                 F.first("parent_record_id").alias("parent_record_id"),
-                 F.first("index_key").alias("index_key"),
-                 F.first("is_array").alias("is_array"),
-                 F.first("origin_sort_index").alias("sort_index"),
-                 F.first("partial_json").alias("value_json"),
-                 F.first("root_id").alias("root_id"))
+                 F.min("parent_record_id").alias("parent_record_id"),
+                 F.min("index_key").alias("index_key"),
+                 F.min("is_array").alias("is_array"),
+                 F.min("origin_sort_index").alias("sort_index"),
+                 F.min("partial_json").alias("value_json"),
+                 F.min("root_id").alias("root_id"))
             .join(n_in, "origin_id")
             .filter(F.col("_n_fail") >= F.col("_n_in"))
             .filter(F.col("value_json").isNotNull()
@@ -497,14 +501,17 @@ class FrontierEngine:
         closed = allout.filter(F.col("row_kind") == "root") \
             .filter(F.col("value_json").isNotNull())
         # deterministic output order: in-page-closed roots by emission
-        # lineage first, then assembled trees by root id
+        # lineage first, then assembled trees by root id. seq sorts as a
+        # NUMBER (a string cast would order seq "10" before "2", diverging
+        # from the sync interpreter's emission order on pages closing ≥10
+        # roots)
         result = (closed
                   .select("value_json",
                           F.col("url_hash").cast("string").alias("_k1"),
-                          F.col("seq").cast("string").alias("_k2"))
+                          F.col("seq").cast("long").alias("_k2"))
                   .unionByName(assembled.select(
                       "value_json", F.col("root_id").alias("_k1"),
-                      F.lit("").alias("_k2")))
+                      F.lit(0).cast("long").alias("_k2")))
                   .orderBy("_k1", "_k2")
                   .select("value_json"))
         return result

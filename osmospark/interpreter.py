@@ -127,7 +127,12 @@ class Runner:
         # scoped deltas fold on top — see _opts_at
         self.base_opts: dict = dict(opts or {})
         self.current_opts: dict = self.base_opts
-        self._opts_cache: dict[int, list[dict]] = {}
+        # keyed by the Chain object itself (weakly): an id()-keyed cache
+        # could silently serve a dead chain's folds to a new chain reusing
+        # the same address on a long-lived Runner
+        import weakref
+        self._opts_cache: "weakref.WeakKeyDictionary[Chain, list[dict]]" = \
+            weakref.WeakKeyDictionary()
         self.results: list = []          # .data(cb) outputs, in arrival order
         self.errors: list[str] = []
         self.logs: list[str] = []
@@ -188,7 +193,10 @@ class Runner:
         self.current_opts = self._opts_at(chain, i)
         if context is not None:
             try:
-                context.doc().opts = self.current_opts
+                # attach a COPY: a user callback mutating ctx.doc().opts must
+                # not corrupt the cached folds shared across positions (the
+                # reference isolates writes via Object.create inheritance)
+                context.doc().opts = dict(self.current_opts)
             except Exception:
                 pass
         handler = _HANDLERS[cmd.name]
@@ -197,8 +205,7 @@ class Runner:
     def _opts_at(self, chain: Chain, i: int) -> dict:
         """Folded options at command position ``i`` (copy-on-write: a new
         dict is built only at positions with a config delta)."""
-        key = id(chain)
-        folds = self._opts_cache.get(key)
+        folds = self._opts_cache.get(chain)
         if folds is None:
             folds = []
             cur = self.base_opts
@@ -214,7 +221,7 @@ class Runner:
                         else:
                             cur[k] = v
                 folds.append(cur)
-            self._opts_cache[key] = folds
+            self._opts_cache[chain] = folds
         if i >= len(folds):
             return folds[-1] if folds else self.base_opts
         return folds[i]
