@@ -27,7 +27,6 @@ Two execution modes:
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,6 +67,9 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+# executor-resident URL-seen state: one row per host bucket
+_STATE_SCHEMA = "bucket int, bitset binary, hashes binary"
 
 
 class FrontierEngine:
@@ -113,24 +115,23 @@ class FrontierEngine:
         # structures per bucket: a Bloom bitset (cheap prefilter, the
         # structure that persists at 10^10 scale) and a sorted exact hash
         # array (the correctness backstop — crawl ordering must be exact).
-        # In local mode both live on the driver and ship via broadcast; on a
-        # cluster they are rows of the state table
-        # (bucket, bitset binary, hashes binary) probed co-partitioned via
-        # mapInPandas — never driver-collected (SURVEY §4 item 2, §7.3).
-        import numpy as np
-        self._bloom = {
-            b: bloom_mod.empty_bitset(self.bloom_bits)
-            for b in range(bloom_buckets)
-        }
-        self._exact = {
-            b: np.empty(0, dtype=np.int64) for b in range(bloom_buckets)
-        }
+        # The state is a DataFrame of rows (bucket, bitset binary,
+        # hashes binary) living on the EXECUTORS (localCheckpoint blocks):
+        # probes and merges run co-partitioned via cogroup+applyInPandas,
+        # so the driver only ever holds the DataFrame handle — never
+        # per-URL data (SURVEY §4 item 2, §7.3). At 10^10 URLs size
+        # ``bloom_buckets`` so each bucket's exact array stays executor-
+        # memory-sized (e.g. 2^14 buckets → ~5 MB/bucket exact + bitset).
+        self._seen_state: DataFrame | None = None
         # auto mode: the seen set is a list of per-round persisted key
         # DataFrames (url_hash); dedup = JVM broadcast LEFT ANTI while the
         # set fits `seen_broadcast_keys`, shuffle anti-join (AQE) beyond.
-        # Deltas are never re-stored — each round persists only its own keys.
+        # Deltas are never re-stored — each round persists only its own
+        # keys; parts compact every ``seen_compact_parts`` rounds so deep
+        # crawls never accumulate unbounded union lineage.
         self._seen_parts: list[DataFrame] = []
         self._seen_count = 0
+        self.seen_compact_parts = 16
 
     # ------------------------------------------------------------------
     # shared round machinery
@@ -155,12 +156,16 @@ class FrontierEngine:
             the seen set fits ``seen_broadcast_keys``, shuffle anti-join that
             AQE can skew-split beyond. The anti-join runs BEFORE the window
             so already-seen rows never enter the shuffle.
-          * ``bloom``: the partitioned Bloom + exact-array probe
-            (mapInPandas), the structure that persists as a state table at
-            10^10 scale — Bloom-NEGATIVE rows are *definitely new*;
-            Bloom-POSITIVE rows are verified against the bucket's exact
-            sorted hash array (``searchsorted``), the backstop that keeps
-            the visit set exact despite Bloom false positives.
+          * ``bloom``: the partitioned Bloom + exact-array probe — the
+            frontier cogroups with the EXECUTOR-RESIDENT state table on the
+            host bucket (``cogroup(...).applyInPandas``), so each bucket's
+            blobs meet its frontier rows co-partitioned, once, with no
+            driver round-trip and no per-row blob duplication (a plain join
+            would copy the bucket blob onto every frontier row).
+            Bloom-NEGATIVE rows are *definitely new*; Bloom-POSITIVE rows
+            are verified against the bucket's exact sorted hash array
+            (``searchsorted``), the backstop that keeps the visit set exact
+            despite Bloom false positives.
         """
         if self.seen_mode != "bloom" and self._seen_parts:
             seen = self._seen_parts[0]
@@ -169,57 +174,54 @@ class FrontierEngine:
             if self._seen_count <= self.seen_broadcast_keys:
                 seen = F.broadcast(seen)
             frontier = frontier.join(seen, "url_hash", "left_anti")
+        if self.seen_mode == "bloom" and self._seen_state is not None:
+            frontier = self._probe_seen_state(frontier)
         w = Window.partitionBy("url_hash").orderBy(
             F.col("depth").desc(),
             F.col("sort_index").asc_nulls_last(),
             F.col("referer").asc_nulls_first(),
         )
-        frontier = (frontier.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn"))
-        if self.seen_mode != "bloom":
-            return frontier
-        state_bc = self.spark.sparkContext.broadcast({
-            b: (self._bloom[b].tobytes(), self._exact[b].tobytes())
-            for b in range(self.bloom_buckets)
-        })
-        buckets = self.bloom_buckets
+        return (frontier.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _probe_seen_state(self, frontier: DataFrame) -> DataFrame:
+        """Filter already-seen rows against the partitioned state table.
+
+        Plan shape: frontier shuffles once on the host bucket;
+        the state side is n_buckets rows read from localCheckpoint blocks.
+        Python sees one (frontier_pdf, state_pdf) pair per bucket."""
         schema = frontier.schema
+        cols = [f.name for f in schema.fields]
+        tagged = frontier.withColumn("_bucket", self._bucket_col())
 
-        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
-            blooms: dict = {}
-            exacts: dict = {}
-            for b, (bl, ex) in state_bc.value.items():
-                blooms[b] = np.frombuffer(bl, dtype=np.uint8)
-                exacts[b] = np.frombuffer(ex, dtype=np.int64)
-            host_bucket: dict[str, int] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf
-                    continue
-                hashes = pdf["url_hash"].to_numpy()
-                hosts = pdf["host"].fillna("")
-                for h in hosts.unique():
-                    if h not in host_bucket:
-                        host_bucket[h] = xxhash64_py(h.encode()) % buckets
-                bucket = hosts.map(host_bucket).to_numpy(dtype=np.int64)
-                seen = np.zeros(len(pdf), dtype=bool)
-                for b in np.unique(bucket):
-                    m = bucket == b
-                    maybe = bloom_mod.contains(blooms[b], hashes[m])
-                    if maybe.any():
-                        ex = exacts[b]
-                        cand = hashes[m][maybe]
-                        pos = np.searchsorted(ex, cand)
-                        pos = np.clip(pos, 0, max(len(ex) - 1, 0))
-                        hit = (ex[pos] == cand) if len(ex) else \
-                            np.zeros(len(cand), dtype=bool)
-                        sub = np.zeros(int(m.sum()), dtype=bool)
-                        sub[maybe] = hit
-                        seen[m] = sub
-                yield pdf[~seen]
+            left = left.drop(columns=["_bucket"])
+            if len(left) == 0 or len(right) == 0:
+                return left
+            bl = np.frombuffer(right["bitset"].iloc[0], dtype=np.uint8)
+            ex = np.frombuffer(right["hashes"].iloc[0], dtype=np.int64)
+            hashes = left["url_hash"].to_numpy(dtype=np.int64)
+            maybe = bloom_mod.contains(bl, hashes)
+            seen = np.zeros(len(left), dtype=bool)
+            if maybe.any() and len(ex):
+                cand = hashes[maybe]
+                pos = np.searchsorted(ex, cand)
+                pos = np.clip(pos, 0, len(ex) - 1)
+                seen[maybe] = ex[pos] == cand
+            return left[~seen]
 
-        return frontier.mapInPandas(probe, schema)
+        return (tagged.groupBy("_bucket")
+                .cogroup(self._seen_state.groupBy("bucket"))
+                .applyInPandas(probe, schema)
+                .select(*cols))
+
+    def _bucket_col(self):
+        """Host bucket of a frontier row — JVM-side, identical on the probe
+        and update paths (F.xxhash64 == urlnorm.xxhash64_py, seed 42)."""
+        return F.pmod(
+            F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
+            F.lit(self.bloom_buckets)).cast("int")
 
     def _note_seen(self, admitted: DataFrame,
                    n_rows: int | None = None) -> None:
@@ -231,10 +233,11 @@ class FrontierEngine:
 
         ``bloom`` backend: deltas are built distributively (one row per host
         bucket via applyInPandas: Bloom bitset + sorted hash array) so only
-        ``n_buckets`` delta rows — not per-URL rows — cross stages; the
-        driver merges them into the broadcast state. On a cluster the same
-        delta rows append to the state table instead (see class
-        docstring)."""
+        ``n_buckets`` delta rows — not per-URL rows — cross stages; they
+        merge into the executor-resident state table via a co-partitioned
+        cogroup (bitset OR + sorted-array union), and the new state
+        checkpoints eagerly. The driver never touches per-URL data — it
+        only swaps the DataFrame handle."""
         if self.seen_mode != "bloom":
             if n_rows is not None:
                 # fast path: ``admitted`` is already a filter over
@@ -242,19 +245,28 @@ class FrontierEngine:
                 # zero extra jobs; the caller supplies the exact count.
                 self._seen_parts.append(admitted.select("url_hash"))
                 self._seen_count += n_rows
-                return
-            # slow path (resume rebuild): checkpoint — NOT persist — so the
-            # part never recomputes through upstream lineage the caller may
-            # later unpersist/invalidate (that recompute is quadratic).
-            part = admitted.select("url_hash").localCheckpoint(eager=True)
-            self._seen_count += part.count()
-            self._seen_parts.append(part)
+            else:
+                # slow path (resume rebuild): checkpoint — NOT persist — so
+                # the part never recomputes through upstream lineage the
+                # caller may later unpersist/invalidate (quadratic).
+                part = admitted.select("url_hash") \
+                    .localCheckpoint(eager=True)
+                self._seen_count += part.count()
+                self._seen_parts.append(part)
+            if len(self._seen_parts) >= self.seen_compact_parts:
+                # compaction: deep crawls would otherwise union one part
+                # per round — linear lineage and one scan-leaf per round.
+                # One merged checkpoint every K rounds keeps the anti-join
+                # a single leaf; total recheckpoint cost is O(seen·R/K).
+                merged = self._seen_parts[0]
+                for p in self._seen_parts[1:]:
+                    merged = merged.unionByName(p)
+                self._seen_parts = [merged.localCheckpoint(eager=True)]
             return
-        import numpy as np
-        buckets = self.bloom_buckets
         bits = self.bloom_bits
 
         def build_delta(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
             hashes = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
             bs = bloom_mod.empty_bitset(bits)
             bloom_mod.add(bs, hashes)
@@ -264,22 +276,38 @@ class FrontierEngine:
                  "hashes": [hashes.tobytes()]})
 
         deltas = (
-            admitted.select(
-                "url_hash",
-                F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
-                       F.lit(buckets)).alias("bucket"))
+            admitted.select("url_hash", self._bucket_col().alias("bucket"))
             .groupBy("bucket")
-            .applyInPandas(build_delta,
-                           "bucket int, bitset binary, hashes binary")
-            .collect()
+            .applyInPandas(build_delta, _STATE_SCHEMA)
         )
-        for r in deltas:
-            self._bloom[r.bucket] = bloom_mod.union(
-                self._bloom[r.bucket],
-                np.frombuffer(r.bitset, dtype=np.uint8).copy())
-            delta = np.frombuffer(r.hashes, dtype=np.int64)
-            merged = np.union1d(self._exact[r.bucket], delta)
-            self._exact[r.bucket] = merged
+        if self._seen_state is None:
+            new_state = deltas
+        else:
+            def merge_state(left: pd.DataFrame,
+                            right: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+                rows = pd.concat([left, right], ignore_index=True)
+                if len(rows) <= 1:
+                    return rows
+                bs = np.frombuffer(rows["bitset"].iloc[0],
+                                   dtype=np.uint8).copy()
+                ex = np.frombuffer(rows["hashes"].iloc[0], dtype=np.int64)
+                for i in range(1, len(rows)):
+                    bs |= np.frombuffer(rows["bitset"].iloc[i],
+                                        dtype=np.uint8)
+                    ex = np.union1d(ex, np.frombuffer(
+                        rows["hashes"].iloc[i], dtype=np.int64))
+                return pd.DataFrame({
+                    "bucket": [int(rows["bucket"].iloc[0])],
+                    "bitset": [bs.tobytes()], "hashes": [ex.tobytes()]})
+
+            new_state = (self._seen_state.groupBy("bucket")
+                         .cogroup(deltas.groupBy("bucket"))
+                         .applyInPandas(merge_state, _STATE_SCHEMA))
+        # eager: materialize the new state from the old checkpoint blocks
+        # BEFORE dropping the old handle (ContextCleaner then reclaims the
+        # old blocks). One bounded job per round: n_buckets rows.
+        self._seen_state = new_state.localCheckpoint(eager=True)
 
     def _rank_politeness(self, frontier: DataFrame) -> DataFrame:
         """Per-host fetch-slot ranking (SURVEY §2.6): adds ``_rank``/``_slots``

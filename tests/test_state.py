@@ -110,11 +110,61 @@ def test_crawl_resume_from_state(spark, tmp_path):
     assert again.count() == n
 
 
-def test_crawl_resume_matches_one_shot(spark, tmp_path):
+def test_bloom_mode_matches_auto_and_keeps_state_off_driver(spark):
+    """seen_mode='bloom': the URL-seen structure lives in an
+    executor-resident state DataFrame of (bucket, bitset, hashes) rows —
+    the driver holds ONLY the handle, no per-URL data — and the visit set
+    is identical to auto (exact anti-join) mode."""
+    from osmospark.corpus import synth_corpus_df, synth_seed_urls
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 400, 4, weight=1).cache()
+    pages.count()
+    seeds = synth_seed_urls(4)
+    auto = FrontierEngine(spark, pages, dedup=True)
+    rec_a, _ = auto.run_crawl(seeds, "li > a", extract_spec=None,
+                              max_depth=4)
+    blm = FrontierEngine(spark, pages, dedup=True, seen_mode="bloom",
+                         bloom_buckets=8)
+    rec_b, _ = blm.run_crawl(seeds, "li > a", extract_spec=None,
+                             max_depth=4)
+    urls_a = {r.url for r in rec_a.select("url").collect()}
+    urls_b = {r.url for r in rec_b.select("url").collect()}
+    assert urls_a == urls_b and len(urls_a) > 10
+    # no per-URL state structure on the driver (the round-1 weakness):
+    assert not hasattr(blm, "_bloom") and not hasattr(blm, "_exact")
+    state_rows = blm._seen_state.count()
+    assert 0 < state_rows <= 8  # one row per host bucket, nothing else
+
+
+def test_seen_part_compaction_bounds_parts_and_preserves_visits(spark):
+    """auto mode: per-round seen parts compact every K rounds so deep
+    crawls never accumulate one union leaf per round."""
+    from osmospark.corpus import synth_corpus_df, synth_seed_urls
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 200, 3, weight=1).cache()
+    pages.count()
+    seeds = synth_seed_urls(3)
+    e1 = FrontierEngine(spark, pages, dedup=True)
+    e1.seen_compact_parts = 2
+    rec1, v1 = e1.run_crawl(seeds, "li > a", extract_spec=None, max_depth=6)
+    assert len(e1._seen_parts) <= 2
+    e2 = FrontierEngine(spark, pages, dedup=True)  # default: no compaction
+    rec2, v2 = e2.run_crawl(seeds, "li > a", extract_spec=None, max_depth=6)
+    assert {r.url for r in rec1.select("url").collect()} == \
+        {r.url for r in rec2.select("url").collect()}
+    assert len(v1) == len(v2)
+
+
+@pytest.mark.parametrize("seen_mode", ["auto", "bloom"])
+def test_crawl_resume_matches_one_shot(spark, tmp_path, seen_mode):
     """North rule: any round is resumable. A crawl interrupted after k
     rounds and resumed from the committed frontier + seen state must visit
     EXACTLY the set a one-shot crawl visits (URL-seen rebuild buckets
-    identically; within-round dedup picks the deterministic winner)."""
+    identically; within-round dedup picks the deterministic winner).
+    Runs under both seen backends (exact anti-join and the partitioned
+    Bloom+exact state table)."""
     from osmospark.corpus import synth_corpus_df, synth_seed_urls
     from osmospark.frontier import FrontierEngine
     from osmospark.tableio import TableIO
@@ -125,20 +175,22 @@ def test_crawl_resume_matches_one_shot(spark, tmp_path):
     spec = {"payload": "div"}
 
     io = TableIO(str(tmp_path / "s"), spark)
-    eng = FrontierEngine(spark, pages, state=io, dedup=True, politeness=True)
+    eng = FrontierEngine(spark, pages, state=io, dedup=True, politeness=True,
+                         seen_mode=seen_mode)
     eng.run_crawl(seeds, "li > a", extract_spec=spec,
                   max_depth=6, max_rounds=2)
 
     io2 = TableIO(str(tmp_path / "s"), spark)
     last = io2.last_round("frontier")
     eng2 = FrontierEngine(spark, pages, state=io2, dedup=True,
-                          politeness=True)
+                          politeness=True, seen_mode=seen_mode)
     rec2, _ = eng2.run_crawl(
         [], "li > a", extract_spec=spec, max_depth=6, max_rounds=2,
         resume_frontier=io2.read_round("frontier", last),
         start_round=last + 1)
 
-    eng3 = FrontierEngine(spark, pages, dedup=True, politeness=True)
+    eng3 = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                          seen_mode=seen_mode)
     rec3, _ = eng3.run_crawl(seeds, "li > a", extract_spec=spec,
                              max_depth=6, max_rounds=4)
     resumed = {r.url for r in rec2.select("url").collect()}
