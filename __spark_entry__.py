@@ -85,6 +85,83 @@ def _engine(spark, sf_dir, **kw):
 # queries
 # --------------------------------------------------------------------------
 
+NESTED_ROOTS = 40
+PAGINATE_LIMIT = 10
+
+
+def q_nested_set_follow(spark, sf_dir):
+    """Nested set+follow merge-up (reference test/set.js:165-168
+    get_nested_follow): cross-page record trees assembled by the
+    distributed groupBy(root_id) sort-agg merge. One record per root doc:
+    its title + the titles of its two linked pages, in link order."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    pages = doc_pages(spark, sf_dir)
+    idx_html = "".join(
+        f'<a href="/d/{i}"></a>' for i in range(NESTED_ROOTS))
+    idx = spark.createDataFrame(
+        [(f"{DOC_HOST}/nested-index", None, idx_html.encode("utf-8"),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    chain = (O.get(f"{DOC_HOST}/nested-index")
+             .follow("a")
+             .set({"title": "title",
+                   "children": O.follow("li > a").set({"t": "title"})}))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.title").alias("title"),
+        F.get_json_object("value_json", "$.children").alias("children"))
+        .orderBy("title"))
+
+
+def q_paginate_chain(spark, sf_dir):
+    """paginate link-mode chain (reference test/paginate.js:7-33 +
+    lib/commands/paginate.js:26-104): each doc page's first list link is
+    the 'next page'; records emitted per visited page up to the limit."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    chain = (O.get(f"{DOC_HOST}/d/0")
+             .paginate("ul > li:first > a", PAGINATE_LIMIT)
+             .set("page", "title"))
+    out = FrontierEngine(spark, doc_pages(spark, sf_dir)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.page").alias("page"))
+        .orderBy("page"))
+
+
+def q_submit_params(spark, sf_dir):
+    """submit param-collection matrix (reference test/submit.js:133-198 +
+    lib/Form.js:84-174): the distributed POST/GET form submits join the
+    corpus on params-keyed fetch keys; the echo pages record exactly the
+    collected params. The oracle is the reference's own expected matrix."""
+    from osmospark.corpus import (
+        FIXTURE_HOST, fixture_pages, fixture_store, pages_rows,
+        post_pages_rows,
+    )
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    rows = pages_rows(fixture_pages(), with_text=False) \
+        + post_pages_rows(fixture_store())
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    parts = []
+    for variant, selector in (("form1_post", "form"),
+                              ("form2_get", "#form2")):
+        chain = (O.get(f"{FIXTURE_HOST}/submit-form").submit(selector)
+                 .set({"method": "#method", "data": "#data"}))
+        out = FrontierEngine(spark, pages_df).run_chain(chain)
+        parts.append(out.select(
+            F.lit(variant).alias("variant"),
+            F.get_json_object("value_json", "$.method").alias("method"),
+            F.get_json_object("value_json", "$.data").alias("data")))
+    return parts[0].unionByName(parts[1]).orderBy("variant")
+
+
 def q_crawl_extract(spark, sf_dir):
     """Flagship: the extraction UDF over the whole corpus — find/set/@attr
     semantics at scale (SURVEY §2.2). One mapInPandas pass, zero shuffles."""
@@ -285,9 +362,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """ANN scale path: sign-LSH buckets + multiprobe + exact rerank.
-    Non-SQL-expressible concisely → rows-only driver check; recall vs the
-    exact baseline is asserted in tests/test_functions.py."""
+    """ANN scale path: sign-LSH buckets + multiprobe + exact rerank. The
+    hyperplanes are deterministic seeded constants, so the oracle inlines
+    them as literal arrays and mirrors the full pipeline in SQL; recall vs
+    the exact baseline is additionally asserted in tests/test_functions.py."""
     return lsh_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5)
 
 
@@ -314,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
+        "nested_set_follow": q_nested_set_follow,
+        "paginate_chain": q_paginate_chain,
+        "submit_params": q_submit_params,
         "find_explode": q_find_explode,
         "filter_contains": q_filter_contains,
         "filter_regex": q_filter_regex,
@@ -464,9 +545,104 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # -- ann_lsh: the hyperplanes are deterministic Python constants, so
+    # the full multi-table + multiprobe + rerank pipeline is expressible
+    # as SQL with the planes inlined as literal arrays
+    from osmospark.functions.similarity import hyperplanes as _hp
+    ann_dim, ann_planes, ann_tables = 64, 4, 3
+    all_planes = [_hp(ann_dim, ann_planes, seed=42 + 1000 * t)
+                  for t in range(ann_tables)]
+
+    def _plane_lit(p):
+        return "[" + ",".join(repr(float(c)) for c in p) + "]"
+
+    def _bucket_sql(planes):
+        bits = [
+            f"(CASE WHEN list_sum(list_transform(range(1, {ann_dim + 1}), "
+            f"i -> v[i] * ({_plane_lit(p)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes]
+        return " || ".join(bits)
+
+    ann_ids = ",".join(str(i) for i in ANN_QUERIES)
+    ann_lsh_sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+            {" UNION ALL ".join(
+                f"SELECT vec_id, {t} AS tbl, "
+                f"{_bucket_sql(all_planes[t])} AS bucket FROM e"
+                for t in range(ann_tables))}
+        ),
+        qb AS (SELECT vec_id AS query_id, tbl, bucket AS qbucket
+               FROM b WHERE vec_id IN ({ann_ids})),
+        probes AS (
+            SELECT DISTINCT query_id, tbl, bucket FROM (
+                SELECT query_id, tbl, qbucket AS bucket FROM qb
+                UNION ALL
+                SELECT query_id, tbl,
+                       substr(qbucket, 1, r.i - 1) ||
+                       (CASE WHEN substr(qbucket, r.i, 1) = '1'
+                             THEN '0' ELSE '1' END) ||
+                       substr(qbucket, r.i + 1) AS bucket
+                FROM qb, range(1, {ann_planes + 1}) r(i)
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, b.vec_id
+            FROM probes p
+            JOIN b ON b.tbl = p.tbl AND b.bucket = p.bucket
+            WHERE b.vec_id <> p.query_id
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ann_ids})),
+        s AS (
+            SELECT c.query_id, c.vec_id,
+                   list_sum(list_transform(range(1, len(ev.v) + 1),
+                            i -> q.qv[i] * ev.v[i]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ev.v, x -> x * x))))
+                   AS sim
+            FROM cand c
+            JOIN e ev ON ev.vec_id = c.vec_id
+            JOIN q ON q.query_id = c.query_id
+        )
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    submit_expected_post = (
+        '{"s1":"2","s2":"two","cb2":"two","cb3[0]":"one","cb3[1]":"on",'
+        '"cb3[2]":"on","ta":"text area test","sub1":"submit"}')
+    submit_expected_get = '{"it1":"test","sub1":"button"}'
+
     return {
         "crawl_extract": crawl_extract_sql,
         "crawl_frontier": crawl_frontier_sql,
+        "nested_set_follow": f"""
+            SELECT 'doc ' || doc_id AS title,
+                   '[{{"t":"doc ' || ((doc_id + 1) % {n_docs}) ||
+                   '"}},{{"t":"doc ' || ((doc_id * 7 + 3) % {n_docs}) ||
+                   '"}}]' AS children
+            FROM documents WHERE doc_id < {NESTED_ROOTS}
+            ORDER BY title
+        """,
+        "paginate_chain": f"""
+            SELECT 'doc ' || doc_id AS page FROM documents
+            WHERE doc_id <= {PAGINATE_LIMIT} ORDER BY page
+        """,
+        # expected params copied from reference test/submit.js:107-131
+        # getInputs() goldens (the reference's own assertion matrix)
+        "submit_params": f"""
+            SELECT * FROM (VALUES
+                ('form1_post', 'POST', '{submit_expected_post}'),
+                ('form2_get', 'GET', '{submit_expected_get}')
+            ) AS t(variant, method, data) ORDER BY variant
+        """,
+        "ann_lsh": ann_lsh_sql,
         "find_explode": f"""
             SELECT doc_id, (u.i - 1)::INT AS pos, w[u.i] AS word
             FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -595,5 +771,5 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates": near_dup_sql,
         "simhash": simhash_sql,
         "ann_topk": ann_sql,
-        # ann_lsh / media_features: non-SQL-expressible → rows-only check
+        # media_features: non-SQL-expressible (binary decode) → rows-only
     }

@@ -158,14 +158,17 @@ PARSE_HTML = '<body><a href="/rel"></a></body>'
 
 
 class Page:
-    __slots__ = ("url", "html", "status", "delay_ms", "lang")
+    __slots__ = ("url", "html", "status", "delay_ms", "lang",
+                 "content_type")
 
-    def __init__(self, url, html, status=200, delay_ms=0, lang="en"):
+    def __init__(self, url, html, status=200, delay_ms=0, lang="en",
+                 content_type="text/html"):
         self.url = url
         self.html = html
         self.status = status
         self.delay_ms = delay_ms
         self.lang = lang
+        self.content_type = content_type
 
 
 def fixture_pages() -> list[Page]:
@@ -182,6 +185,26 @@ def fixture_pages() -> list[Page]:
         Page(f"{h}{FOLLOW_UTF8_TARGET_HREF.replace('%20', ' ')}",
              FOLLOW_UTF8_TARGET_HTML, lang="hi"),
     ]
+    # reference test/process_response_option.js:61-72 server fixtures
+    pages.append(Page(f"{h}/response-code-200", "hi"))
+    pages.append(Page(f"{h}/response-bold-hi", "<body><b>hi</b></body>"))
+    pages.append(Page(f"{h}/response-code-no-body-end",
+                      "<body>but no end body"))
+    # fetch error taxonomy fixtures (reference lib/Request.js:30-68) +
+    # content-type → response.type (Request.js:128-142)
+    pages.append(Page(f"{h}/error-500", "<body>oops</body>", status=500))
+    pages.append(Page(f"{h}/empty", ""))
+    pages.append(Page(f"{h}/feed", "<root><item>1</item></root>",
+                      content_type="application/xml"))
+    # pause/resume/stop fixtures (reference test/resume.js:37-50 page shape:
+    # one index of N same-host links; test/stop.js:31-34 self-link page)
+    pages.append(Page(
+        f"{h}/pause",
+        "".join(f'<a href="/pause-page/{k}"></a>' for k in range(1, 6))))
+    for k in range(1, 6):
+        pages.append(Page(f"{h}/pause-page/{k}", f"<div>{k}</div>"))
+    pages.append(Page(f"{h}/delay-response",
+                      '<a href="/delay-response"></a>'))
     for k in range(1, 6):
         pages.append(Page(f"{h}/follow?page={k}", follow_page_html(k)))
     for k in range(1, 7):

@@ -125,11 +125,12 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
     # assembly is a plain groupBy(root_id) — the distributed sortKey merge
     incoming_root = row.get("root_id")
 
-    if row.get("html") is None:
-        # fetch miss: metric + fail marker for the all-failed fallback merge
-        em.emit(row_kind="metric", host=row.get("host"), fetched=1, parsed=0,
-                errors=1, depth=depth,
-                error_msg=f"[{row.get('method') or 'get'}] {row['url']} - 404")
+    def _fetch_fail(msg: str) -> list[dict]:
+        """metric + fail marker driving the all-failed fallback merge —
+        shared by the whole fetch error taxonomy (reference
+        lib/Request.js:30-68: HTTP error / empty data / no root)."""
+        em.emit(row_kind="metric", host=row.get("host"), fetched=1,
+                parsed=0, errors=1, depth=depth, error_msg=msg)
         if row.get("parent_record_id") is not None:
             em.emit(row_kind="fail",
                     parent_record_id=row.get("parent_record_id"),
@@ -142,13 +143,39 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
                     root_id=incoming_root or row.get("parent_record_id"))
         return em.rows
 
+    if row.get("html") is None:
+        return _fetch_fail(
+            f"[{row.get('method') or 'get'}] {row['url']} - 404")
+
+    resume_index = int(row.get("resume_index") or 0)
+    chain = chains[int(row.get("chain_idx") or 0)]
+
+    html = row["html"]
+    if len(html) == 0:
+        return _fetch_fail("Data is empty")
+    # process_response hook at the resume position's folded opts (the
+    # distributed analogue of the sync request path's scoped hook)
+    hook_runner = Runner(page_scope=True)
+    opts_here = hook_runner._opts_at(chain, resume_index)
+    hook = opts_here.get("process_response")
+    if callable(hook):
+        from .interpreter import _ResponseMeta, apply_process_response
+        html, err = apply_process_response(
+            hook, html,
+            _ResponseMeta(int(row.get("page_status") or 200), "text/html",
+                          row["url"]))
+        if err is not None:
+            return _fetch_fail(str(err))
+
     params = json.loads(row["params_json"]) if row.get("params_json") else None
     doc = build_document(
-        row["html"], row["url"], method=row.get("method") or "get",
+        html, row["url"], method=row.get("method") or "get",
         params=params, referer=row.get("referer"),
         status=int(row.get("page_status") or 200),
         count=int(row["count"]) if row.get("count") is not None else None,
     )
+    if doc.root is None:
+        return _fetch_fail("Document has no root")
 
     data = Record()
     captured: list = []
@@ -179,8 +206,6 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
             _orig_end(chain_, context, d)
 
     runner._end = _end
-    resume_index = int(row.get("resume_index") or 0)
-    chain = chains[int(row.get("chain_idx") or 0)]
     chain_index_of = {id(c): i for i, c in enumerate(chains)}
     try:
         runner.resume(chain, resume_index, doc, data)
@@ -319,7 +344,7 @@ def _kind_frame(row_kind: str, n: int, data: dict) -> pd.DataFrame:
 
 
 def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
-                   hash_conts: bool = True):
+                   hash_conts: bool = True, process_response=None):
     """Crawl-mode mapInPandas: per page, evaluate a static extraction spec
     locally (records close per page) and expand outlinks via the follow
     selector — the 10^10-scale fast path. Raw-encoding URL capture mirrors
@@ -385,7 +410,30 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                     m_errors[i] = 1
                     m_msg[i] = f"{urls[i]} - 404"
                     continue
+                # fetch error taxonomy (reference lib/Request.js:30-68)
+                if len(html) == 0:
+                    m_fetched[i] = 1
+                    m_errors[i] = 1
+                    m_msg[i] = "Data is empty"
+                    continue
+                if process_response is not None:
+                    from .interpreter import (
+                        _ResponseMeta, apply_process_response,
+                    )
+                    html, err = apply_process_response(
+                        process_response, html,
+                        _ResponseMeta(200, "text/html", urls[i]))
+                    if err is not None:
+                        m_fetched[i] = 1
+                        m_errors[i] = 1
+                        m_msg[i] = str(err)
+                        continue
                 doc = build_document(html, urls[i], referer=refs[i])
+                if doc.root is None:
+                    m_fetched[i] = 1
+                    m_errors[i] = 1
+                    m_msg[i] = "Document has no root"
+                    continue
                 errors = 0
                 if spec_chain is None:
                     # no extraction spec: the visit itself is the record

@@ -132,6 +132,17 @@ class FrontierEngine:
         self._seen_parts: list[DataFrame] = []
         self._seen_count = 0
         self.seen_compact_parts = 16
+        # chain-level pause surface: .pause() requests a stop at the next
+        # round boundary (the distributed analogue of the reference's
+        # request-queue pause); on_round_end fires after each committed
+        # round so callers can decide to pause/stop mid-crawl
+        self._pause_requested = False
+        self.on_round_end = None
+
+    def pause(self) -> None:
+        """Request a pause at the next round boundary (resume via
+        ``run_crawl(resume_frontier=..., start_round=...)``)."""
+        self._pause_requested = True
 
     # ------------------------------------------------------------------
     # shared round machinery
@@ -598,6 +609,7 @@ class FrontierEngine:
         max_rounds: int | None = None,
         resume_frontier: DataFrame | None = None,
         start_round: int = 0,
+        process_response=None,
     ):
         """Seed → extract → follow recursion with URL-seen dedup, robots,
         politeness and DFS-priority admission. Records close per page (no
@@ -645,7 +657,8 @@ class FrontierEngine:
         # the engine recomputes cont url_hash JVM-side (F.xxhash64 ==
         # xxhash64_py, verified) — the UDF skips per-link Python hashing
         crawl_udf = make_crawl_udf(extract_spec, follow_selector,
-                                   hash_conts=False)
+                                   hash_conts=False,
+                                   process_response=process_response)
 
         # Each round is exactly TWO substantial jobs, both fully parallel:
         #   A. admission pipeline (seen anti-join/probe → within-round window
@@ -747,6 +760,14 @@ class FrontierEngine:
                                "phases": phase_t})
             frontier = conts
             round_no += 1
+            if self.on_round_end is not None:
+                self.on_round_end(visit_meta[-1])
+            if self._pause_requested:
+                # chain-level .pause() analogue (reference index.js:364-382)
+                # at round granularity: the round just committed is the
+                # resume point — run_crawl(resume_frontier=state.read_round(
+                # 'frontier', k), start_round=k+1) continues the crawl
+                break
 
         self._flush_metrics()
         if self.state is not None:

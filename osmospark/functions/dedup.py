@@ -18,11 +18,16 @@ space — because that exact expression also runs on the DuckDB oracle side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import logging
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 N_MINHASH = 12          # signature length
 LSH_BANDS = 4           # bands of 3 rows each
 SHINGLE_W = 3           # 3-word shingles
+MAX_BAND_BUCKET = 2000  # band-bucket size cap (anti-skew, see below)
+
+log = logging.getLogger("osmospark.dedup")
 
 
 def _norm_text(col):
@@ -81,9 +86,20 @@ def minhash_signatures(documents: DataFrame,
 
 def lsh_candidate_pairs(documents: DataFrame,
                         n_hashes: int = N_MINHASH,
-                        bands: int = LSH_BANDS) -> DataFrame:
+                        bands: int = LSH_BANDS,
+                        max_bucket_size: int | None = MAX_BAND_BUCKET,
+                        ) -> DataFrame:
     """Banded LSH: documents sharing any band key become candidate pairs.
-    Shuffles: one per band groupBy — all on short string keys."""
+    Shuffles: one per band groupBy — all on short string keys.
+
+    Skew guard: a band bucket larger than ``max_bucket_size`` (identical
+    boilerplate across a big corpus) would make the self-join quadratic in
+    that bucket — standard MinHash-LSH practice is to DROP such buckets
+    (its members are near-identical to thousands of others; exact dedup
+    catches them far cheaper than pairwise LSH). The drop is never silent:
+    the count of dropped buckets is logged at WARNING. Output is identical
+    whenever no bucket exceeds the cap; pass ``max_bucket_size=None`` to
+    disable."""
     sigs = minhash_signatures(documents, n_hashes)
     rows = n_hashes // bands
     # ONE projection computes every band key (a per-band union would make
@@ -101,8 +117,23 @@ def lsh_candidate_pairs(documents: DataFrame,
     # materialize once: the self-join reads both sides from storage instead
     # of re-running the signature computation per side
     exploded = exploded.persist()
-    a = exploded.alias("a")
-    b_ = exploded.alias("b")
+    joinable = exploded
+    if max_bucket_size is not None:
+        # bucket-size window shuffles on the SAME key as the self-join, so
+        # AQE/exchange reuse keeps the added cost one pass over short keys
+        w = Window.partitionBy("band", "band_key")
+        sized = exploded.withColumn("_bsz", F.count("*").over(w))
+        joinable = sized.filter(F.col("_bsz") <= max_bucket_size) \
+            .drop("_bsz")
+        n_dropped = (sized.filter(F.col("_bsz") > max_bucket_size)
+                     .select("band", "band_key").distinct().count())
+        if n_dropped:
+            log.warning(
+                "LSH: dropped %d band buckets over the %d-member cap "
+                "(near-identical boilerplate; exact dedup handles these)",
+                n_dropped, max_bucket_size)
+    a = joinable.alias("a")
+    b_ = joinable.alias("b")
     pairs = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
@@ -111,6 +142,11 @@ def lsh_candidate_pairs(documents: DataFrame,
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # materialize the (small) pair list so the persisted exploded frame can
+    # be released immediately — a bare unpersist would otherwise silently
+    # invalidate downstream plans still reading it
+    pairs = pairs.localCheckpoint(eager=True)
+    exploded.unpersist()
     return pairs
 
 

@@ -42,28 +42,33 @@ def _decode_bytes(payload: bytes, kind: str, fake: bool):
 def media_features(kind_filter: str | None = None, fake: bool = True,
                    frame_stride: int = 2):
     """mapInPandas op: decode → feature-extract → (optionally) frame-sample.
-    Returns the UDF for ``df.mapInPandas(fn, FEATURE_SCHEMA)``."""
+    Returns the UDF for ``df.mapInPandas(fn, FEATURE_SCHEMA)``.
+
+    Bookkeeping (kind filter, byte counts, id/kind columns) is columnar on
+    the Arrow batch; only the decode itself — inherently per-item on an
+    opaque binary payload — runs in a Python loop. Swapping in a real
+    decoder (PIL/av/torchaudio) changes only ``_decode_bytes``."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.to_dict("records"):
-                if kind_filter and r["kind"] != kind_filter:
-                    continue
-                payload = bytes(r["payload"] or b"")
-                feat = _decode_bytes(payload, r["kind"], fake)
-                if r["kind"] == "video":
+            if kind_filter is not None:
+                pdf = pdf[pdf["kind"] == kind_filter]
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf["payload"]]
+            kinds = pdf["kind"].tolist()
+            feats = []
+            for payload, kind in zip(payloads, kinds):
+                feat = _decode_bytes(payload, kind, fake)
+                if kind == "video":
                     feat = feat[::frame_stride]  # frame sampling
-                rows.append({
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
-                    "n_bytes": len(payload),
-                    "feat": [float(x) for x in feat],
-                    "frames": len(feat),
-                })
-            yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "n_bytes", "feat",
-                               "frames"])
+                feats.append([float(x) for x in feat])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": kinds,
+                "n_bytes": [len(p) for p in payloads],
+                "feat": feats,
+                "frames": [len(f) for f in feats],
+            }, columns=["media_id", "kind", "n_bytes", "feat", "frames"])
 
     return fn
 

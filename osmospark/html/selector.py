@@ -365,6 +365,10 @@ def _parse_pseudo(name: str, arg):
         return _pred_internal(True), None
     if name == "external":
         return _pred_internal(False), None
+    if name == "domain":
+        return _pred_link_part("domain", _strip_quotes(arg or "")), None
+    if name == "path":
+        return _pred_link_part("path", _strip_quotes(arg or "")), None
     if name == "html" or name == "source":
         # handled at the `set` level (reference lib/commands/set.js:4-5);
         # reaching here means the caller did not strip it
@@ -410,6 +414,30 @@ def _pred_internal(want_internal: bool):
                 href if _SCHEME_RE.match(href) else "http:" + href
             ).netloc == base_host
         return internal == want_internal
+    return pred
+
+
+def _pred_link_part(part: str, want: str):
+    """``:domain(host)`` / ``:path(prefix)`` — search links by the domain /
+    path of their RESOLVED href (reference Changes.md:92-95 lists both
+    pseudos; css2xpath is not vendored in the reference, so the semantics
+    here are the documented intent: domain matches the link host exactly or
+    as a parent domain, path matches as a path prefix)."""
+    from ..urlnorm import resolve as _resolve
+
+    def pred(node, env):
+        if not isinstance(node, Element):
+            return False
+        href = node.get_attribute("href")
+        if href is None:
+            return False
+        resolved = _resolve(env.get("base"), href)
+        parts = urlsplit(resolved)
+        if part == "domain":
+            host = parts.netloc.rsplit("@", 1)[-1].split(":")[0].lower()
+            w = want.lower()
+            return host == w or host.endswith("." + w)
+        return parts.path.startswith(want)
     return pred
 
 

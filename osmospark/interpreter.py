@@ -30,7 +30,7 @@ from .forms import form_action, form_method, form_params
 from .html import Attribute, Document, Element, compile_selector, parse_html
 from .html.parser import Node, TextNode
 from .record import _UNSET, Record
-from .spec import Chain, Cmd
+from .spec import Chain, Cmd, collect_chains
 from .urlnorm import resolve as _resolve_url
 
 DEFAULT_TRIES = 3        # reference index.js:104
@@ -74,6 +74,12 @@ class Continuation:
 
     def __init__(self, method, url, params, resume_index, data, sort_index,
                  kind, count=None, referer=None, chain=None):
+        if method == "get" and isinstance(params, dict) and params:
+            # GET params merge into the URL at the fetch boundary exactly
+            # as the sync request layer does (reference
+            # lib/Command.js:343-351) — the distributed fetch joins the
+            # corpus on the FULL url, so the params must already be there
+            url, params = _merge_get_params(url, params)
         self.method = method
         self.url = url
         self.params = params
@@ -140,26 +146,71 @@ class Runner:
         self.continuations: list[Continuation] = []
         self.child_values: list = []     # ProxyRecord captures
         self.stopped = False
+        # chain-level pause/resume (reference lib/commands/pause.js /
+        # resume.js: instance-level flags; paused work queues and resumes)
+        self.paused = False
+        self._deferred: list = []        # (chain, i, context, data)
+        self._root_chain: Chain | None = None
+        self._done_fired = False
 
     # -- entry points ---------------------------------------------------
     def run(self, chain: Chain, context=None, data: Record | None = None):
         """Run a chain from its first command. Returns .data() results."""
         if data is None:
             data = Record()
+        self._attach(chain)
+        self._root_chain = chain
+        self._done_fired = False
         self._start(chain, 0, context, data)
-        for cb in chain.on_done:
-            cb()
+        self._maybe_done()
         return self.results
 
     def resume(self, chain: Chain, index: int, context, data: Record):
         """Resume at command ``index`` (used for round continuations)."""
+        self._attach(chain)
         self._start(chain, index, context, data)
+
+    def _attach(self, chain: Chain) -> None:
+        """Bind this runner to every chain reachable from ``chain`` (the
+        analogue of reference index.js:350-354 setParent: nested instances
+        share the parent instance's queue, so chain.pause()/.resume()/
+        .stop() act on the whole run). Pre-run flags set on the chain
+        before a runner existed are folded in."""
+        for c in collect_chains(chain):
+            c._runner = self
+        if getattr(chain, "_stopped_flag", False):
+            self.stopped = True
+        if getattr(chain, "_paused_flag", False):
+            self.paused = True
+
+    def _drain(self) -> None:
+        """Execute work deferred while paused (reference index.js:364-377
+        resumeQueue flush)."""
+        while self._deferred and not self.paused and not self.stopped:
+            chain, i, context, data = self._deferred.pop(0)
+            self._start(chain, i, context, data)
+
+    def _maybe_done(self) -> None:
+        """Fire .done() callbacks once all work has drained (or the run
+        was stopped — the reference fires done after stop too,
+        test/stop.js)."""
+        if (self._deferred or self.paused) and not self.stopped:
+            return
+        if self._root_chain is not None and not self._done_fired:
+            self._done_fired = True
+            for cb in self._root_chain.on_done:
+                cb()
 
     # -- interpreter core (reference lib/Command.js:117-181) --------------
     def _start(self, chain: Chain, i: int, context, data: Record) -> None:
         if context is None and i > 0:
             return
         if self.stopped:
+            return
+        if self.paused:
+            # reference Command.js:133-139: paused instances queue the
+            # pending start on the resume queue
+            self._deferred.append((chain, i, context, data))
             return
         if i >= len(chain.commands):
             self._end(chain, context, data)
@@ -203,16 +254,32 @@ class Runner:
         handler(self, chain, i, cmd, context, data, next_fn, done_fn)
 
     def _opts_at(self, chain: Chain, i: int) -> dict:
-        """Folded options at command position ``i`` (copy-on-write: a new
-        dict is built only at positions with a config delta)."""
+        """Folded options at command position ``i``.
+
+        Reference semantics (lib/commands/config.js doc: options apply to
+        "the *preceding* command on down the chain"; config-type commands
+        don't create chain nodes — they mutate the previous real command's
+        prototype-linked opts at build time, lib/Command.js:229-251). So a
+        config delta at position j takes effect from the nearest preceding
+        NON-config command onward — ``.get(url).config({tries: 9})``
+        configures the get's own request. Copy-on-write: a new dict is
+        built only at positions where a delta lands."""
         folds = self._opts_cache.get(chain)
         if folds is None:
+            deltas_at: dict[int, list[dict]] = {}
+            last_real = 0
+            for j, cmd in enumerate(chain.commands):
+                if cmd.name == "config":
+                    start = last_real if j > 0 else 0
+                    deltas_at.setdefault(start, []).append(cmd.args[0])
+                else:
+                    last_real = j
             folds = []
             cur = self.base_opts
-            for cmd in chain.commands:
-                if cmd.name == "config":
+            for j in range(len(chain.commands)):
+                for delta in deltas_at.get(j, ()):
                     cur = dict(cur)
-                    for k, v in cmd.args[0].items():
+                    for k, v in delta.items():
                         if k in ("headers", "cookies") and isinstance(
                                 v, dict):
                             merged = dict(cur.get(k) or {})
@@ -266,15 +333,7 @@ class Runner:
 
         query = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
         if method == "get" and isinstance(params, dict):
-            for k, v in params.items():
-                if isinstance(v, (list, tuple)):
-                    # qs-style indexed serialization (the reference's needle
-                    # client encodes array params as name[0], name[1], ...)
-                    for j, item in enumerate(v):
-                        query[f"{k}[{j}]"] = _param_str(item)
-                else:
-                    query[k] = _param_str(v)
-            url = _set_query(url, query)
+            url, query = _merge_get_params(url, params)
             params = query
 
         # scoped opts → request headers/cookies/user-agent
@@ -300,9 +359,48 @@ class Runner:
             self._error(chain, cmd, f"[{method}] {url} - {status}")
             cb(status, None)
             return
-        doc = build_document(page.html, final_url, method=method,
+        # fetch error taxonomy (reference lib/Request.js:30-68)
+        if 400 <= status <= 500 and not opts.get("ignore_http_errors"):
+            msg = f"{status} {_STATUS_TEXT.get(status, 'Error')}"
+            self._error(chain, cmd, msg)
+            cb(msg, None)
+            return
+        raw = page.html
+        if raw is None or len(raw) == 0:
+            self._error(chain, cmd, "Data is empty")
+            cb("Data is empty", None)
+            return
+
+        # process_response hook (reference lib/Request.js:88-100): sync
+        # form returns replacement data; async form (arity > 2) gets
+        # (data, res, next[, callback]) and either next(data') or
+        # callback(err)
+        hook = opts.get("process_response")
+        if callable(hook):
+            meta = _ResponseMeta(status, getattr(page, "content_type",
+                                                 "text/html"), final_url)
+            raw, err = apply_process_response(hook, raw, meta)
+            if err is not None:
+                self._error(chain, cmd, err)
+                cb(err, None)
+                return
+
+        if opts.get("parse") is False:
+            # reference Request.js:43-46: skip parsing; downstream
+            # commands receive the raw body as their context
+            cb(None, raw)
+            return
+
+        doc = build_document(raw, final_url, method=method,
                              params=query if method == "get" else params,
-                             referer=referer, status=status)
+                             referer=referer, status=status,
+                             content_type=getattr(page, "content_type",
+                                                  "text/html"))
+        if doc.root is None:
+            # reference Request.js:60-63
+            self._error(chain, cmd, "Document has no root")
+            cb("Document has no root", None)
+            return
         for k, v in req_headers.items():
             doc.request["headers"].setdefault(k, v)
         doc._data_sort_index = sort_index
@@ -330,6 +428,71 @@ class Runner:
         return status, page, final_url
 
 
+_STATUS_TEXT = {
+    400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
+    404: "Not Found", 410: "Gone", 429: "Too Many Requests",
+    500: "Internal Server Error",
+}
+
+
+class _ResponseMeta:
+    """The ``res`` argument handed to process_response hooks (the subset of
+    needle's response the reference exposes there: statusCode + headers)."""
+
+    __slots__ = ("statusCode", "headers", "url")
+
+    def __init__(self, status: int, content_type, url: str) -> None:
+        self.statusCode = status
+        self.headers = ({"content-type": content_type}
+                        if content_type is not None else {})
+        self.url = url
+
+
+def apply_process_response(hook, raw, meta):
+    """Run a process_response hook; returns (data, err). Call convention
+    mirrors reference lib/Request.js:88-100: arity > 2 gets
+    (data, res, next[, callback]) and continues via next(data') or fails
+    via callback(err); otherwise the return value replaces the data."""
+    arity = _arity(hook)
+    if arity > 2:
+        outcome: dict = {}
+        args = [raw, meta, lambda d: outcome.__setitem__("data", d)]
+        if arity > 3:
+            args.append(lambda err=None: outcome.__setitem__("err", err))
+        hook(*args)
+        if "err" in outcome:
+            return None, outcome["err"]
+        return outcome.get("data", raw), None
+    return (hook(raw, meta) if arity >= 2 else hook(raw)), None
+
+
+def _response_type(content_type):
+    """Content-type → response.type (reference lib/Request.js:128-142)."""
+    if content_type is None:
+        return None
+    if "xml" in content_type:
+        return "xml"
+    if "html" in content_type:
+        return "html"
+    return content_type
+
+
+def _merge_get_params(url: str, params: dict):
+    """Merge GET params into the URL's query string (reference
+    lib/Command.js:343-351 + needle/qs indexed array serialization).
+    Returns (url, merged_query_dict)."""
+    query = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
+    for k, v in params.items():
+        if isinstance(v, (list, tuple)):
+            # qs-style indexed serialization (the reference's needle
+            # client encodes array params as name[0], name[1], ...)
+            for j, item in enumerate(v):
+                query[f"{k}[{j}]"] = _param_str(item)
+        else:
+            query[k] = _param_str(v)
+    return _set_query(url, query), query
+
+
 def _param_str(v):
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -347,7 +510,8 @@ def _set_query(url: str, query: dict) -> str:
 
 
 def build_document(html, url, method="get", params=None, referer=None,
-                   status=200, count=None) -> Document:
+                   status=200, count=None,
+                   content_type="text/html") -> Document:
     doc = parse_html(html, base_url=url)
     q = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
     doc.request = {
@@ -358,7 +522,8 @@ def build_document(html, url, method="get", params=None, referer=None,
         "count": count,
         "pathname": urlsplit(url).path,
     }
-    doc.response = {"status": status}
+    doc.response = {"status": status,
+                    "type": _response_type(content_type)}
     return doc
 
 
@@ -913,11 +1078,6 @@ def _h_delay(runner, chain, i, cmd, context, data, next_fn, done_fn):
     done_fn()
 
 
-def _h_stop(runner, chain, i, cmd, context, data, next_fn, done_fn):
-    runner.stopped = True
-    done_fn()
-
-
 _HANDLERS = {
     "parse": _h_parse,
     "get": _h_get,
@@ -939,7 +1099,6 @@ _HANDLERS = {
     "set": _h_set,
     "data": _h_data,
     "delay": _h_delay,
-    "stop": _h_stop,
 }
 
 

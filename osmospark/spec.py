@@ -18,7 +18,7 @@ from __future__ import annotations
 _CONTEXT_COMMANDS = {
     "get", "post", "parse", "find", "select", "set", "follow", "paginate",
     "filter", "fail", "success", "contains", "match", "then", "do", "data",
-    "delay", "stop",
+    "delay",
 }
 _CONFIG_COMMANDS = {"config", "cookie", "header", "headers", "proxy",
                     "done", "log", "error", "debug"}
@@ -129,8 +129,47 @@ class Chain:
     def delay(self, seconds):
         return self._append("delay", seconds)
 
+    # -- runtime control (reference lib/commands/{pause,resume,stop}.js:
+    # immediate-effect instance flags, NOT queued commands — calling them
+    # mid-run, e.g. from a then/log callback, takes effect at the next
+    # interpreter step; nested chains share the runner like nested
+    # reference instances share the parent queue, index.js:350-354) -------
+
+    def pause(self):
+        """Defer all further work onto the resume queue."""
+        self._paused_flag = True
+        r = getattr(self, "_runner", None)
+        if r is not None:
+            r.paused = True
+        return self
+
+    def resume(self):
+        """Un-pause and drain deferred work (reference index.js:364-377)."""
+        self._paused_flag = False
+        r = getattr(self, "_runner", None)
+        if r is not None:
+            r.paused = False
+            r._drain()
+            r._maybe_done()
+        return self
+
     def stop(self):
-        return self._append("stop")
+        """Discard all pending work; .done() callbacks still fire
+        (reference test/stop.js)."""
+        self._stopped_flag = True
+        r = getattr(self, "_runner", None)
+        if r is not None:
+            r.stopped = True
+            r.paused = True
+            r._deferred.clear()
+            r._maybe_done()
+        return self
+
+    def __getstate__(self):
+        # never ship the live runner binding to executors
+        state = dict(self.__dict__)
+        state.pop("_runner", None)
+        return state
 
     def data(self, cb):
         self.on_data.append(cb)
@@ -150,9 +189,9 @@ class Chain:
 
     def config(self, key, val=None):
         """Scoped option mutation (reference lib/commands/config.js:13-35;
-        prototype-chain inheritance lib/Command.js:235-251): options set
-        here are visible to THIS command position and later ones — never
-        to earlier commands."""
+        prototype-chain inheritance lib/Command.js:229-251): options set
+        here apply to the PRECEDING command on down the chain — so
+        ``.get(url).config(opts)`` configures the get's own request."""
         delta = dict(key) if isinstance(key, dict) else {key: val}
         return self._append("config", delta)
 

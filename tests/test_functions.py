@@ -96,3 +96,30 @@ def test_simhash_near_duplicates_close(spark):
     d12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
     d13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
     assert d12 < d13
+
+
+def test_lsh_band_bucket_cap_bounds_hot_buckets(spark):
+    """A planted hot band bucket (identical boilerplate) must not produce
+    quadratic candidate pairs when the cap is on; distinct near-dup pairs
+    below the cap are unaffected (output identical to uncapped)."""
+    from osmospark.functions.dedup import lsh_candidate_pairs
+    boiler = "exactly the same boilerplate text repeated on every page"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(60)]
+    rows += [(100, base, "en", "s", len(base)),
+             (101, base.replace("lazy", "sleepy"), "en", "s", len(base))]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    uncapped = lsh_candidate_pairs(df, max_bucket_size=None)
+    assert uncapped.count() >= 60 * 59 // 2       # quadratic hot bucket
+    capped = lsh_candidate_pairs(df, max_bucket_size=20)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got                       # survivors intact
+    assert all(a >= 100 for a, _ in got)           # hot bucket dropped
+    # default cap leaves small corpora byte-identical to uncapped
+    small = df.filter(F.col("doc_id") >= 100)
+    a = {(r.doc_a, r.doc_b) for r in
+         lsh_candidate_pairs(small, max_bucket_size=None).collect()}
+    b = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(small).collect()}
+    assert a == b

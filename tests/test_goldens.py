@@ -464,9 +464,10 @@ def test_login_fills_and_posts():  # lib/commands/login.js:17-72 semantics
 
 
 # -- test/config.js:10-42 ---------------------------------------------------
-# opts scoping: instance opts inherit everywhere; per-command config deltas
-# are visible to their own position and LATER commands only (reference
-# prototype-chain inheritance, lib/Command.js:235-251)
+# opts scoping: instance opts inherit everywhere; a config delta applies to
+# the PRECEDING command on down the chain (reference lib/commands/config.js
+# doc + lib/Command.js:229-251: config-type commands mutate the previous
+# real command's prototype-linked opts at build time)
 
 def test_config_scoped_opts():
     seen = []
@@ -475,11 +476,26 @@ def test_config_scoped_opts():
              .then(lambda ctx: seen.append(dict(ctx.doc().opts)))
              .config("test", True)
              .then(lambda ctx: seen.append(dict(ctx.doc().opts))))
-    Runner(store=fixture_store(), opts={"ext": True, "one": 1}).run(chain)
+    runner = Runner(store=fixture_store(), opts={"ext": True, "one": 1})
+    runner.run(chain)
     assert len(seen) == 2
+    # reference test/config.js:19-25: first then sees instance opts + proxy
     assert seen[0]["one"] == 1 and seen[0]["ext"] is True
-    assert seen[0]["proxy"] == "localhost" and "test" not in seen[0]
+    assert seen[0]["proxy"] == "localhost"
+    # :27-34: second then sees proxy AND test
     assert seen[1]["test"] is True and seen[1]["proxy"] == "localhost"
+    # :35-43: instance-level opts never gain the chain-scoped deltas
+    assert "proxy" not in runner.base_opts and "test" not in runner.base_opts
+
+
+def test_config_applies_to_preceding_get():
+    # the common reference idiom .get(url).config(opts) configures the GET
+    # request itself (lib/commands/config.js: "the preceding command")
+    r = Runner(store=fixture_store())
+    r.run(O.get(f"{FIXTURE_HOST}/set")
+           .config({"headers": {"x-on-get": "1"}})
+           .set("title"))
+    assert r.fetch_log[0]["headers"]["x-on-get"] == "1"
 
 
 def test_headers_cookies_on_request():
@@ -496,12 +512,185 @@ def test_headers_cookies_on_request():
     assert f["headers"]["user-agent"] == "osmospark/1.0"
 
 
-def test_chain_cookie_header_ops_scope_to_later_requests():
+def test_chain_cookie_header_ops_scope_from_preceding_request():
+    # .get(u).header(...) mutates the get's opts (reference
+    # lib/commands/header.js getOpts on `this` = the get command), so the
+    # FIRST request already carries the header; later requests inherit it
     r = Runner(store=fixture_store())
     r.run(O.get(f"{FIXTURE_HOST}/1")
            .header("x-later", "yes").cookie("c", "v")
            .follow("a"))
-    first, rest = r.fetch_log[0], r.fetch_log[1:]
-    assert "x-later" not in first["headers"]
-    assert rest and all(f["headers"]["x-later"] == "yes" for f in rest)
-    assert all(f["headers"]["cookie"] == "c=v" for f in rest)
+    assert r.fetch_log and all(
+        f["headers"]["x-later"] == "yes" for f in r.fetch_log)
+    assert all(f["headers"]["cookie"] == "c=v" for f in r.fetch_log)
+
+
+def test_cookie_scopes_to_its_own_request_not_earlier_ones():
+    # reference test/config.js:46-70 global_cookies shape: the cookie set
+    # on the SECOND request does not ride the first
+    r = Runner(store=fixture_store())
+    r.run(O.get(f"{FIXTURE_HOST}/2")
+           .get(f"{FIXTURE_HOST}/3").cookie("c1", "yes"))
+    assert "cookie" not in r.fetch_log[0]["headers"]
+    assert r.fetch_log[1]["headers"]["cookie"] == "c1=yes"
+
+
+# -- test/process_response_option.js ----------------------------------------
+# the process_response hook transforms/validates raw response data before
+# parsing (reference lib/Request.js:88-100); with parse:false the raw data
+# flows to later commands as their context
+
+def _run_process_response(path, hook):
+    got, errs = [], []
+    opts = {"parse": False}
+    if hook is not None:
+        opts["process_response"] = hook
+    chain = (O.get(f"{FIXTURE_HOST}{path}")
+             .config(opts)
+             .then(lambda data: got.append(data))
+             .error(errs.append))
+    run(chain)
+    return got, errs
+
+
+def test_process_response_default_none():  # :6-11
+    got, errs = _run_process_response("/response-code-200", None)
+    assert got == ["hi"] and not errs
+
+
+def test_process_response_fail_on_200():  # :13-18
+    got, errs = _run_process_response(
+        "/response-code-200",
+        lambda d, r, n, c: c("200-die") if r.statusCode == 200 else n(d))
+    assert got == [] and any("200-die" in e for e in errs)
+
+
+def test_process_response_fail_on_incomplete_html():  # :19-24
+    got, errs = _run_process_response(
+        "/response-code-no-body-end",
+        lambda d, r, n, c: c("no-body-end") if "</body>" not in d else n(d))
+    assert got == [] and any("no-body-end" in e for e in errs)
+
+
+def test_process_response_bold_to_italic():  # :25-30 (async 3-arg form)
+    got, errs = _run_process_response(
+        "/response-bold-hi",
+        lambda d, r, n: n(d.replace("b>", "i>")))
+    assert got == ["<body><i>hi</i></body>"] and not errs
+
+
+def test_process_response_bold_to_italic_sync():  # :31-36 (return form)
+    got, errs = _run_process_response(
+        "/response-bold-hi",
+        lambda d: d.replace("b>", "i>"))
+    assert got == ["<body><i>hi</i></body>"] and not errs
+
+
+def test_process_response_feeds_parser():
+    # the transformed data is what gets PARSED when parse is on
+    got = []
+    chain = (O.get(f"{FIXTURE_HOST}/response-bold-hi")
+             .config({"process_response": lambda d: d.replace("b>", "i>")})
+             .find("i")
+             .then(lambda ctx: got.append(ctx.text())))
+    r, _ = run(chain)
+    assert got == ["hi"] and not r.errors
+
+
+# -- fetch error taxonomy (reference lib/Request.js:30-68) ------------------
+
+def test_http_error_status_fails_branch():
+    got, errs = [], []
+    run(O.get(f"{FIXTURE_HOST}/error-500")
+        .then(lambda ctx: got.append(1)).error(errs.append))
+    assert got == [] and any("500 Internal Server Error" in e for e in errs)
+
+
+def test_ignore_http_errors_opt():
+    got = []
+    chain = (O.get(f"{FIXTURE_HOST}/error-500")
+             .config("ignore_http_errors", True)
+             .find("body")
+             .then(lambda ctx: got.append(ctx.text())))
+    r, _ = run(chain)
+    assert got == ["oops"] and not r.errors
+
+
+def test_empty_body_is_data_is_empty():
+    errs = []
+    run(O.get(f"{FIXTURE_HOST}/empty").then(lambda c: None)
+        .error(errs.append))
+    assert any("Data is empty" in e for e in errs)
+
+
+def test_content_type_sets_response_type():
+    # reference lib/Request.js:128-142 getResponseType
+    seen = []
+    run(O.get(f"{FIXTURE_HOST}/feed")
+        .then(lambda ctx: seen.append(ctx.doc().response["type"])))
+    run(O.get(f"{FIXTURE_HOST}/set")
+        .then(lambda ctx: seen.append(ctx.doc().response["type"])))
+    assert seen == ["xml", "html"]
+
+
+# -- test/resume.js + test/stop.js ------------------------------------------
+# chain-level pause/resume/stop are immediate instance controls
+# (reference lib/commands/{pause,resume,stop}.js + index.js:364-382)
+
+def test_chain_pause_defers_then_resume_completes():  # test/resume.js:7-36
+    count, done = [], []
+    chain = O.get(f"{FIXTURE_HOST}/pause").follow("a")
+    chain.then(lambda ctx: (
+        count.append(1),
+        chain.pause() if len(count) == 2 else None))
+    chain.done(lambda: done.append(1))
+    r = Runner(store=fixture_store())
+    r.run(chain)
+    # paused mid-follow: work deferred, done not fired
+    assert len(count) == 2 and not done and r._deferred
+    chain.resume()
+    assert len(count) == 5          # all pages processed after resume
+    assert done == [1] and not r._deferred
+
+
+def test_chain_stop_discards_pending_work():  # test/stop.js:6-27
+    logs, then_ran, done = [], [], []
+    chain = (O.get(f"{FIXTURE_HOST}/delay-response")
+             .follow("a").follow("a").follow("a"))
+    chain.log(lambda msg: (
+        logs.append(msg),
+        chain.stop() if len([m for m in logs if "url:" in m]) == 2 else None))
+    chain.then(lambda ctx: then_ran.append(1))
+    chain.done(lambda: done.append(1))
+    Runner(store=fixture_store()).run(chain)
+    assert len([m for m in logs if "url:" in m]) == 2
+    assert then_ran == []           # stop dropped everything downstream
+    assert done == [1]              # reference fires done after stop
+
+
+def test_prerun_stop_is_noop_run():
+    got, done = [], []
+    chain = (O.get(f"{FIXTURE_HOST}/set").set("title")
+             .then(lambda ctx: got.append(1)))
+    chain.done(lambda: done.append(1))
+    chain.stop()
+    Runner(store=fixture_store()).run(chain)
+    assert got == [] and done == [1]
+
+
+# -- :domain / :path selector pseudos (reference Changes.md:92-95) ----------
+
+def test_domain_path_pseudos():
+    from osmospark.html import compile_selector, parse_html
+    doc = parse_html(
+        '<a href="/local/a"></a>'
+        '<a href="http://other.com/x"></a>'
+        '<a href="http://sub.other.com/y"></a>'
+        '<a href="http://fixture.local/local/b"></a>',
+        base_url="http://fixture.local/dir/")
+    by_domain = compile_selector("a:domain(other.com)").find(doc)
+    assert [a.get_attribute("href") for a in by_domain] == \
+        ["http://other.com/x", "http://sub.other.com/y"]
+    by_path = compile_selector("a:path(/local)").find(doc)
+    assert [a.get_attribute("href") for a in by_path] == \
+        ["/local/a", "http://fixture.local/local/b"]
