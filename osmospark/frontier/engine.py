@@ -138,11 +138,24 @@ class FrontierEngine:
         # round so callers can decide to pause/stop mid-crawl
         self._pause_requested = False
         self.on_round_end = None
+        self._total_admitted = 0
+        self._total_rounds = 0
 
     def pause(self) -> None:
         """Request a pause at the next round boundary (resume via
         ``run_crawl(resume_frontier=..., start_round=...)``)."""
         self._pause_requested = True
+
+    def resources(self) -> str:
+        """Process-statistics debug line (the analogue of reference
+        index.js Osmosis.resources: stack/requests/RAM) — driver RSS plus
+        cumulative crawl counters; per-round RSS also lands in
+        ``visit_meta`` so long crawls expose a leak trend."""
+        import resource as _res
+        rss_mb = _res.getrusage(_res.RUSAGE_SELF).ru_maxrss / 1024.0
+        return (f"requests: {self._total_admitted}, "
+                f"rounds: {self._total_rounds}, "
+                f"RAM: {rss_mb:.1f}MB (driver peak)")
 
     # ------------------------------------------------------------------
     # shared round machinery
@@ -756,8 +769,15 @@ class FrontierEngine:
                            else records.unionByName(round_records))
             phase_t["commit"] = round(_time.perf_counter() - t0, 2)
 
-            visit_meta.append({"round": round_no, "admitted": n_admitted,
-                               "phases": phase_t})
+            import resource as _res
+            self._total_admitted += n_admitted
+            self._total_rounds += 1
+            visit_meta.append({
+                "round": round_no, "admitted": n_admitted,
+                "phases": phase_t,
+                "rss_mb": round(
+                    _res.getrusage(_res.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
+            })
             frontier = conts
             round_no += 1
             if self.on_round_end is not None:

@@ -145,3 +145,83 @@ def test_chain_mode_submit_post(spark):
     got = [json.loads(r.value_json)
            for r in engine.run_chain(factory()).collect()]
     assert got == collected and len(got) == 1
+
+
+def test_crawl_error_taxonomy_in_metrics(spark):
+    """Planted bad pages surface distinct fetch-error codes in the round
+    metrics (reference lib/Request.js:30-68 taxonomy: 404 miss, empty
+    data, unparseable/no-root), without killing the round."""
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    host = "http://taxo.test"
+    index = (b'<body><a href="/empty"></a><a href="/noroot"></a>'
+             b'<a href="/missing"></a><a href="/ok"></a></body>')
+    rows = [
+        (f"{host}/", ts, index, None, "en"),
+        (f"{host}/empty", ts, b"", None, "en"),
+        (f"{host}/noroot", ts, b"<!-- only a comment -->", None, "en"),
+        (f"{host}/ok", ts, b"<body><div>fine</div></body>", None, "en"),
+    ]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    engine = FrontierEngine(spark, pages_df, dedup=True)
+    records, _ = engine.run_crawl(
+        [f"{host}/"], "a", extract_spec={"payload": "div"}, max_depth=1)
+    errs = sum(m["errors"] for m in engine.metrics_rows)
+    assert errs == 3  # empty + noroot + missing
+    # the good page still extracted
+    ok = [r for r in records.collect() if r.url.endswith("/ok")]
+    assert len(ok) == 1 and json.loads(ok[0].value_json)["payload"] == "fine"
+
+
+def test_crawl_process_response_hook_distributed(spark):
+    """process_response transforms the bytes BEFORE parsing inside the
+    crawl UDF (reference lib/Request.js:88-100), distributed."""
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    rows = [("http://pr.test/", ts, b"<body><b>hi</b></body>", None, "en")]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    engine = FrontierEngine(spark, pages_df)
+
+    def swap(d):
+        s = d.decode("utf-8") if isinstance(d, (bytes, bytearray)) else d
+        return s.replace("b>", "i>")
+
+    records, _ = engine.run_crawl(
+        ["http://pr.test/"], "a", extract_spec={"val": "i"}, max_depth=0,
+        process_response=swap)
+    got = [json.loads(r.value_json)["val"] for r in records.collect()]
+    assert got == ["hi"]
+
+
+def test_engine_pause_at_round_boundary(spark, tmp_path):
+    """engine.pause() from on_round_end stops after the committed round;
+    resuming from that round completes the same visit set as one-shot
+    (the distributed chain-level .pause()/.resume() surface)."""
+    from osmospark.corpus import synth_corpus_df, synth_seed_urls
+    from osmospark.tableio import TableIO
+
+    pages = synth_corpus_df(spark, 300, 3, weight=1).cache()
+    pages.count()
+    seeds = synth_seed_urls(3)
+    io = TableIO(str(tmp_path / "s"), spark)
+    eng = FrontierEngine(spark, pages, state=io, dedup=True)
+    eng.on_round_end = lambda meta: eng.pause() if meta["round"] >= 1 else None
+    rec1, v1 = eng.run_crawl(seeds, "li > a", extract_spec=None, max_depth=5)
+    assert len(v1) == 2  # paused after round 1
+
+    io2 = TableIO(str(tmp_path / "s"), spark)
+    last = io2.last_round("frontier")
+    eng2 = FrontierEngine(spark, pages, state=io2, dedup=True)
+    rec2, _ = eng2.run_crawl(
+        [], "li > a", extract_spec=None, max_depth=5,
+        resume_frontier=io2.read_round("frontier", last),
+        start_round=last + 1)
+    one_shot = FrontierEngine(spark, pages, dedup=True)
+    rec3, _ = one_shot.run_crawl(seeds, "li > a", extract_spec=None,
+                                 max_depth=5)
+    assert {r.url for r in rec2.select("url").collect()} == \
+        {r.url for r in rec3.select("url").collect()}
