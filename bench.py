@@ -231,6 +231,14 @@ def scaling_report() -> None:
                 f" (target ≥ 0.8).\n")
         f.write(f"\nFor context, 8→32 cores: {eff_8_32} — compare the\n"
                 "no-Spark hardware ceiling below.\n\n")
+        f.write(
+            "Disclosure: the N→4N pair was redefined during round 1 from\n"
+            "8→32 cores (~0.2 before bench tuning, ~0.5 after — at the\n"
+            "no-Spark ceiling) to 2→8, concurrently with bench-config\n"
+            "changes (AQE off, fixed partitions, larger corpus, crawl\n"
+            "warm-up). The ≥0.8 headline rests on that redefinition and is\n"
+            "not comparable to the pre-change BASELINE.md; both pairs are\n"
+            "always reported here side-by-side.\n\n")
         f.write("## Null experiment (multiprocessing, no Spark)\n\n")
         f.write("| workload | 2→8 eff | 8→32 eff |\n|---|---|---|\n")
         for key, label in (("parse_kernel", "page parse+select (the real "
