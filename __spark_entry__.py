@@ -369,6 +369,28 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-LSH bucket candidates + exact
+    cosine ≥ threshold (the dedup variant for semantic duplicates that
+    share no shingles). Oracle mirrors the bucketing with the same seeded
+    planes inlined as SQL literals."""
+    from osmospark.functions.similarity import embedding_near_duplicates
+    return embedding_near_duplicates(_embeddings(spark, sf_dir),
+                                     threshold=0.42)
+
+
+def q_events_sessionized(spark, sf_dir):
+    """Session windows (30-min inactivity gap) — the streaming-native
+    session_window operator; DuckDB oracle is the classic gaps-and-islands
+    reconstruction."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (binary payload → Arrow-batched feature UDF);
     deterministic fake decoder (no media libs in container)."""
@@ -416,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
     }
 
@@ -643,6 +667,54 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(variant, method, data) ORDER BY variant
         """,
         "ann_lsh": ann_lsh_sql,
+        "dedup_embedding": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS (
+                {" UNION ALL ".join(
+                    f"SELECT vec_id, {t} AS tbl, "
+                    f"{_bucket_sql(all_planes[t])} AS bucket FROM e"
+                    for t in range(ann_tables))}
+            ),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+                FROM b a JOIN b b2
+                  ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+                 AND a.vec_id < b2.vec_id
+            )
+            SELECT vec_a, vec_b, cosine FROM (
+                SELECT p.vec_a, p.vec_b,
+                       round(list_sum(list_transform(
+                                 range(1, len(x.v) + 1),
+                                 i -> x.v[i] * y.v[i]))
+                             / (sqrt(list_sum(list_transform(x.v,
+                                     t -> t * t)))
+                                * sqrt(list_sum(list_transform(y.v,
+                                       t -> t * t)))), 6) AS cosine
+                FROM pairs p
+                JOIN e x ON x.vec_id = p.vec_a
+                JOIN e y ON y.vec_id = p.vec_b)
+            WHERE cosine >= 0.42
+            ORDER BY vec_a, vec_b
+        """,
+        "events_sessionized": """
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN ts - lag(ts) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                                < INTERVAL 30 MINUTE
+                                THEN 0 ELSE 1 END AS new_s
+                    FROM events))
+            GROUP BY user_id, sid
+        """,
         "find_explode": f"""
             SELECT doc_id, (u.i - 1)::INT AS pos, w[u.i] AS word
             FROM (SELECT doc_id, {_WORDS} AS w FROM documents),

@@ -10,12 +10,18 @@ from .dedup import (
     ngram_jaccard,
     simhash,
 )
-from .similarity import brute_force_topk, lsh_topk, recall_at_k
+from .similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+    recall_at_k,
+)
 from .textstats import fingerprints, lang_id, quality_scores, token_counts
 
 __all__ = [
     "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
     "near_duplicates", "ngram_jaccard", "simhash",
-    "brute_force_topk", "lsh_topk", "recall_at_k",
+    "brute_force_topk", "embedding_near_duplicates", "lsh_topk",
+    "recall_at_k",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
 ]

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_K = 5
 DEFAULT_PLANES = 6
+DEFAULT_PLANES_DEDUP = 4
 
 
 def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES, seed: int = 42):
@@ -132,6 +133,48 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
             .orderBy("query_id", "rank"))
+
+
+def embedding_near_duplicates(embeddings: DataFrame,
+                              threshold: float = 0.42,
+                              n_planes: int = DEFAULT_PLANES_DEDUP,
+                              n_tables: int = 3) -> DataFrame:
+    """Embedding-cosine near-dup over the WHOLE corpus: multi-table
+    sign-LSH buckets generate candidate pairs (expected bucket size
+    N/2^planes — never the all-pairs product), exact cosine ≥ threshold
+    verifies. Cosine is rounded to 6 decimals BEFORE thresholding so the
+    DuckDB oracle (same planes inlined as literals) agrees bit-for-bit.
+
+    At 100 TB: the self-join keys on (table, bucket) short strings with
+    map-side dedup via distinct; n_planes grows with log(N) to bound
+    bucket sizes, and the same band-size cap as MinHash-LSH applies if a
+    degenerate embedding (all-zeros boilerplate) floods one bucket."""
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    all_planes = [hyperplanes(first["d"], n_planes, seed=42 + 1000 * t)
+                  for t in range(n_tables)]
+    buckets = F.array(*[_bucket_expr(F.col("v"), p) for p in all_planes])
+    b = e.select("vec_id",
+                 F.posexplode(buckets).alias("tbl", "bucket"))
+    pairs = (
+        b.alias("a").join(
+            b.alias("b2"),
+            (F.col("a.tbl") == F.col("b2.tbl"))
+            & (F.col("a.bucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b2.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (pairs.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("vec_a", "vec_b"))
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
