@@ -145,6 +145,10 @@ class Runner:
         self.fetch_log: list[dict] = []  # (url, method, params, referer, status)
         self.continuations: list[Continuation] = []
         self.child_values: list = []     # ProxyRecord captures
+        # proxy round-robin state per proxy-list (reference
+        # lib/Command.js:353-365: opts.proxies carries a rotating index;
+        # failing proxies are dropped, index.js:197-208)
+        self._proxy_rotation: dict[int, dict] = {}
         self.stopped = False
         # chain-level pause/resume (reference lib/commands/pause.js /
         # resume.js: instance-level flags; paused work queues and resumes)
@@ -284,6 +288,11 @@ class Runner:
                                 v, dict):
                             merged = dict(cur.get(k) or {})
                             merged.update(v)
+                            if k == "cookies":
+                                # setting a cookie to None DELETES it
+                                # (reference lib/commands/cookie.js:24-27)
+                                merged = {ck: cv for ck, cv in
+                                          merged.items() if cv is not None}
                             cur[k] = merged
                         else:
                             cur[k] = v
@@ -347,15 +356,27 @@ class Runner:
         ua = opts.get("user_agent")
         if ua is not None:
             req_headers["user-agent"] = ua() if callable(ua) else ua
+        proxy, proxy_state = self._select_proxy(opts)
 
         status, page, final_url = self._fetch_with_policy(url, method, params)
         self.fetch_log.append(
             {"url": url, "final_url": final_url, "method": method,
              "params": dict(params) if isinstance(params, dict) else None,
              "referer": referer, "status": status,
-             "headers": req_headers}
+             "headers": req_headers, "proxy": proxy}
         )
         if page is None:
+            if status != 404 and proxy_state is not None:
+                # connection-level failure through a proxy: report and drop
+                # it from rotation (reference index.js:197-208)
+                plist = proxy_state["list"]
+                self._error(
+                    chain, cmd,
+                    f"proxy {proxy_state['index'] + 1}/{len(plist)} "
+                    f"failed ({proxy})")
+                if len(plist) > 1:
+                    plist.pop(proxy_state["index"])
+                    proxy_state["index"] %= len(plist)
             self._error(chain, cmd, f"[{method}] {url} - {status}")
             cb(status, None)
             return
@@ -405,6 +426,27 @@ class Runner:
             doc.request["headers"].setdefault(k, v)
         doc._data_sort_index = sort_index
         cb(None, doc)
+
+    def _select_proxy(self, opts):
+        """Round-robin proxy selection (reference lib/Command.js:353-365:
+        a list proxy option rotates per request). Returns
+        (proxy_or_None, rotation_state_or_None); against the static
+        corpus the proxy is recorded on the fetch log rather than used
+        for transport."""
+        plist = opts.get("proxies")
+        if plist is None:
+            p = opts.get("proxy")
+            if not isinstance(p, (list, tuple)):
+                return p, None
+            plist = p
+        st = self._proxy_rotation.get(id(plist))
+        if st is None:
+            st = {"list": list(plist), "index": -1}
+            self._proxy_rotation[id(plist)] = st
+        if not st["list"]:
+            return None, None
+        st["index"] = (st["index"] + 1) % len(st["list"])
+        return st["list"][st["index"]], st
 
     def _fetch_with_policy(self, url, method, params):
         """Retries (reference index.js:210-218, default 3 tries) and

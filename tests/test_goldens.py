@@ -694,3 +694,46 @@ def test_domain_path_pseudos():
     by_path = compile_selector("a:path(/local)").find(doc)
     assert [a.get_attribute("href") for a in by_path] == \
         ["/local/a", "http://fixture.local/local/b"]
+
+
+# -- proxy rotation + cookie deletion ---------------------------------------
+
+def test_proxy_round_robin_rotation():
+    # reference lib/Command.js:353-365: a list proxy option rotates per
+    # request; the chosen proxy rides the fetch log
+    r = Runner(store=fixture_store(),
+               opts={"proxy": ["p1", "p2"]})
+    r.run(O.get(f"{FIXTURE_HOST}/1").follow("a"))  # 1 + 2 fetches
+    assert [f["proxy"] for f in r.fetch_log] == ["p1", "p2", "p1"]
+
+
+def test_failing_proxy_dropped_from_rotation():
+    # reference index.js:197-208: a connection-level failure (not a 404)
+    # reports 'proxy i/n failed' and removes the proxy from rotation
+    from osmospark.corpus import PageStore, fixture_pages
+
+    class FlakyStore(PageStore):
+        def fetch(self, url, method="get", params=None):
+            if url.endswith("/down"):
+                return 0, None          # connection error, not a 404
+            return super().fetch(url, method, params)
+
+    store = FlakyStore(fixture_pages())
+    r = Runner(store=store, opts={"proxy": ["bad", "good"]}, tries=1)
+    r.run(O.get(f"{FIXTURE_HOST}/down"))   # fails through proxy 'bad'
+    assert any("proxy 1/2 failed (bad)" in e for e in r.errors)
+    # 'bad' was dropped: every subsequent request uses 'good'
+    r.run(O.get(f"{FIXTURE_HOST}/2"))
+    r.run(O.get(f"{FIXTURE_HOST}/3"))
+    assert [f["proxy"] for f in r.fetch_log[1:]] == ["good", "good"]
+
+
+def test_cookie_null_deletes():
+    # reference lib/commands/cookie.js:24-27: setting a cookie to None
+    # deletes it from the jar for this scope onward
+    r = Runner(store=fixture_store(), opts={"cookies": {"keep": "1",
+                                                        "drop": "2"}})
+    r.run(O.get(f"{FIXTURE_HOST}/2")
+           .get(f"{FIXTURE_HOST}/3").cookie("drop", None))
+    assert r.fetch_log[0]["headers"]["cookie"] == "drop=2; keep=1"
+    assert r.fetch_log[1]["headers"]["cookie"] == "keep=1"
