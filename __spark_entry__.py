@@ -369,6 +369,13 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
+    k-gram hashes, sliding-window minima, dedup+sort."""
+    from osmospark.functions.textstats import winnow_fingerprints
+    return winnow_fingerprints(_documents(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: sign-LSH bucket candidates + exact
     cosine ≥ threshold (the dedup variant for semantic duplicates that
@@ -438,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
@@ -843,5 +851,56 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates": near_dup_sql,
         "simhash": simhash_sql,
         "ann_topk": ann_sql,
-        # media_features: non-SQL-expressible (binary decode) → rows-only
+        "winnow_fingerprints": f"""
+            WITH g AS (SELECT doc_id, {_shingle_sql()} AS grams
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         list_transform(grams, s ->
+                             ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+                  FROM g),
+            mn AS (SELECT doc_id,
+                          CASE WHEN len(hs) >= 4 THEN
+                              list_transform(range(1, len(hs) - 2),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+                          ELSE [list_min(hs)] END AS mins
+                   FROM h)
+            SELECT doc_id, len(fp)::INT AS n_fp,
+                   array_to_string(fp, ',') AS fingerprint
+            FROM (SELECT doc_id,
+                         list_sort(list_distinct(mins)) AS fp FROM mn)
+        """,
+        # media_features: the deterministic fake decoder is pure arithmetic
+        # over the formulaic synth_media_df payload bytes
+        # (byte j of media i = (i*131 + j*17) % 251), so the whole decode →
+        # frame-sample → feature-sum pipeline mirrors in SQL; elements cast
+        # through FLOAT to match the Arrow float32 feat column exactly
+        "media_features": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       (['image', 'audio', 'video'])[(i % 3) + 1] AS kind
+                FROM range(0, 64) t(i)),
+            f AS (
+                SELECT media_id, kind,
+                       list_transform(range(0, 8), k ->
+                           (((media_id * 131 + k * 17) % 251)
+                            + 256 * ((media_id * 131 + (k + 8) * 17) % 251)
+                            + 65536 * ((media_id * 131 + (k + 16) * 17)
+                                       % 251)
+                            + 16777216 * ((media_id * 131 + (k + 24) * 17)
+                                          % 251)
+                           ) % 997 / 997.0) AS raw8
+                FROM m),
+            s AS (
+                SELECT media_id, kind,
+                       CASE WHEN kind = 'video'
+                            THEN [raw8[1], raw8[3], raw8[5], raw8[7]]
+                            ELSE raw8 END AS feat
+                FROM f)
+            SELECT media_id, kind, 64::BIGINT AS n_bytes,
+                   len(feat)::INT AS frames,
+                   round(list_reduce(
+                       list_transform(feat, x -> (x::FLOAT)::DOUBLE),
+                       (a, b) -> a + b), 4) AS feat_sum
+            FROM s
+        """,
     }

@@ -16,7 +16,13 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
-from .textstats import fingerprints, lang_id, quality_scores, token_counts
+from .textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+    winnow_fingerprints,
+)
 
 __all__ = [
     "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
@@ -24,4 +30,5 @@ __all__ = [
     "brute_force_topk", "embedding_near_duplicates", "lsh_topk",
     "recall_at_k",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
+    "winnow_fingerprints",
 ]

@@ -79,3 +79,43 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(norm).alias("fingerprint"),
     )
+
+
+WINNOW_K = 3   # k-gram width (words)
+WINNOW_W = 4   # winnowing window over the k-gram hash sequence
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03 — the MOSS scheme): hash every word k-gram, slide a window of
+    w hashes, keep each window's minimum; the deduplicated sorted minima
+    are the document fingerprint. Guarantees any shared run of
+    w + k - 1 words between two documents shares at least one fingerprint.
+
+    All built-in expressions (transform/slice/array_min) inside
+    whole-stage codegen — the same portable md5→bigint hash as the minhash
+    pipeline so the DuckDB oracle agrees exactly."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+    n = F.size(words)
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )).otherwise(F.array(norm))
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint"))
+    m = F.size(hs)
+    mins = F.when(m >= w, F.transform(
+        F.sequence(F.lit(1), m - w + 1),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )).otherwise(F.array(F.array_min(hs)))
+    fp = F.array_sort(F.array_distinct(mins))
+    return documents.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))
+        .alias("fingerprint"),
+    )

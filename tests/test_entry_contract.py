@@ -64,10 +64,11 @@ def test_query_matches_oracle(spark, duck, name):
         f"{mismatches[0]}")
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_is_oracle_backed():
+    """Round 2 closed the last rows-only gaps (ann_lsh via literal planes,
+    media_features via the formulaic fake-decoder arithmetic): every
+    queries() entry must now have a DuckDB oracle."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
