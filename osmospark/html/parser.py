@@ -22,7 +22,15 @@ Fixture-visible behaviors reproduced here:
 
 from __future__ import annotations
 
+import os
+import re
+from html import unescape as _unescape
 from html.parser import HTMLParser as _StdHTMLParser
+from html.parser import (
+    attrfind_tolerant as _attrfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
 
 VOID_ELEMENTS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -46,13 +54,20 @@ def _escape_attr(s: str) -> str:
 
 
 class Node:
-    """Base node: document-order index assigned after parse."""
+    """Base node: document-order index assigned after parse.
 
-    __slots__ = ("parent", "order")
+    ``order``/``_end_order`` bracket the node's subtree in document order:
+    descendants of a node with order *o* are exactly the nodes with orders
+    ``o+1 .. _end_order`` — so descendant iteration is an O(1) slice of the
+    document's flat node array instead of a recursive generator walk (the
+    selector engine's hottest loop: ~30% of extraction-kernel time)."""
+
+    __slots__ = ("parent", "order", "_end_order")
 
     def __init__(self) -> None:
         self.parent = None
         self.order = -1
+        self._end_order = -1
 
     # -- reference API surface (used by the interpreter) ---------------
     def text(self) -> str:
@@ -138,12 +153,22 @@ class Element(Node):
         return [c for c in self.children if isinstance(c, Element)]
 
     def descendants(self, include_self: bool = False):
+        if self.order >= 0:
+            nodes = self.doc()._nodes
+            if nodes is not None:
+                if include_self:
+                    return [self, *nodes[self.order:self._end_order]]
+                return nodes[self.order:self._end_order]
+        return list(self._walk(include_self))
+
+    def _walk(self, include_self: bool = False):
+        # fallback for trees without assigned order (builder-time)
         if include_self:
             yield self
         for child in self.children:
             yield child
             if isinstance(child, Element):
-                yield from child.descendants()
+                yield from child._walk()
 
     # -- attributes ------------------------------------------------------
     def get_attribute(self, name: str):
@@ -194,7 +219,8 @@ class Document(Node):
     """
 
     __slots__ = ("children", "location", "request", "response",
-                 "_data_sort_index", "opts")
+                 "_data_sort_index", "opts", "_nodes", "_by_tag",
+                 "_tag_orders")
 
     def __init__(self) -> None:
         super().__init__()
@@ -203,6 +229,9 @@ class Document(Node):
         self.request = None    # dict: method/params/headers/count
         self.response = None   # dict: status/headers
         self.opts = {}         # scoped options at the current command
+        self._nodes = None     # flat document-order node array (see Node)
+        self._by_tag = None    # tag -> [Element] in document order
+        self._tag_orders = None  # tag -> [element.order] (bisect keys)
 
     text = None  # sentinel: Document has no text() (see class docstring)
 
@@ -221,10 +250,15 @@ class Document(Node):
         return None
 
     def descendants(self, include_self: bool = False):
+        if self._nodes is not None:
+            return self._nodes
+        return list(self._walk())
+
+    def _walk(self):
         for child in self.children:
             yield child
             if isinstance(child, Element):
-                yield from child.descendants()
+                yield from child._walk()
 
     def serialize(self) -> str:
         return "".join(c.serialize() for c in self.children)
@@ -297,11 +331,15 @@ class _TreeBuilder(_StdHTMLParser):
 
     def handle_endtag(self, tag):
         tag = tag.lower()
+        stack = self.stack
+        if stack and stack[-1].tag == tag:  # the overwhelmingly common case
+            stack.pop()
+            return
         if tag == "html":
             return
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == tag:
+                del stack[i:]
                 return
         # unmatched end tag: ignore
 
@@ -313,6 +351,141 @@ class _TreeBuilder(_StdHTMLParser):
         # whitespace-only text at top level is dropped (libxml does too)
 
 
+_CDATA_TAGS = {"script", "style"}
+# stdlib html.parser endtagfind (strict form; tolerant fallback below)
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_USE_STD_PARSER = os.environ.get("OSMOSPARK_STD_PARSER") == "1"
+
+
+def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
+    """Whole-document regex tokenizer emitting the exact handle_* callbacks
+    ``html.parser.HTMLParser(convert_charrefs=True)`` would — ~2× faster
+    because it skips the incremental-feed machinery (goahead/updatepos).
+    It reuses the stdlib's own tolerant tag/attr regexes, so attribute
+    parsing is bit-identical. Differential-tested against the stdlib path
+    over every fixture page plus hypothesis-fuzzed inputs
+    (tests/test_parser_diff.py); ``OSMOSPARK_STD_PARSER=1`` forces the
+    stdlib engine."""
+    i, n = 0, len(rawdata)
+    find = rawdata.find
+    cdata_elem = None
+
+    def recover(lt: int) -> int:
+        # stdlib goahead's incomplete-construct-at-EOF recovery: emit data
+        # up to one past the first '>' (else to the next '<', else 1 char)
+        k = find(">", lt + 1)
+        if k < 0:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        builder.handle_data(_unescape(rawdata[lt:k]))
+        return k
+
+    while i < n:
+        if cdata_elem is not None:
+            m = cdata_elem.search(rawdata, i)
+            j = m.start() if m else n
+            if j > i:
+                builder.handle_data(rawdata[i:j])  # raw: no charref convert
+            cdata_elem = None
+            i = j
+            continue
+        lt = find("<", i)
+        if lt < 0:
+            run = rawdata[i:]
+            builder.handle_data(_unescape(run) if "&" in run else run)
+            break
+        if lt > i:
+            run = rawdata[i:lt]
+            builder.handle_data(_unescape(run) if "&" in run else run)
+        nxt = rawdata[lt + 1:lt + 2]
+        if nxt.isalpha():
+            # faithful port of stdlib parse_starttag +
+            # check_for_whole_start_tag (tolerant mode)
+            j = _locatestart.match(rawdata, lt).end()
+            nextc = rawdata[j:j + 1]
+            if nextc == ">":
+                endpos = j + 1
+            elif nextc == "/" and rawdata[j:j + 2] == "/>":
+                endpos = j + 2
+            elif nextc in ("", "/"):
+                i = recover(lt)           # incomplete at EOF
+                continue
+            else:
+                # buggy start tag: junk to the scan end is one RAW chunk
+                k0 = j if j > lt else lt + 1
+                builder.handle_data(rawdata[lt:k0])
+                i = k0
+                continue
+            tm = _tagfind.match(rawdata, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                      or attrvalue[:1] == '"' == attrvalue[-1:]):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end_str = rawdata[k:endpos].strip()
+            if end_str not in (">", "/>"):
+                builder.handle_data(rawdata[lt:endpos])
+                i = endpos
+                continue
+            if end_str == "/>":
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+                if tag in _CDATA_TAGS:
+                    cdata_elem = re.compile(
+                        rf"</\s*{tag}", re.IGNORECASE)
+            i = endpos
+            continue
+        if nxt == "/":
+            m = _ENDTAG_RE.match(rawdata, lt)
+            if m is not None:
+                builder.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            gtpos = find(">", lt + 1)
+            if gtpos < 0:
+                i = recover(lt)
+                continue
+            # stdlib tolerant end tag: '</div foo>' closes div; anything
+            # unparseable becomes an (ignored) bogus comment to the '>'
+            tm = _tagfind.match(rawdata, lt + 2)
+            if tm is not None:
+                builder.handle_endtag(tm.group(1).lower())
+            i = gtpos + 1
+            continue
+        if rawdata.startswith("<!--", lt):
+            j = find("-->", lt + 4)
+            if j < 0:
+                i = recover(lt)
+                continue
+            i = j + 3
+            continue
+        if nxt in ("!", "?"):
+            j = find(">", lt + 2)
+            if j < 0:
+                i = recover(lt)
+                continue
+            i = j + 1
+            continue
+        builder.handle_data("<")
+        i = lt + 1
+
+
 def parse_html(html, base_url: str | None = None) -> Document:
     """Parse an HTML string/bytes into a Document.
 
@@ -322,8 +495,11 @@ def parse_html(html, base_url: str | None = None) -> Document:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
+    if _USE_STD_PARSER:
+        builder.feed(html)
+        builder.close()
+    else:
+        _fast_feed(builder, html)
     doc = builder.doc
     # libxml injects a Content-Type meta as the first child of an explicit
     # <head> (observable in the `head:html` golden, reference test/set.js:8-9)
@@ -346,8 +522,38 @@ def parse_html(html, base_url: str | None = None) -> Document:
 
 
 def _assign_order(doc: Document) -> None:
+    """Number nodes in document order and build the flat node array +
+    subtree end-brackets that make descendant iteration an O(1) slice."""
+    doc.order = 0
+    nodes: list[Node] = []
     counter = 0
-    doc.order = counter
-    for node in doc.descendants():
+    stack: list = [(c, False) for c in reversed(doc.children)]
+    while stack:
+        node, is_exit = stack.pop()
+        if is_exit:
+            node._end_order = counter
+            continue
         counter += 1
         node.order = counter
+        nodes.append(node)
+        if isinstance(node, Element) and node.children:
+            stack.append((node, True))
+            for c in reversed(node.children):
+                stack.append((c, False))
+        else:
+            node._end_order = counter
+    doc._end_order = counter
+    doc._nodes = nodes
+    # per-tag structural index: a descendant-axis tag step becomes a
+    # bisected slice of this list instead of a subtree scan
+    by_tag: dict[str, list[Element]] = {}
+    for node in nodes:
+        if type(node) is Element:
+            lst = by_tag.get(node.tag)
+            if lst is None:
+                by_tag[node.tag] = [node]
+            else:
+                lst.append(node)
+    doc._by_tag = by_tag
+    doc._tag_orders = {t: [e.order for e in lst]
+                       for t, lst in by_tag.items()}

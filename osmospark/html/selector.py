@@ -27,6 +27,7 @@ parent), matching css2xpath's ``[n]``/``[last()]`` translation.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from urllib.parse import urlsplit
 
 from .parser import Attribute, Document, Element, Node, TextNode
@@ -513,6 +514,38 @@ def _eval_steps(context: Node, steps, relative: bool, env) -> list[Node]:
     for step in steps:
         matched: list[Node] = []
         seen: set[int] = set()
+        # fast path: descendant-axis plain-tag step → bisect the per-tag
+        # structural index instead of scanning the subtree (the most common
+        # step shape by far: `div`, `a`, `li` ... of `find`/`follow`)
+        if (step.axis == "desc" and not step.preds
+                and step.test not in ("*", "node()")):
+            doc = env["doc"]
+            by_tag = getattr(doc, "_by_tag", None)
+            if by_tag is not None:
+                lst = by_tag.get(step.test)
+                if lst:
+                    orders = doc._tag_orders[step.test]
+                    for ctx in contexts:
+                        if ctx is doc:
+                            cands = lst
+                        elif isinstance(ctx, Element):
+                            lo = bisect_right(orders, ctx.order)
+                            hi = bisect_right(orders, ctx._end_order)
+                            cands = lst[lo:hi]
+                        else:
+                            continue
+                        for cand in cands:
+                            key = id(cand)
+                            if key not in seen:
+                                seen.add(key)
+                                matched.append(cand)
+                matched.sort(key=_order_key)
+                if step.positional:
+                    matched = _apply_positional(matched, step.positional)
+                contexts = matched
+                if not contexts:
+                    break
+                continue
         for ctx in contexts:
             for cand in _axis_nodes(ctx, step.axis, env):
                 if id(cand) in seen:

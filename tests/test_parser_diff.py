@@ -1,0 +1,146 @@
+"""Differential test: the fast regex tokenizer must build the EXACT same
+DOM as the stdlib html.parser path (same handle_* callback stream → same
+tree, same node granularity, same attribute parsing)."""
+
+import pytest
+
+from osmospark.html import parser as P
+
+
+def _build(html: str, fast: bool) -> P.Document:
+    b = P._TreeBuilder()
+    if fast:
+        P._fast_feed(b, html)
+    else:
+        b.feed(html)
+        b.close()
+    P._assign_order(b.doc)
+    return b.doc
+
+
+def _dump(doc: P.Document):
+    out = []
+    for n in doc.descendants():
+        if isinstance(n, P.Element):
+            out.append(("el", n.tag, tuple(n.attrs)))
+        elif isinstance(n, P.TextNode):
+            out.append(("text", n.data))
+        else:  # pragma: no cover
+            out.append(("other", repr(n)))
+    return out
+
+
+def _assert_same(html: str):
+    fast, std = _build(html, True), _build(html, False)
+    assert _dump(fast) == _dump(std), html
+    assert fast.serialize() == std.serialize(), html
+
+
+def test_fixture_pages_identical():
+    from osmospark.corpus import fixture_pages
+    for page in fixture_pages():
+        _assert_same(page.html)
+
+
+def test_synth_pages_identical():
+    from osmospark.corpus import _host_sizes, _synth_page
+    sizes = _host_sizes(60, 4, 1.2)
+    hosts = [f"host{h:04d}.test" for h in range(4)]
+    for h in range(4):
+        for i in range(sizes[h]):
+            _, html = _synth_page(h, i, hosts, sizes, 4, 2, 60)
+            _assert_same(html)
+
+
+EDGE_CASES = [
+    "",
+    "   ",
+    "plain text only",
+    "a < b and c > d",
+    "x &amp; y &lt;z&gt; &#65; &unknown;",
+    "<b>bold</b> tail",
+    '<a href="/x?a=1&amp;b=2">link</a>',
+    "<a href='/single'>s</a>",
+    "<input disabled>",
+    "<input disabled />",
+    "<img src=bare>",
+    "<div  class = 'spaced' >x</div>",
+    "<UL><LI>upper</LI></UL>",
+    "<p>unclosed<p>another",
+    "<div><span>deep</div>stray</span>",
+    "<!-- comment --><div>after</div>",
+    "<!-- unterminated comment <div>x</div>",
+    "<!DOCTYPE html><html><body>doc</body></html>",
+    "<?pi instruction?><div>x</div>",
+    "<script>if (a < b && c) { x = '</div>'; }</script><div>after</div>",
+    "<style>a > b { color: red; }</style><p>styled</p>",
+    "<head><title>T</title></head><body>b</body>",
+    "<br><hr><meta charset='x'>",
+    "<a href=\"/समाज-विश्व/test/test%20test test\">unicode</a>",
+    "< notatag>",
+    "text with <3 emoticon",
+    "<div attr='a\"b'>quotes</div>",
+    '<div attr="a\'b">quotes</div>',
+    "<em>nested <strong>bold <i>italic</i></strong> tail</em>",
+    "<td rowspan=2 colspan='3'>cell</td>",
+    "<x-custom data-v='1'>custom</x-custom>",
+    "trailing <",
+    "trailing </",
+    "trailing <div",
+]
+
+
+@pytest.mark.parametrize("case", EDGE_CASES)
+def test_edge_cases_identical(case):
+    _assert_same(case)
+
+
+def test_hypothesis_fuzz_identical():
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis unavailable")
+
+    tags = st.sampled_from(["div", "p", "a", "b", "ul", "li", "img",
+                            "span", "input"])
+    text = st.lists(
+        st.sampled_from(
+            list("abc <>&;='\"/!-?\n\t") + ["&amp;", "&lt;", "&#65;"]),
+        max_size=24).map("".join)
+
+    @st.composite
+    def html_doc(draw):
+        parts = []
+        for _ in range(draw(st.integers(0, 8))):
+            kind = draw(st.integers(0, 3))
+            if kind == 0:
+                parts.append(draw(text))
+            elif kind == 1:
+                t = draw(tags)
+                attr = draw(st.sampled_from(
+                    ["", " class='c'", ' href="/x"', " disabled",
+                     " a=b", " a = 'x y'"]))
+                parts.append(f"<{t}{attr}>{draw(text)}</{t}>")
+            elif kind == 2:
+                parts.append(f"<{draw(tags)}/>")
+            else:
+                parts.append(f"<!-- {draw(text)} -->")
+        return "".join(parts)
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(html_doc())
+    def check(doc):
+        _assert_same(doc)
+
+    check()
+
+    # completely arbitrary character soup (no grammar at all)
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.text(alphabet=list("<>/&;=!-?' \"abXY01\n"), max_size=40))
+    def check_soup(s):
+        _assert_same(s)
+
+    check_soup()
