@@ -422,6 +422,9 @@ class Runner:
             self._error(chain, cmd, "Document has no root")
             cb("Document has no root", None)
             return
+        doc.response["size"] = {"body": len(raw)}  # Request.js:110-117
+        if opts.get("keep_data") is True:
+            doc.response["data"] = raw             # Request.js:81-83
         for k, v in req_headers.items():
             doc.request["headers"].setdefault(k, v)
         doc._data_sort_index = sort_index

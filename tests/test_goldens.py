@@ -737,3 +737,19 @@ def test_cookie_null_deletes():
            .get(f"{FIXTURE_HOST}/3").cookie("drop", None))
     assert r.fetch_log[0]["headers"]["cookie"] == "drop=2; keep=1"
     assert r.fetch_log[1]["headers"]["cookie"] == "keep=1"
+
+
+def test_keep_data_and_response_size():
+    # reference lib/Request.js:81-83 (keep_data) + :110-117 (size.body)
+    seen = []
+    chain = (O.get(f"{FIXTURE_HOST}/2")
+             .config("keep_data", True)
+             .then(lambda ctx: seen.append(ctx.doc().response)))
+    run(chain)
+    assert seen[0]["data"] == "<head><title>2</title></head><body></body>"
+    assert seen[0]["size"]["body"] == len(seen[0]["data"])
+    # without keep_data the raw body is not retained
+    seen2 = []
+    run(O.get(f"{FIXTURE_HOST}/2")
+        .then(lambda ctx: seen2.append(ctx.doc().response)))
+    assert "data" not in seen2[0] and seen2[0]["size"]["body"] > 0
