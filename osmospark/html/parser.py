@@ -355,6 +355,10 @@ _CDATA_TAGS = {"script", "style"}
 # stdlib html.parser endtagfind (strict form; tolerant fallback below)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _USE_STD_PARSER = os.environ.get("OSMOSPARK_STD_PARSER") == "1"
+# stdlib check_for_whole_start_tag's "end of input in or before attribute
+# value" character class
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 
 
 def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
@@ -386,7 +390,9 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     while i < n:
         if cdata_elem is not None:
             m = cdata_elem.search(rawdata, i)
-            j = m.start() if m else n
+            if m is None:
+                break  # stdlib discards unterminated CDATA content at EOF
+            j = m.start()
             if j > i:
                 builder.handle_data(rawdata[i:j])  # raw: no charref convert
             cdata_elem = None
@@ -410,8 +416,10 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                 endpos = j + 1
             elif nextc == "/" and rawdata[j:j + 2] == "/>":
                 endpos = j + 2
-            elif nextc in ("", "/"):
-                i = recover(lt)           # incomplete at EOF
+            elif nextc in ("", "/") or nextc in _INCOMPLETE_NEXT:
+                # stdlib check_for_whole_start_tag: EOF in or before an
+                # attribute value → incomplete → EOF recovery
+                i = recover(lt)
                 continue
             else:
                 # buggy start tag: junk to the scan end is one RAW chunk
