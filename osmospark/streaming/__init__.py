@@ -87,6 +87,59 @@ def stream_outlinks(out_stream: DataFrame,
     return conts
 
 
+OUTLINK_SCHEMA = ("url string, url_hash long, host string, depth int, "
+                  "referer string")
+
+
+def stream_unseen_links_stateful(out_stream: DataFrame,
+                                 n_buckets: int = 16,
+                                 bits_per_bucket: int = 1 << 17) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    the streaming analogue of the batch engine's partitioned Bloom
+    URL-seen state. Links key by host bucket; each group's state is that
+    bucket's Bloom bitset, a bounded binary blob in the Spark state store
+    (bits/8 bytes per bucket FOREVER, vs ``dropDuplicates`` state that
+    grows with the seen set). Emits each link the first time its bucket's
+    filter hasn't seen it.
+
+    Probabilistic by design: Bloom false positives drop ~FPR of
+    genuinely-new URLs — size ``bits_per_bucket`` for the expected keys
+    per bucket (10 bits/key ≈ 1% FPR). The exact-state alternative is
+    ``stream_outlinks`` (dropDuplicates); the batch engine uses the same
+    two-tier design (Bloom prefilter + exact backstop)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    conts = (out_stream.filter(F.col("row_kind") == "cont")
+             .select("url", F.xxhash64("url").alias("url_hash"), "host",
+                     F.col("depth").cast("int").alias("depth"), "referer")
+             .withColumn(
+                 "bucket",
+                 F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
+                        F.lit(n_buckets)).cast("int")))
+    bits = bits_per_bucket
+
+    def dedup(key, pdfs, state):
+        import numpy as np
+
+        from ..frontier import bloom as B
+        if state.exists:
+            bs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            bs = B.empty_bitset(bits)
+        for pdf in pdfs:
+            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+            first = ~pdf["url_hash"].duplicated().to_numpy()
+            fresh = (~B.contains(bs, hashes)) & first
+            B.add(bs, hashes)
+            yield pdf.loc[fresh, ["url", "url_hash", "host", "depth",
+                                  "referer"]]
+        state.update((bs.tobytes(),))
+
+    return conts.groupBy("bucket").applyInPandasWithState(
+        dedup, OUTLINK_SCHEMA, "bitset binary", "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def stream_windowed_metrics(events: DataFrame, window: str = "1 hour",
                             watermark: str = "2 hours",
                             ts_col: str = "ts",

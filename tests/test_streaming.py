@@ -83,3 +83,36 @@ def test_stream_windowed_metrics_matches_batch(spark, tmp_path_factory):
     got = {tuple(r) for r in spark.table("stream_metrics").collect()}
     want = {tuple(r) for r in stream_windowed_metrics(ev_batch).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_bloom_dedup_matches_exact_across_batches(spark, pages_dir):
+    """applyInPandasWithState custom operator: Bloom URL-seen state in the
+    state store must emit exactly the distinct link set (FPR ~0 at this
+    size), deduplicating ACROSS micro-batches, with bounded per-bucket
+    state."""
+    from osmospark.streaming import (
+        read_pages_stream, run_to_memory, stream_extract,
+        stream_unseen_links_stateful,
+    )
+
+    out = stream_extract(
+        read_pages_stream(spark, pages_dir, max_files_per_trigger=1),
+        None, "a")
+    run_to_memory(
+        stream_unseen_links_stateful(out), "stateful_unseen",
+        output_mode="append")
+    got = [r.url for r in spark.table("stateful_unseen").collect()]
+    assert len(got) == len(set(got))       # cross-batch dedup held
+
+    # exact expected set: batch extraction's distinct outlinks
+    from osmospark.extract import OUT_SCHEMA, make_crawl_udf
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(pages_dir).select(
+        "url", F.xxhash64("url").alias("url_hash"),
+        F.lit(None).cast("string").alias("host"), F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("referer"), "html")
+    bout = batch.mapInPandas(make_crawl_udf(None, "a", hash_conts=False),
+                             OUT_SCHEMA)
+    want = {r.url for r in bout.filter(F.col("row_kind") == "cont")
+            .select("url").distinct().collect()}
+    assert set(got) == want and len(want) > 5
