@@ -90,6 +90,7 @@ class FrontierEngine:
         bloom_bits_per_bucket: int = 1 << 20,
         broadcast_threshold: int = 100_000,
         round_seconds: float = 60.0,
+        adaptive_shuffle: bool = True,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan
@@ -109,6 +110,13 @@ class FrontierEngine:
         self.bloom_bits = bloom_bits_per_bucket
         self.broadcast_threshold = broadcast_threshold
         self.round_seconds = round_seconds
+        # iterative loops pay fixed task-launch latency per shuffle stage;
+        # a 10k-row late-crawl round does not need 64 reduce tasks × 3
+        # admission shuffles. With AQE off (bench default) the engine
+        # right-sizes spark.sql.shuffle.partitions per round from the
+        # previous round's frontier size (the same job AQE would do at
+        # runtime — re-enable AQE at true cluster scale instead).
+        self.adaptive_shuffle = adaptive_shuffle
         self.metrics_rows: list[dict] = []
         self._pending_metrics: list[DataFrame] = []
         # URL-seen state, partitioned by host bucket (north rule). Two
@@ -680,115 +688,135 @@ class FrontierEngine:
         # plus O(1) block-scan counts. No persist/unpersist dance: every
         # derived frame (admitted, deferred, seen part, records, next
         # frontier) is a filter over checkpointed blocks.
-        while round_no < end_round:
-            phase_t: dict[str, float] = {}
-            t0 = _time.perf_counter()
-            fr = frontier
-            if self.dedup:
-                fr = self._dedup_round(fr)
-            fr = self._apply_robots(fr)
-            fr = self._rank_politeness(fr)
-            ranked = fr.localCheckpoint(eager=True)
-            if self.politeness:
-                admitted = ranked.filter(
-                    F.col("_rank") <= F.col("_slots")).drop("_rank", "_slots")
-                deferred = ranked.filter(
-                    F.col("_rank") > F.col("_slots")).drop("_rank", "_slots")
-            else:
-                admitted, deferred = ranked, None
-            n_admitted = admitted.count()
-            phase_t["dedup_admit"] = round(_time.perf_counter() - t0, 2)
-            if n_admitted == 0:
-                break
+        default_shuffle = None
+        if self.adaptive_shuffle:
+            try:
+                default_shuffle = int(
+                    spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                self.adaptive_shuffle = False
+        try:
+            while round_no < end_round:
+                phase_t: dict[str, float] = {}
+                if self.adaptive_shuffle:
+                    # right-size reduce-task counts for this round's frontier
+                    # (small late-crawl rounds don't need 64 tasks × 3
+                    # admission shuffles of launch latency). The count is one
+                    # cheap scan over checkpointed blocks.
+                    n_est = frontier.count()
+                    target = max(8, min(default_shuffle, n_est // 1500 + 1))
+                    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+                t0 = _time.perf_counter()
+                fr = frontier
+                if self.dedup:
+                    fr = self._dedup_round(fr)
+                fr = self._apply_robots(fr)
+                fr = self._rank_politeness(fr)
+                ranked = fr.localCheckpoint(eager=True)
+                if self.politeness:
+                    admitted = ranked.filter(
+                        F.col("_rank") <= F.col("_slots")).drop("_rank", "_slots")
+                    deferred = ranked.filter(
+                        F.col("_rank") > F.col("_slots")).drop("_rank", "_slots")
+                else:
+                    admitted, deferred = ranked, None
+                n_admitted = admitted.count()
+                phase_t["dedup_admit"] = round(_time.perf_counter() - t0, 2)
+                if n_admitted == 0:
+                    break
 
-            t0 = _time.perf_counter()
-            if self.dedup:
-                self._note_seen(admitted, n_rows=n_admitted)
-                if self.state is not None:
-                    # persist the round's admitted ids so a resumed crawl
-                    # rebuilds the URL-seen buckets (north rule: resumable)
-                    self.state.commit_round(
-                        "seen", round_no, admitted.select("url_hash", "host"))
-            phase_t["seen_update"] = round(_time.perf_counter() - t0, 2)
+                t0 = _time.perf_counter()
+                if self.dedup:
+                    self._note_seen(admitted, n_rows=n_admitted)
+                    if self.state is not None:
+                        # persist the round's admitted ids so a resumed crawl
+                        # rebuilds the URL-seen buckets (north rule: resumable)
+                        self.state.commit_round(
+                            "seen", round_no, admitted.select("url_hash", "host"))
+                phase_t["seen_update"] = round(_time.perf_counter() - t0, 2)
 
-            t0 = _time.perf_counter()
-            if 0 < n_admitted <= self.broadcast_threshold:
-                # hot path: INNER broadcast join only — corpus html never
-                # moves, no 404 union in the round job. The miss metrics
-                # (key-only anti-join over the checkpointed admitted blocks)
-                # are deferred to the single _flush_metrics job.
-                joined = self.pages.join(F.broadcast(admitted), "url_hash",
-                                         "inner")
+                t0 = _time.perf_counter()
+                if 0 < n_admitted <= self.broadcast_threshold:
+                    # hot path: INNER broadcast join only — corpus html never
+                    # moves, no 404 union in the round job. The miss metrics
+                    # (key-only anti-join over the checkpointed admitted blocks)
+                    # are deferred to the single _flush_metrics job.
+                    joined = self.pages.join(F.broadcast(admitted), "url_hash",
+                                             "inner")
+                    self._pending_metrics.append(
+                        admitted.join(
+                            F.broadcast(self.pages.select("url_hash")),
+                            "url_hash", "left_anti")
+                        .groupBy("host")
+                        .agg(F.count("*").alias("fetched"),
+                             F.lit(0).cast("long").alias("parsed"),
+                             F.count("*").alias("errors"))
+                        .withColumn("round", F.lit(round_no)))
+                else:
+                    joined = self._fetch_join(admitted, n_admitted)
+                out = joined.select("url", "url_hash", "host", "depth",
+                                    "referer", "html") \
+                    .mapInPandas(crawl_udf, OUT_SCHEMA)
+                # ONE materialization per round: everything downstream (records,
+                # next frontier, metrics) reads the checkpointed blocks
+                out = out.localCheckpoint(eager=True)
+                phase_t["extract"] = round(_time.perf_counter() - t0, 2)
+
+                t0 = _time.perf_counter()
+                round_records = out.filter(F.col("row_kind") == "root").select(
+                    "url", "depth", "value_json")
+                # metrics aggregate lazily (one job at the end, not per round);
+                # normalized to the narrow (round, host, fetched, parsed,
+                # errors) shape shared with the deferred miss metrics
                 self._pending_metrics.append(
-                    admitted.join(
-                        F.broadcast(self.pages.select("url_hash")),
-                        "url_hash", "left_anti")
-                    .groupBy("host")
-                    .agg(F.count("*").alias("fetched"),
-                         F.lit(0).cast("long").alias("parsed"),
-                         F.count("*").alias("errors"))
-                    .withColumn("round", F.lit(round_no)))
-            else:
-                joined = self._fetch_join(admitted, n_admitted)
-            out = joined.select("url", "url_hash", "host", "depth",
-                                "referer", "html") \
-                .mapInPandas(crawl_udf, OUT_SCHEMA)
-            # ONE materialization per round: everything downstream (records,
-            # next frontier, metrics) reads the checkpointed blocks
-            out = out.localCheckpoint(eager=True)
-            phase_t["extract"] = round(_time.perf_counter() - t0, 2)
+                    out.filter(F.col("row_kind") == "metric")
+                       .select(F.lit(round_no).alias("round"), "host",
+                               "fetched", "parsed", "errors"))
 
-            t0 = _time.perf_counter()
-            round_records = out.filter(F.col("row_kind") == "root").select(
-                "url", "depth", "value_json")
-            # metrics aggregate lazily (one job at the end, not per round);
-            # normalized to the narrow (round, host, fetched, parsed,
-            # errors) shape shared with the deferred miss metrics
-            self._pending_metrics.append(
-                out.filter(F.col("row_kind") == "metric")
-                   .select(F.lit(round_no).alias("round"), "host",
-                           "fetched", "parsed", "errors"))
+                conts = out.filter(F.col("row_kind") == "cont") \
+                           .filter(F.col("depth") <= max_depth) \
+                           .withColumn("url_hash", F.xxhash64("url")) \
+                           .select(*_FRONTIER_COLS)
+                if deferred is not None:
+                    conts = conts.unionByName(deferred.select(*_FRONTIER_COLS))
 
-            conts = out.filter(F.col("row_kind") == "cont") \
-                       .filter(F.col("depth") <= max_depth) \
-                       .withColumn("url_hash", F.xxhash64("url")) \
-                       .select(*_FRONTIER_COLS)
-            if deferred is not None:
-                conts = conts.unionByName(deferred.select(*_FRONTIER_COLS))
+                if self.state is not None:
+                    # atomic round commit — resume point (north rule)
+                    self.state.commit_round(
+                        "records", round_no, round_records,
+                        meta={"admitted": n_admitted})
+                    self.state.commit_round("frontier", round_no, conts)
+                    conts = self.state.read_round("frontier", round_no)
+                    records = None  # read back from state at the end
+                else:
+                    records = (round_records if records is None
+                               else records.unionByName(round_records))
+                phase_t["commit"] = round(_time.perf_counter() - t0, 2)
 
-            if self.state is not None:
-                # atomic round commit — resume point (north rule)
-                self.state.commit_round(
-                    "records", round_no, round_records,
-                    meta={"admitted": n_admitted})
-                self.state.commit_round("frontier", round_no, conts)
-                conts = self.state.read_round("frontier", round_no)
-                records = None  # read back from state at the end
-            else:
-                records = (round_records if records is None
-                           else records.unionByName(round_records))
-            phase_t["commit"] = round(_time.perf_counter() - t0, 2)
+                import resource as _res
+                self._total_admitted += n_admitted
+                self._total_rounds += 1
+                visit_meta.append({
+                    "round": round_no, "admitted": n_admitted,
+                    "phases": phase_t,
+                    "rss_mb": round(
+                        _res.getrusage(_res.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
+                })
+                frontier = conts
+                round_no += 1
+                if self.on_round_end is not None:
+                    self.on_round_end(visit_meta[-1])
+                if self._pause_requested:
+                    # chain-level .pause() analogue (reference index.js:364-382)
+                    # at round granularity: the round just committed is the
+                    # resume point — run_crawl(resume_frontier=state.read_round(
+                    # 'frontier', k), start_round=k+1) continues the crawl
+                    break
 
-            import resource as _res
-            self._total_admitted += n_admitted
-            self._total_rounds += 1
-            visit_meta.append({
-                "round": round_no, "admitted": n_admitted,
-                "phases": phase_t,
-                "rss_mb": round(
-                    _res.getrusage(_res.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
-            })
-            frontier = conts
-            round_no += 1
-            if self.on_round_end is not None:
-                self.on_round_end(visit_meta[-1])
-            if self._pause_requested:
-                # chain-level .pause() analogue (reference index.js:364-382)
-                # at round granularity: the round just committed is the
-                # resume point — run_crawl(resume_frontier=state.read_round(
-                # 'frontier', k), start_round=k+1) continues the crawl
-                break
-
+        finally:
+            if self.adaptive_shuffle and default_shuffle is not None:
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(default_shuffle))
         self._flush_metrics()
         if self.state is not None:
             records = self.state.read_all("records")
