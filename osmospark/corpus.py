@@ -205,6 +205,8 @@ def fixture_pages() -> list[Page]:
         pages.append(Page(f"{h}/pause-page/{k}", f"<div>{k}</div>"))
     pages.append(Page(f"{h}/delay-response",
                       '<a href="/delay-response"></a>'))
+    # reference test/run.js:88-93 (.run() lifecycle tests)
+    pages.append(Page(f"{h}/run", "<div>loaded</div>"))
     for k in range(1, 6):
         pages.append(Page(f"{h}/follow?page={k}", follow_page_html(k)))
     for k in range(1, 7):

@@ -85,6 +85,18 @@ class Node:
             yield node
             node = node.parent
 
+    # libxmljs node-query surface exposed to user callbacks (reference
+    # test/run.js:14 `context.get('div')`, lib/Command.js uses node.find):
+    # find = all matches in document order, get = first match or None.
+    # Compiled selectors are cached module-wide, so callback use is cheap.
+    def find(self, selector: str, relative: bool = False) -> list:
+        from .selector import compile_selector
+        return compile_selector(selector).find(self, relative=relative)
+
+    def get(self, selector: str, relative: bool = False):
+        matches = self.find(selector, relative=relative)
+        return matches[0] if matches else None
+
 
 class TextNode(Node):
     __slots__ = ("data",)

@@ -668,6 +668,37 @@ def test_chain_stop_discards_pending_work():  # test/stop.js:6-27
     assert done == [1]              # reference fires done after stop
 
 
+def test_run_immediate_then_and_done():  # test/run.js:9-23
+    seen, done = [], []
+    chain = (O.get(f"{FIXTURE_HOST}/run")
+             .then(lambda ctx: seen.append(ctx.get("div").text()))
+             .done(lambda: done.append(1)))
+    Runner(store=fixture_store()).run(chain)
+    assert seen == ["loaded"] and done == [1]
+
+
+def test_run_same_instance_twice():  # test/run.js:25-39
+    count = []
+    chain = (O.get(f"{FIXTURE_HOST}/run")
+             .then(lambda ctx: count.append(1)))
+    r = Runner(store=fixture_store())
+    r.run(chain)
+    r.run(chain)                      # same instance, run again
+    assert len(count) == 2
+
+
+def test_run_fresh_runner_same_chain():  # test/run.js:41-63 analogue:
+    # the chain object outlives a runner; a NEW runner re-executes it with
+    # correctly re-folded opts (the opts-cache is keyed by weakref, not id)
+    seen = []
+    chain = (O.get(f"{FIXTURE_HOST}/run")
+             .config({"tries": 2})
+             .then(lambda ctx: seen.append(ctx.get("div").text())))
+    Runner(store=fixture_store()).run(chain)
+    Runner(store=fixture_store()).run(chain)
+    assert seen == ["loaded", "loaded"]
+
+
 def test_prerun_stop_is_noop_run():
     got, done = [], []
     chain = (O.get(f"{FIXTURE_HOST}/set").set("title")
