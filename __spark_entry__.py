@@ -369,6 +369,17 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF-flat — deterministic sampled codebook,
+    map-only cell assignment (no shuffle), nprobe cell-pruned candidate
+    join, exact rerank. The codebook is data-derived (every n/16-th
+    vector), so the oracle reads the SAME centroids from the table and
+    mirrors assignment/probe/rerank in SQL."""
+    from osmospark.functions import ivf_topk
+    return ivf_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5,
+                    cells=16, nprobe=4)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
     k-gram hashes, sliding-window minima, dedup+sort."""
@@ -445,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
@@ -646,6 +658,69 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 5 ORDER BY query_id, rank
     """
 
+    # -- ann_ivf: the codebook is data-derived (every n/16-th vector), so
+    # the oracle reads the same centroids from the table; assignment =
+    # rank-1 cosine cell (ties -> lowest cell), probe = top-4 cells
+    ivf_cells, ivf_nprobe = 16, 4
+    ann_ivf_sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nn AS (SELECT max(vec_id) + 1 AS n FROM e),
+        c AS (
+            SELECT r.i AS ord, e.v AS cv
+            FROM range(0, {ivf_cells}) r(i)
+            CROSS JOIN nn
+            JOIN e ON e.vec_id = r.i * greatest(1, nn.n // {ivf_cells})
+            WHERE r.i * greatest(1, nn.n // {ivf_cells}) < nn.n
+        ),
+        sims AS (
+            SELECT e.vec_id, c.ord,
+                   list_sum(list_transform(range(1, len(e.v) + 1),
+                            i -> e.v[i] * c.cv[i]))
+                   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.cv, x -> x * x))))
+                   AS sim
+            FROM e CROSS JOIN c
+        ),
+        assign AS (
+            SELECT vec_id, ord AS cell FROM (
+                SELECT vec_id, ord,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, ord) AS r
+                FROM sims) WHERE r = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, ord AS cell FROM (
+                SELECT vec_id, ord,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, ord) AS r
+                FROM sims WHERE vec_id IN ({ann_ids})) WHERE r <= {ivf_nprobe}
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN ({ann_ids})),
+        s AS (
+            SELECT cd.query_id, cd.vec_id,
+                   list_sum(list_transform(range(1, len(ev.v) + 1),
+                            i -> q.qv[i] * ev.v[i]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ev.v, x -> x * x))))
+                   AS sim
+            FROM cand cd
+            JOIN e ev ON ev.vec_id = cd.vec_id
+            JOIN q ON q.query_id = cd.query_id
+        )
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM s)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
     submit_expected_post = (
         '{"s1":"2","s2":"two","cb2":"two","cb3[0]":"one","cb3[1]":"on",'
         '"cb3[2]":"on","ta":"text area test","sub1":"submit"}')
@@ -675,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(variant, method, data) ORDER BY variant
         """,
         "ann_lsh": ann_lsh_sql,
+        "ann_ivf": ann_ivf_sql,
         "dedup_embedding": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -177,6 +177,78 @@ def embedding_near_duplicates(embeddings: DataFrame,
             .orderBy("vec_a", "vec_b"))
 
 
+DEFAULT_IVF_CELLS = 16
+DEFAULT_NPROBE = 4
+
+
+def ivf_centroid_ids(n: int, cells: int = DEFAULT_IVF_CELLS) -> list[int]:
+    """Deterministic sampled coarse quantizer: every (n // cells)-th
+    vector is a centroid. At real scale you would train k-means offline
+    and broadcast the codebook; the PLAN SHAPE (map-only assign → probe
+    nprobe cells → exact rerank) is identical either way, and sampling
+    keeps both engines (Spark + DuckDB oracle) byte-agreed with zero RNG."""
+    stride = max(1, n // cells)
+    return [i * stride for i in range(cells) if i * stride < n]
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int],
+             k: int = DEFAULT_K, cells: int = DEFAULT_IVF_CELLS,
+             nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+    """ANN scale path #2: IVF-flat — cluster-pruned search.
+
+    - assignment is a MAP-ONLY projection: the codebook (``cells`` vectors)
+      is collected once and compiled into a literal sims-array expression,
+      so the corpus never shuffles and never joins for cell assignment
+      (``argmax`` = first index of the array max, ties → lowest cell);
+    - each query probes its ``nprobe`` most-similar cells; candidates =
+      corpus rows in those cells via a broadcast join on the cell id
+      (expected candidates ≈ N·nprobe/cells instead of N);
+    - exact cosine rerank within candidates, top-k per query.
+
+    At 100 TB the pages table would be WRITTEN partitioned/bucketed by
+    ``cell`` so the probe join prunes whole files (partition pruning),
+    not just rows."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    cids = ivf_centroid_ids(n, cells)
+    by_id = {r["vec_id"]: r["v"]
+             for r in e.filter(F.col("vec_id").isin(cids)).collect()}
+    codebook = [by_id[i] for i in cids]
+
+    def _lit_vec(c):
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    sims = F.array(*[cosine(F.col("v"), _lit_vec(c)) for c in codebook])
+    assigned = (e.withColumn("_sims", sims)
+                .withColumn("cell", (F.array_position(
+                    "_sims", F.array_max("_sims")) - 1).cast("int")))
+
+    q_probe = (assigned.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.posexplode("_sims").alias("cell", "csim")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
+                                                F.col("cell").asc())
+    probes = (q_probe.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= nprobe).select("query_id", "cell"))
+
+    cand = (assigned.drop("_sims")
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "v"))
+    qv = (e.filter(F.col("vec_id").isin(query_ids))
+          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    scored = (cand.join(F.broadcast(qv), "query_id")
+              .select("query_id", "vec_id",
+                      cosine(F.col("qv"), F.col("v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+            .orderBy("query_id", "rank"))
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs the ANN result recovered."""
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}

@@ -37,6 +37,26 @@ def test_ann_lsh_rank_is_exact_within_candidates(spark, emb):
     assert len({r.neighbor_id for r in out}) == len(out)
 
 
+def test_ann_ivf_recall(spark, emb):
+    from osmospark.functions import brute_force_topk, ivf_topk, recall_at_k
+    qids = list(range(8))
+    exact = brute_force_topk(emb, qids, k=5)
+    approx = ivf_topk(emb, qids, k=5, cells=16, nprobe=4)
+    r = recall_at_k(exact, approx)
+    # probing 4/16 sampled cells scans ~25% of the corpus; on random
+    # embeddings cluster pruning is weak by construction, but recall must
+    # still clear chance (~0.5%) by a wide margin
+    assert r >= 0.3, f"recall@5 {r}"
+
+
+def test_ann_ivf_prunes_candidates(spark, emb):
+    from osmospark.functions import ivf_topk
+    out = ivf_topk(emb, [0], k=5, cells=16, nprobe=4).collect()
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks) and len(out) <= 5
+    assert len({r.neighbor_id for r in out}) == len(out)
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     from osmospark.functions import exact_duplicates
     rows = [(1, "same text here", "en", "s", 14),
