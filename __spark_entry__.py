@@ -380,6 +380,14 @@ def q_ann_ivf(spark, sf_dir):
                     cells=16, nprobe=4)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end curation composite: quality gate -> exact dedup ->
+    LSH near-dup removal (keep-lowest-id) -> token accounting. One
+    declarative plan over existing oracle-checked operators."""
+    from osmospark.functions import corpus_pipeline
+    return corpus_pipeline(_documents(spark, sf_dir), 0.5)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
     k-gram hashes, sliding-window minima, dedup+sort."""
@@ -457,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "corpus_pipeline": q_corpus_pipeline,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
@@ -658,6 +667,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 5 ORDER BY query_id, rank
     """
 
+    # -- corpus_pipeline: composite of the quality / exact-dedup /
+    # near-dup / token-count oracles; near-dup removal = drop the HIGHER
+    # id of every pair (keep-lowest-id greedy, same rule as Spark)
+    corpus_pipeline_sql = f"""
+        WITH nd AS ({near_dup_sql}),
+        q AS (
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 50
+              AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 10
+              AND (length(text) - length(regexp_replace(text,
+                   '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text) <= 0.2
+        ),
+        canon AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+        ),
+        keep AS (
+            SELECT q.doc_id FROM q
+            JOIN canon ON canon.doc_id = q.doc_id
+            WHERE q.doc_id NOT IN (SELECT doc_b FROM nd)
+        )
+        SELECT d.doc_id,
+               len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))::INT
+                   AS ws_tokens,
+               len(regexp_extract_all(lower(d.text),
+                   '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS bpe_tokens
+        FROM documents d JOIN keep ON keep.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
     # -- ann_ivf: the codebook is data-derived (every n/16-th vector), so
     # the oracle reads the same centroids from the table; assignment =
     # rank-1 cosine cell (ties -> lowest cell), probe = top-4 cells
@@ -751,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
+        "corpus_pipeline": corpus_pipeline_sql,
         "dedup_embedding": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

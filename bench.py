@@ -137,8 +137,8 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     emb.count()
 
     from osmospark.functions import (
-        brute_force_topk, lsh_topk, near_duplicates, quality_scores,
-        token_counts,
+        brute_force_topk, ivf_topk, lsh_topk, near_duplicates,
+        quality_scores, token_counts,
     )
 
     timed("dedup_minhash", lambda: _count(near_duplicates(docs, 0.5)))
@@ -147,6 +147,7 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     timed("ann_brute", lambda: _count(
         brute_force_topk(emb, list(range(16)), k=10)))
     timed("ann_lsh", lambda: _count(lsh_topk(emb, list(range(16)), k=10)))
+    timed("ann_ivf", lambda: _count(ivf_topk(emb, list(range(16)), k=10)))
 
     total = round(sum(timings.values()), 3)
     urls_done = counts["crawl_extract"] + counts["crawl_frontier"]

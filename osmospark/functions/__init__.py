@@ -17,6 +17,7 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
+from .pipeline import corpus_pipeline
 from .textstats import (
     fingerprints,
     lang_id,
@@ -30,6 +31,7 @@ __all__ = [
     "near_duplicates", "ngram_jaccard", "simhash",
     "brute_force_topk", "embedding_near_duplicates", "ivf_topk",
     "lsh_topk", "recall_at_k",
+    "corpus_pipeline",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",
 ]

@@ -57,6 +57,29 @@ def test_ann_ivf_prunes_candidates(spark, emb):
     assert len({r.neighbor_id for r in out}) == len(out)
 
 
+def test_corpus_pipeline_planted(spark):
+    from osmospark.functions import corpus_pipeline
+    long = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green hills beyond the river")
+    near = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green hills beyond the valley")
+    rows = [
+        (0, long, "en", "s", len(long)),              # survives
+        (1, long.upper(), "en", "s", len(long)),      # exact dup of 0 -> out
+        (2, near, "en", "s", len(near)),              # near-dup of 0 -> out
+        (3, "too short", "en", "s", 9),               # quality gate -> out
+        (4, "an entirely different document about the sea and its many "
+            "strange and wonderful creatures swimming in it today",
+         "en", "s", 110),                             # survives
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = corpus_pipeline(df, 0.5).collect()
+    assert [r.doc_id for r in got] == [0, 4]
+    assert all(r.ws_tokens > 10 for r in got)
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     from osmospark.functions import exact_duplicates
     rows = [(1, "same text here", "en", "s", 14),
