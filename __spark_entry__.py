@@ -388,6 +388,15 @@ def q_corpus_pipeline(spark, sf_dir):
     return corpus_pipeline(_documents(spark, sf_dir), 0.5)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph via iterative
+    min-label propagation (checkpointed per iteration, converges when no
+    label changes). Oracle: DuckDB recursive CTE computing min reachable
+    doc_id — the declarative fixed point of the same relation."""
+    from osmospark.functions import dup_clusters
+    return dup_clusters(_documents(spark, sf_dir), 0.5)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
     k-gram hashes, sliding-window minima, dedup+sort."""
@@ -466,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "corpus_pipeline": q_corpus_pipeline,
+        "dup_clusters": q_dup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
@@ -697,6 +707,25 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    # -- dup_clusters: the iterative min-label propagation's fixed point,
+    # stated declaratively — min doc_id reachable through near-dup pairs
+    dup_clusters_sql = f"""
+        WITH RECURSIVE nd AS ({near_dup_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM nd
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM nd
+        ),
+        reach(doc, r) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT reach.doc, e.dst
+            FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT doc AS doc_id, least(doc, min(r)) AS cluster_id
+        FROM reach GROUP BY doc ORDER BY doc_id
+    """
+
     # -- ann_ivf: the codebook is data-derived (every n/16-th vector), so
     # the oracle reads the same centroids from the table; assignment =
     # rank-1 cosine cell (ties -> lowest cell), probe = top-4 cells
@@ -791,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
         "corpus_pipeline": corpus_pipeline_sql,
+        "dup_clusters": dup_clusters_sql,
         "dedup_embedding": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -17,7 +17,7 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
-from .pipeline import corpus_pipeline
+from .pipeline import corpus_pipeline, dup_clusters
 from .textstats import (
     fingerprints,
     lang_id,
@@ -31,7 +31,7 @@ __all__ = [
     "near_duplicates", "ngram_jaccard", "simhash",
     "brute_force_topk", "embedding_near_duplicates", "ivf_topk",
     "lsh_topk", "recall_at_k",
-    "corpus_pipeline",
+    "corpus_pipeline", "dup_clusters",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",
 ]

@@ -31,6 +31,55 @@ from .dedup import near_duplicates
 from .textstats import fingerprints, quality_scores, token_counts
 
 
+def dup_clusters(documents: DataFrame,
+                 jaccard_threshold: float = 0.5,
+                 max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    (doc_id, cluster_id) for every document that appears in at least one
+    near-dup pair, where cluster_id = min doc_id reachable through pairs.
+
+    Distributed iterative min-label propagation (the simple half of
+    Kiveris et al.'s large-star/small-star — adequate because near-dup
+    components are shallow): each iteration joins labels across the
+    undirected edge list and keeps the per-node minimum, checkpointing
+    the label frame so lineage stays flat; stops when no label changed
+    (or after ``max_iters`` — components longer than that chain would be
+    pathological for near-dup data, and the iteration cap is logged by
+    the caller's metrics if hit). Each iteration is one shuffle on
+    doc_id; the edge list is reused from a single eager checkpoint."""
+    pairs = (near_duplicates(documents, jaccard_threshold)
+             .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    labels = (edges.groupBy(F.col("src").alias("doc_id"))
+              .agg(F.min("dst").alias("cluster_id"))
+              .select("doc_id",
+                      F.least("doc_id", "cluster_id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        # propagate: a node adopts the smallest label among itself and
+        # its neighbours' labels
+        nbr = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+               .groupBy(F.col("dst").alias("doc_id"))
+               .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("cluster_id",
+                                      F.coalesce("nbr_min", "cluster_id"))
+                              .alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 def corpus_pipeline(documents: DataFrame,
                     jaccard_threshold: float = 0.5) -> DataFrame:
     """Returns (doc_id, ws_tokens, bpe_tokens) for documents that survive

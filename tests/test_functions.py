@@ -80,6 +80,38 @@ def test_corpus_pipeline_planted(spark):
     assert all(r.ws_tokens > 10 for r in got)
 
 
+def test_dup_clusters_transitive_chain(spark):
+    # a-b and b-c are near-dup pairs but a-c may not be: the cluster must
+    # still be {a,b,c} with cluster_id = a (transitive closure, which the
+    # pair-based keep-lowest rule alone cannot see)
+    from osmospark.functions import dup_clusters, near_duplicates
+    # sliding 20-word windows over a 28-word base with stride 4: adjacent
+    # docs share 16 words (jaccard ~0.64 -> near-dup), the ends share only
+    # 12 (jaccard ~0.38 -> NOT a pair at 0.5)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega aleph beth gimel daleth")
+    w = base.split()
+    assert len(w) == 28
+    doc_a = " ".join(w[0:20])
+    doc_b = " ".join(w[4:24])
+    doc_c = " ".join(w[8:28])
+    rows = [(10, doc_a, "en", "s", len(doc_a)),
+            (20, doc_b, "en", "s", len(doc_b)),
+            (30, doc_c, "en", "s", len(doc_c)),
+            (40, "completely unrelated text about something else entirely "
+                 "with many different words", "en", "s", 90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in near_duplicates(df, 0.5).collect()}
+    assert (10, 20) in pairs and (20, 30) in pairs, pairs
+    assert (10, 30) not in pairs, pairs   # closure is genuinely transitive
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(df, 0.5).collect()}
+    assert got == {10: 10, 20: 10, 30: 10}, got
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     from osmospark.functions import exact_duplicates
     rows = [(1, "same text here", "en", "s", 14),
