@@ -91,6 +91,7 @@ class FrontierEngine:
         broadcast_threshold: int = 100_000,
         round_seconds: float = 60.0,
         adaptive_shuffle: bool = True,
+        dedup_via: str = "window",
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan
@@ -117,6 +118,10 @@ class FrontierEngine:
         # previous round's frontier size (the same job AQE would do at
         # runtime — re-enable AQE at true cluster scale instead).
         self.adaptive_shuffle = adaptive_shuffle
+        # within-round winner selection: 'window' (row_number) or 'agg'
+        # (groupBy + min_by on an order-key struct — map-side partial
+        # combine, no sort; see _dedup_round)
+        self.dedup_via = dedup_via
         self.metrics_rows: list[dict] = []
         self._pending_metrics: list[DataFrame] = []
         # URL-seen state, partitioned by host bucket (north rule). Two
@@ -208,13 +213,36 @@ class FrontierEngine:
             frontier = frontier.join(seen, "url_hash", "left_anti")
         if self.seen_mode == "bloom" and self._seen_state is not None:
             frontier = self._probe_seen_state(frontier)
-        w = Window.partitionBy("url_hash").orderBy(
-            F.col("depth").desc(),
-            F.col("sort_index").asc_nulls_last(),
-            F.col("referer").asc_nulls_first(),
+        if self.dedup_via == "window":
+            w = Window.partitionBy("url_hash").orderBy(
+                F.col("depth").desc(),
+                F.col("sort_index").asc_nulls_last(),
+                F.col("referer").asc_nulls_first(),
+            )
+            return (frontier.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        # 'agg': same winner via groupBy + min_by on an order-key struct —
+        # hash aggregation with MAP-SIDE partial combine, so in-round
+        # duplicate links collapse before the shuffle and no per-partition
+        # sort runs (the window must sort every partition). Struct fields
+        # encode the window's exact order: depth DESC (negated),
+        # sort_index ASC NULLS LAST (coalesce to max), referer ASC NULLS
+        # FIRST (null-flag field then value); trailing full-row fields
+        # make the key a total order, so ties that the window breaks
+        # arbitrarily are deterministic here.
+        cols = frontier.columns
+        key = F.struct(
+            (-F.col("depth")).alias("_d"),
+            F.coalesce(F.col("sort_index"),
+                       F.lit(2**63 - 1)).alias("_s"),
+            F.col("referer").isNotNull().cast("int").alias("_rn"),
+            F.coalesce(F.col("referer"), F.lit("")).alias("_r"),
+            *[F.col(c).alias(f"_t{i}") for i, c in enumerate(cols)
+              if c not in ("depth", "sort_index", "referer", "url_hash")],
         )
-        return (frontier.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        return (frontier.groupBy("url_hash")
+                .agg(F.min_by(F.struct(*cols), key).alias("_w"))
+                .select("_w.*"))
 
     def _probe_seen_state(self, frontier: DataFrame) -> DataFrame:
         """Filter already-seen rows against the partitioned state table.

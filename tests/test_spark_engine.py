@@ -92,6 +92,58 @@ def test_crawl_mode_dedup_and_depth(spark):
     assert sorted(urls) == sorted(r.url for r in records2.collect())
 
 
+def test_dedup_agg_identical_to_window(spark):
+    """The min_by group-agg winner must equal the window winner row for
+    row (beyond the crawl-level visit-set check): same crawl, byte-equal
+    records, plus a direct _dedup_round comparison on a frontier with
+    duplicate urls, null sort_index/referer, and depth conflicts."""
+    pages = synth_corpus(n_urls=60, n_hosts=4)
+    pages_df = spark.createDataFrame(
+        pages_rows(pages),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    seeds = seed_urls(pages)
+    outs = {}
+    for via in ("window", "agg"):
+        eng = FrontierEngine(spark, pages_df, dedup=True, dedup_via=via)
+        records, _ = eng.run_crawl(
+            seeds, "li > a", extract_spec={"payload": "div"}, max_depth=3)
+        outs[via] = sorted((r.url, r.depth, r.value_json)
+                           for r in records.collect())
+    assert outs["window"] == outs["agg"]
+
+    # direct comparison on a hand-built frontier exercising the order keys
+    rows = [
+        # same url: depth DESC wins
+        {"url": "http://h/a", "depth": 1, "sort_index": 5, "referer": "r1"},
+        {"url": "http://h/a", "depth": 2, "sort_index": 9, "referer": "r2"},
+        # same url+depth: sort_index ASC nulls last
+        {"url": "http://h/b", "depth": 1, "sort_index": None, "referer": "x"},
+        {"url": "http://h/b", "depth": 1, "sort_index": 3, "referer": "y"},
+        # same url+depth+sort: referer ASC nulls first
+        {"url": "http://h/c", "depth": 0, "sort_index": 1, "referer": "zz"},
+        {"url": "http://h/c", "depth": 0, "sort_index": 1, "referer": None},
+    ]
+    base = [dict(url_hash=hash(r["url"]) % (2**31), host="h",
+                 method="get", params_json=None, resume_index=None,
+                 chain_idx=None, kind="crawl", count=None,
+                 parent_record_id=None, index_key=None, is_array=None,
+                 partial_json=None, origin_id=None, origin_sort_index=None,
+                 root_id=None, **r) for r in rows]
+    from osmospark.frontier.engine import FRONTIER_SCHEMA
+    fr = spark.createDataFrame(base, FRONTIER_SCHEMA)
+    picked = {}
+    for via in ("window", "agg"):
+        eng = FrontierEngine(spark, pages_df, dedup=True, dedup_via=via)
+        picked[via] = sorted(
+            (r.url, r.depth, r.sort_index, r.referer)
+            for r in eng._dedup_round(fr).collect())
+    assert picked["window"] == picked["agg"]
+    by_url = {u: (d, s, ref) for u, d, s, ref in picked["agg"]}
+    assert by_url["http://h/a"] == (2, 9, "r2")
+    assert by_url["http://h/b"] == (1, 3, "y")
+    assert by_url["http://h/c"] == (0, 1, None)
+
+
 def test_crawl_mode_politeness_defers(spark):
     pages = synth_corpus(n_urls=40, n_hosts=2)
     pages_df = spark.createDataFrame(
