@@ -159,16 +159,17 @@ PARSE_HTML = '<body><a href="/rel"></a></body>'
 
 class Page:
     __slots__ = ("url", "html", "status", "delay_ms", "lang",
-                 "content_type")
+                 "content_type", "redirect_to")
 
     def __init__(self, url, html, status=200, delay_ms=0, lang="en",
-                 content_type="text/html"):
+                 content_type="text/html", redirect_to=None):
         self.url = url
         self.html = html
         self.status = status
         self.delay_ms = delay_ms
         self.lang = lang
         self.content_type = content_type
+        self.redirect_to = redirect_to  # 3xx Location (test/get.js:181-185)
 
 
 def fixture_pages() -> list[Page]:
@@ -207,6 +208,23 @@ def fixture_pages() -> list[Page]:
                       '<a href="/delay-response"></a>'))
     # reference test/run.js:88-93 (.run() lifecycle tests)
     pages.append(Page(f"{h}/run", "<div>loaded</div>"))
+    # reference test/get.js:178-224 server fixtures: query echo, redirect,
+    # redirect loop, empty-200, function-url targets
+    import json as _json
+    pages.append(Page(f"{h}/get", '<p>test</p><div>{}</div>'))
+    pages.append(Page(f"{h}/get?redirect=true", "", status=301,
+                      redirect_to="/redirect"))
+    pages.append(Page(f"{h}/redirect", "<div>/redirect</div>"))
+    pages.append(Page(f"{h}/error-redirect", "", status=301,
+                      redirect_to="/error-redirect"))
+    pages.append(Page(f"{h}/error-parse", ""))
+    pages.append(Page(f"{h}/test-test", "<p>success</p>"))
+    pages.append(Page(f"{h}/test-query-string", "<div><p>test</p></div>"))
+    pages.append(Page(
+        f"{h}/get?test=success",
+        '<p>test</p><div>'
+        + _json.dumps({"test": "success"}, separators=(",", ":"))
+        + "</div>"))
     for k in range(1, 6):
         pages.append(Page(f"{h}/follow?page={k}", follow_page_html(k)))
     for k in range(1, 7):

@@ -358,15 +358,46 @@ class Runner:
             req_headers["user-agent"] = ua() if callable(ua) else ua
         proxy, proxy_state = self._select_proxy(opts)
 
-        status, page, final_url = self._fetch_with_policy(url, method, params)
+        # retry loop (reference index.js:210-218): EVERY request-level
+        # error — connection failure, HTTP 4xx/5xx, max-redirects, empty
+        # body — retries up to `tries` attempts, emitting
+        # "<err>, retrying <url> (n/tries)" per retry; the final failure
+        # surfaces the bare error (reference Request.js callback path).
+        tries = max(1, int(opts.get("tries", self.tries)))
+        status = 0
+        page = None
+        final_url = url
+        err = None
+        for attempt in range(tries):
+            status, page, final_url, max_redirects_hit = \
+                self._fetch_once(chain, cmd, url, method, params)
+            err = None
+            if page is None:
+                err = f"[{method}] {url} - {status}"
+            elif max_redirects_hit:
+                # needle's error when `follow` is exhausted and the
+                # response still redirects (reference test/get.js:85-106)
+                err = f"Max redirects reached. Possible loop in: {final_url}"
+            elif (400 <= status <= 500
+                    and not opts.get("ignore_http_errors")):
+                # fetch error taxonomy (reference lib/Request.js:29-37)
+                err = f"{status} {_STATUS_TEXT.get(status, 'Error')}"
+            elif page.html is None or len(page.html) == 0:
+                err = "Data is empty"  # Request.js:39-42
+            if err is None:
+                break
+            if attempt + 1 < tries:
+                self._error(chain, cmd,
+                            f"{err}, retrying {url} "
+                            f"({attempt + 2}/{tries})")
         self.fetch_log.append(
             {"url": url, "final_url": final_url, "method": method,
              "params": dict(params) if isinstance(params, dict) else None,
              "referer": referer, "status": status,
              "headers": req_headers, "proxy": proxy}
         )
-        if page is None:
-            if status != 404 and proxy_state is not None:
+        if err is not None:
+            if page is None and status != 404 and proxy_state is not None:
                 # connection-level failure through a proxy: report and drop
                 # it from rotation (reference index.js:197-208)
                 plist = proxy_state["list"]
@@ -377,20 +408,14 @@ class Runner:
                 if len(plist) > 1:
                     plist.pop(proxy_state["index"])
                     proxy_state["index"] %= len(plist)
-            self._error(chain, cmd, f"[{method}] {url} - {status}")
-            cb(status, None)
+            self._error(chain, cmd, err)
+            cb(status if page is None else err, None)
             return
-        # fetch error taxonomy (reference lib/Request.js:30-68)
-        if 400 <= status <= 500 and not opts.get("ignore_http_errors"):
-            msg = f"{status} {_STATUS_TEXT.get(status, 'Error')}"
-            self._error(chain, cmd, msg)
-            cb(msg, None)
-            return
+        # redirects set the referer for the final hop when the chain gave
+        # none (reference follow_set_referer default, needle behavior)
+        if final_url != url and referer is None:
+            referer = url
         raw = page.html
-        if raw is None or len(raw) == 0:
-            self._error(chain, cmd, "Data is empty")
-            cb("Data is empty", None)
-            return
 
         # process_response hook (reference lib/Request.js:88-100): sync
         # form returns replacement data; async form (arity > 2) gets
@@ -451,26 +476,30 @@ class Runner:
         st["index"] = (st["index"] + 1) % len(st["list"])
         return st["list"][st["index"]], st
 
-    def _fetch_with_policy(self, url, method, params):
-        """Retries (reference index.js:210-218, default 3 tries) and
-        redirects (reference lib/Request.js:103-105, default 3)."""
-        status, page = 0, None
-        tries = int(self.current_opts.get("tries", self.tries))
+    def _fetch_once(self, chain, cmd, url, method, params):
+        """One fetch attempt, following redirects up to the `follow` opt
+        (reference lib/Request.js:103-105 + needle, default 3). Each hop
+        logs "[redirect] from -> to" (reference index.js:226-231); if the
+        limit is exhausted while the response still redirects, returns
+        max_redirects_hit=True (needle's Max-redirects error). Returns
+        (status, page, final_url, max_redirects_hit)."""
         redirects = int(self.current_opts.get("follow", self.max_redirects))
-        for _try in range(tries):
-            status, page = self.store.fetch(url, method, params)
-            if page is not None:
-                break
+        status, page = self.store.fetch(url, method, params)
         final_url = url
         hops = 0
         while page is not None and 300 <= status < 400 and hops < redirects:
             target = getattr(page, "redirect_to", None)
             if not target:
                 break
-            final_url = _resolve_url(final_url, target)
+            new_url = _resolve_url(final_url, target)
+            self._log(chain, cmd, f"[redirect] {final_url} -> {new_url}")
+            final_url = new_url
             status, page = self.store.fetch(final_url, "get", None)
             hops += 1
-        return status, page, final_url
+        max_redirects_hit = (page is not None and 300 <= status < 400
+                             and getattr(page, "redirect_to", None)
+                             is not None)
+        return status, page, final_url, max_redirects_hit
 
 
 _STATUS_TEXT = {

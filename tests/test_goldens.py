@@ -231,6 +231,91 @@ def test_set_callbacks():  # test/set.js:62-67, :97-127
     assert collected == [expected]
 
 
+# -- test/get.js --------------------------------------------------------------
+
+def test_get_function_url():  # :8-23 — url = fn(context, data)
+    seen = []
+
+    def set_name(ctx, data, next):
+        data["name"] = "test"
+        next(ctx, data)
+
+    run(O.get(f"{FIXTURE_HOST}/get")
+        .then(set_name)
+        .get(lambda ctx, data: data["name"] + "-" + _get(ctx, "p").text())
+        .then(lambda ctx: seen.append(_get(ctx, "p").text())))
+    assert seen == ["success"]
+
+
+def test_get_function_params():  # :25-43 — params = fn(context, data)
+    seen = []
+
+    def set_name(ctx, data, next):
+        data["name"] = "test"
+        next(ctx, data)
+
+    run(O.get(f"{FIXTURE_HOST}/test-test")
+        .then(set_name)
+        .get(f"{FIXTURE_HOST}/get",
+             lambda ctx, data: {data["name"]: _get(ctx, "p").text()})
+        .then(lambda ctx: seen.append(_get(ctx, "div").text())))
+    assert len(seen) == 1 and "success" in seen[0]
+
+
+def test_get_redirect():  # :44-66 — follow 301, referer set, hop logged
+    seen, logs = [], []
+    chain = (O.get(f"{FIXTURE_HOST}/get?redirect=true")
+             .then(lambda ctx: seen.append(
+                 (ctx.request["headers"].get("referer"),
+                  ctx.get("div").text(), ctx.location))))
+    chain.log(logs.append)
+    run(chain)
+    referer, div, loc = seen[0]
+    assert referer and len(referer) > 0
+    assert div == "/redirect" and loc.endswith("/redirect")
+    assert any("[redirect]" in m for m in logs)
+
+
+def test_get_error_404_retries():  # :68-83 — one '404' error per try
+    errs = []
+    chain = (O.get(f"{FIXTURE_HOST}/get-404")
+             .config("ignore_http_errors", False)
+             .config("tries", 5))
+    chain.error(errs.append)
+    run(chain)
+    assert len([e for e in errs if "404" in e]) == 5
+
+
+def test_get_error_redirect_loop():  # :85-106 — follow limit then error
+    logs, errs = [], []
+    chain = (O.get(f"{FIXTURE_HOST}/error-redirect")
+             .config("follow", 4).config("tries", 1))
+    chain.log(logs.append)
+    chain.error(errs.append)
+    run(chain)
+    assert len([m for m in logs if "redirect" in m]) == 4
+    assert len([e for e in errs if "Max redirects" in e]) == 1
+
+
+def test_get_error_parse_empty_retries():  # :108-122
+    errs = []
+    chain = O.get(f"{FIXTURE_HOST}/error-parse").config("tries", 4)
+    chain.error(errs.append)
+    run(chain)
+    assert len([e for e in errs if "empty" in e]) == 4
+
+
+def test_get_absent_query_string():  # :162-177 — no trailing '?'
+    locs, found = [], []
+    chain = (O.get(f"{FIXTURE_HOST}/test-query-string")
+             .then(lambda ctx: locs.append(ctx.location))
+             .find("div").set({"content": "p"})
+             .data(found.append))
+    run(chain)
+    assert locs == [f"{FIXTURE_HOST}/test-query-string"]
+    assert found == [{"content": "test"}]
+
+
 # -- test/follow.js ---------------------------------------------------------
 
 def test_follow_href():  # :7-21 → 5 pages, param echo, referer
