@@ -225,6 +225,12 @@ def fixture_pages() -> list[Page]:
         '<p>test</p><div>'
         + _json.dumps({"test": "success"}, separators=(",", ":"))
         + "</div>"))
+    for k in range(15):  # test/get.js:124-159 `multiple`
+        pages.append(Page(
+            f"{h}/get?count={k}",
+            '<p>test</p><div>'
+            + _json.dumps({"count": str(k)}, separators=(",", ":"))
+            + "</div>"))
     for k in range(1, 6):
         pages.append(Page(f"{h}/follow?page={k}", follow_page_html(k)))
     for k in range(1, 7):

@@ -305,6 +305,18 @@ def test_get_error_parse_empty_retries():  # :108-122
     assert len([e for e in errs if "empty" in e]) == 4
 
 
+def test_get_multiple_instances():  # :124-159 — 15 instances, distinct echoes
+    import json as _json
+    results = []
+    for k in range(15):
+        chain = (O.get(f"{FIXTURE_HOST}/get", {"count": str(k)})
+                 .set("div", "div")
+                 .data(lambda d: results.append(
+                     _json.loads(d["div"])["count"])))
+        run(chain)
+    assert sorted(set(results), key=int) == [str(k) for k in range(15)]
+
+
 def test_get_absent_query_string():  # :162-177 — no trailing '?'
     locs, found = [], []
     chain = (O.get(f"{FIXTURE_HOST}/test-query-string")
