@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from osmospark.functions.dedup import (  # noqa: E402
-    LSH_BANDS, N_MINHASH, exact_duplicates, minhash_signatures,
-    near_duplicates, simhash,
+    LSH_BANDS, MAX_BAND_BUCKET, N_MINHASH, exact_duplicates,
+    minhash_signatures, near_duplicates, simhash,
 )
-from osmospark.functions.similarity import brute_force_topk, lsh_topk  # noqa: E402
+from osmospark.functions.similarity import (  # noqa: E402
+    MAX_EMB_BUCKET, brute_force_topk, lsh_topk,
+)
 from osmospark.functions.textstats import (  # noqa: E402
     BPE_SPLIT_RE, STOPWORDS, fingerprints, lang_id, quality_scores,
     token_counts,
@@ -536,9 +538,21 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM bands"
                 for b in range(LSH_BANDS))}
         ),
+        -- mirror the operator's anti-skew cap exactly: band buckets with
+        -- more than MAX_BAND_BUCKET members are dropped on BOTH sides
+        oversized AS (
+            SELECT band, band_key FROM melted
+            GROUP BY band, band_key HAVING count(*) > {MAX_BAND_BUCKET}
+        ),
+        kept AS (
+            SELECT m.* FROM melted m
+            WHERE NOT EXISTS (SELECT 1 FROM oversized o
+                              WHERE o.band = m.band
+                                AND o.band_key = m.band_key)
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM melted a JOIN melted b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )
@@ -830,9 +844,21 @@ def oracle_sql() -> dict[str, str]:
                     f"{_bucket_sql(all_planes[t])} AS bucket FROM e"
                     for t in range(ann_tables))}
             ),
+            -- mirror the operator's anti-skew cap: (tbl, bucket) groups
+            -- over MAX_EMB_BUCKET members are dropped on both join sides
+            oversized AS (
+                SELECT tbl, bucket FROM b
+                GROUP BY tbl, bucket HAVING count(*) > {MAX_EMB_BUCKET}
+            ),
+            kept AS (
+                SELECT b.* FROM b
+                WHERE NOT EXISTS (SELECT 1 FROM oversized o
+                                  WHERE o.tbl = b.tbl
+                                    AND o.bucket = b.bucket)
+            ),
             pairs AS (
                 SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-                FROM b a JOIN b b2
+                FROM kept a JOIN kept b2
                   ON a.tbl = b2.tbl AND a.bucket = b2.bucket
                  AND a.vec_id < b2.vec_id
             )

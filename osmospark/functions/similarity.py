@@ -14,6 +14,7 @@ exactly.
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
@@ -135,10 +136,16 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int],
             .orderBy("query_id", "rank"))
 
 
+MAX_EMB_BUCKET = 2000  # (tbl, bucket) size cap — same anti-skew rule as
+                       # dedup.MAX_BAND_BUCKET; see lsh_candidate_pairs
+
+
 def embedding_near_duplicates(embeddings: DataFrame,
                               threshold: float = 0.42,
                               n_planes: int = DEFAULT_PLANES_DEDUP,
-                              n_tables: int = 3) -> DataFrame:
+                              n_tables: int = 3,
+                              max_bucket_size: int | None = MAX_EMB_BUCKET,
+                              ) -> DataFrame:
     """Embedding-cosine near-dup over the WHOLE corpus: multi-table
     sign-LSH buckets generate candidate pairs (expected bucket size
     N/2^planes — never the all-pairs product), exact cosine ≥ threshold
@@ -147,8 +154,12 @@ def embedding_near_duplicates(embeddings: DataFrame,
 
     At 100 TB: the self-join keys on (table, bucket) short strings with
     map-side dedup via distinct; n_planes grows with log(N) to bound
-    bucket sizes, and the same band-size cap as MinHash-LSH applies if a
-    degenerate embedding (all-zeros boilerplate) floods one bucket."""
+    bucket sizes. Skew guard: a degenerate embedding cluster (identical
+    boilerplate vectors) would put N docs in one bucket → N²/2 pairs, so
+    buckets over ``max_bucket_size`` are DROPPED (one keys-only groupBy
+    sizes them; the drop count is logged at WARNING; the oracle SQL
+    applies the identical rule). Pass ``max_bucket_size=None`` to
+    disable."""
     first = embeddings.select(F.size("embedding").alias("d")).first()
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -157,6 +168,20 @@ def embedding_near_duplicates(embeddings: DataFrame,
     buckets = F.array(*[_bucket_expr(F.col("v"), p) for p in all_planes])
     b = e.select("vec_id",
                  F.posexplode(buckets).alias("tbl", "bucket"))
+    persisted = hot = None
+    if max_bucket_size is not None:
+        # same one-pass guard as dedup.lsh_candidate_pairs: keys-only
+        # aggregation (map-side combine, no window sort) becomes the
+        # lazily persisted broadcast side of a LEFT ANTI, so the sizing
+        # runs inside the pairs job's own broadcast build — no extra
+        # orchestrated job, never collected to the driver — and the
+        # WARNING count afterwards is a cache hit
+        persisted = b = b.persist()
+        hot = (b.groupBy("tbl", "bucket").count()
+               .filter(F.col("count") > max_bucket_size)
+               .select("tbl", "bucket")
+               .persist())
+        b = b.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     pairs = (
         b.alias("a").join(
             b.alias("b2"),
@@ -167,6 +192,18 @@ def embedding_near_duplicates(embeddings: DataFrame,
                 F.col("b2.vec_id").alias("vec_b"))
         .distinct()
     )
+    if persisted is not None:
+        # materialize the (small) pair list so the persisted bucket frame
+        # can be released without invalidating the downstream plan
+        pairs = pairs.localCheckpoint(eager=True)
+        n_dropped = hot.count()
+        if n_dropped:
+            logging.getLogger("osmospark.similarity").warning(
+                "embedding near-dup: dropped %d LSH buckets over the "
+                "%d-member cap (degenerate/boilerplate embeddings)",
+                n_dropped, max_bucket_size)
+        hot.unpersist()
+        persisted.unpersist()
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (pairs.join(ea, "vec_a").join(eb, "vec_b")

@@ -198,3 +198,33 @@ def test_lsh_band_bucket_cap_bounds_hot_buckets(spark):
          lsh_candidate_pairs(small, max_bucket_size=None).collect()}
     b = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(small).collect()}
     assert a == b
+
+
+def test_embedding_near_dup_cap_bounds_degenerate_cluster(spark):
+    """A planted degenerate embedding cluster (identical boilerplate
+    vectors — the docstring's all-same-direction case) floods one LSH
+    bucket per table; the cap must drop those buckets while an under-cap
+    genuine near-dup pair survives, and the default cap must leave small
+    corpora identical to uncapped."""
+    from osmospark.functions.similarity import embedding_near_duplicates
+    dim = 8
+    degen = [1.0] * dim                      # one direction, 60 copies
+    a_vec = [1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0]
+    b_vec = [0.99, 0.05, 0.0, 0.0, -1.0, 0.05, 0.0, 0.0]  # cos ≈ 0.997
+    rows = [(i, degen) for i in range(60)]
+    rows += [(100, a_vec), (101, b_vec)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_duplicates(df, threshold=0.9,
+                                         max_bucket_size=None)
+    assert uncapped.count() >= 60 * 59 // 2       # quadratic hot bucket
+    capped = embedding_near_duplicates(df, threshold=0.9,
+                                       max_bucket_size=20)
+    got = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert (100, 101) in got                       # survivor intact
+    assert all(a >= 100 for a, _ in got)           # degenerate cluster gone
+    small = df.filter(F.col("vec_id") >= 100)
+    u = {(r.vec_a, r.vec_b) for r in embedding_near_duplicates(
+        small, threshold=0.9, max_bucket_size=None).collect()}
+    c = {(r.vec_a, r.vec_b) for r in embedding_near_duplicates(
+        small, threshold=0.9).collect()}
+    assert u == c
