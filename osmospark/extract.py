@@ -162,7 +162,8 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
         from .interpreter import _ResponseMeta, apply_process_response
         html, err = apply_process_response(
             hook, html,
-            _ResponseMeta(int(row.get("page_status") or 200), "text/html",
+            _ResponseMeta(int(row.get("page_status") or 200),
+                          row.get("content_type") or "text/html",
                           row["url"]))
         if err is not None:
             return _fetch_fail(str(err))
@@ -381,6 +382,14 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
             refs = (pdf["referer"].tolist() if "referer" in pdf
                     else [None] * n)
             hosts = (pdf["host"].tolist() if "host" in pdf else [None] * n)
+            # real response metadata for process_response hooks (parity
+            # with the chain path's process_page_row — hooks keying on
+            # res.statusCode see identical values in both modes)
+            stats = (pd.to_numeric(pdf["page_status"], errors="coerce")
+                     .fillna(200).astype("int64").tolist()
+                     if "page_status" in pdf else [200] * n)
+            ctypes = (pdf["content_type"].tolist()
+                      if "content_type" in pdf else ["text/html"] * n)
 
             # metric lists (one entry per input row)
             m_host, m_hash, m_depth = hosts, hashes, depths
@@ -422,7 +431,8 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                     )
                     html, err = apply_process_response(
                         process_response, html,
-                        _ResponseMeta(200, "text/html", urls[i]))
+                        _ResponseMeta(int(stats[i]),
+                                      ctypes[i] or "text/html", urls[i]))
                     if err is not None:
                         m_fetched[i] = 1
                         m_errors[i] = 1

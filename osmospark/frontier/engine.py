@@ -94,11 +94,24 @@ class FrontierEngine:
         dedup_via: str = "window",
     ) -> None:
         self.spark = spark
-        # corpus side: hash once; Catalyst prunes unread columns at the scan
-        self.pages = (
-            pages_df.withColumn("url_hash", F.xxhash64("url"))
-            .select("url_hash", F.col("url").alias("page_url"), "html")
-        )
+        # corpus side: hash once; Catalyst prunes unread columns at the scan.
+        # Optional status / content-type columns (a Common-Crawl-style table
+        # may carry them) are threaded through to process_response hooks so
+        # crawl mode sees the page's REAL response metadata, like the chain
+        # path; absent columns default to 200 / text/html at the join.
+        page_cols = [F.col("url_hash"), F.col("url").alias("page_url"),
+                     F.col("html")]
+        src_status = next((c for c in ("page_status", "status")
+                           if c in pages_df.columns), None)
+        if src_status:
+            page_cols.append(F.col(src_status).cast("int")
+                             .alias("src_status"))
+        self._has_src_status = src_status is not None
+        self._has_content_type = "content_type" in pages_df.columns
+        if self._has_content_type:
+            page_cols.append(F.col("content_type"))
+        self.pages = pages_df.withColumn(
+            "url_hash", F.xxhash64("url")).select(*page_cols)
         self.state = state
         self.concurrency = concurrency
         self.politeness = politeness
@@ -460,14 +473,37 @@ class FrontierEngine:
                 .withColumn("page_url", F.lit(None).cast("string"))
                 .withColumn("html", F.lit(None).cast("binary"))
             )
+            if self._has_src_status:
+                misses = misses.withColumn(
+                    "src_status", F.lit(None).cast("int"))
+            if self._has_content_type:
+                misses = misses.withColumn(
+                    "content_type", F.lit(None).cast("string"))
             joined = hits.unionByName(misses.select(*hits.columns))
         else:
             joined = frontier.join(self.pages.hint("shuffle_hash"),
                                    "url_hash", "left")
-        return joined.withColumn(
-            "page_status",
-            F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200)),
-        )
+        return self._with_response_meta(joined)
+
+    def _with_response_meta(self, joined: DataFrame) -> DataFrame:
+        """Attach the page's REAL response metadata (status, content-type)
+        so process_response hooks behave identically in crawl mode and
+        chain mode; tables without those columns default to 200 /
+        text/html, misses to 404."""
+        status = F.when(F.col("html").isNull(), F.lit(404))
+        if self._has_src_status:
+            status = status.otherwise(
+                F.coalesce(F.col("src_status"), F.lit(200)))
+        else:
+            status = status.otherwise(F.lit(200))
+        out = joined.withColumn("page_status", status)
+        if self._has_content_type:
+            out = out.withColumn(
+                "content_type",
+                F.coalesce(F.col("content_type"), F.lit("text/html")))
+        else:
+            out = out.withColumn("content_type", F.lit("text/html"))
+        return out
 
     def _run_round(self, chains: list[Chain], frontier: DataFrame,
                    round_no: int, round_size: int) -> DataFrame:
@@ -634,9 +670,9 @@ class FrontierEngine:
         """Apply an extraction spec to every page of the corpus in one pass
         (the 'extract everything' mode): a single mapInPandas over the scan,
         zero shuffles, records close per page."""
-        frontier_like = self.pages.select(
+        frontier_like = self._with_response_meta(self.pages).select(
             "url_hash", F.col("page_url").alias("url"), "html",
-            F.lit(200).alias("page_status"), F.lit(0).alias("depth"),
+            "page_status", "content_type", F.lit(0).alias("depth"),
             F.lit(None).cast("string").alias("referer"),
             F.lit(None).cast("string").alias("host"),
         )
@@ -769,8 +805,9 @@ class FrontierEngine:
                     # moves, no 404 union in the round job. The miss metrics
                     # (key-only anti-join over the checkpointed admitted blocks)
                     # are deferred to the single _flush_metrics job.
-                    joined = self.pages.join(F.broadcast(admitted), "url_hash",
-                                             "inner")
+                    joined = self._with_response_meta(
+                        self.pages.join(F.broadcast(admitted), "url_hash",
+                                        "inner"))
                     self._pending_metrics.append(
                         admitted.join(
                             F.broadcast(self.pages.select("url_hash")),
@@ -783,7 +820,8 @@ class FrontierEngine:
                 else:
                     joined = self._fetch_join(admitted, n_admitted)
                 out = joined.select("url", "url_hash", "host", "depth",
-                                    "referer", "html") \
+                                    "referer", "html", "page_status",
+                                    "content_type") \
                     .mapInPandas(crawl_udf, OUT_SCHEMA)
                 # ONE materialization per round: everything downstream (records,
                 # next frontier, metrics) reads the checkpointed blocks

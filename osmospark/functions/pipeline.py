@@ -25,6 +25,8 @@ standard production shortcut; the full CC variant is `dup_clusters`.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import near_duplicates
@@ -42,11 +44,12 @@ def dup_clusters(documents: DataFrame,
     Kiveris et al.'s large-star/small-star — adequate because near-dup
     components are shallow): each iteration joins labels across the
     undirected edge list and keeps the per-node minimum, checkpointing
-    the label frame so lineage stays flat; stops when no label changed
-    (or after ``max_iters`` — components longer than that chain would be
-    pathological for near-dup data, and the iteration cap is logged by
-    the caller's metrics if hit). Each iteration is one shuffle on
-    doc_id; the edge list is reused from a single eager checkpoint."""
+    the label frame so lineage stays flat; stops when no label changed.
+    Components whose diameter exceeds ``max_iters`` would be pathological
+    for near-dup data; if the loop exits via the cap with labels still
+    changing, a WARNING is logged and the (non-converged) labels are
+    returned. Each iteration is one shuffle on doc_id; the edge list is
+    reused from a single eager checkpoint."""
     pairs = (near_duplicates(documents, jaccard_threshold)
              .select("doc_a", "doc_b").localCheckpoint(eager=True))
     edges = (pairs.select(F.col("doc_a").alias("src"),
@@ -77,6 +80,14 @@ def dup_clusters(documents: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if max_iters > 0 and changed > 0:
+            logging.getLogger("osmospark.pipeline").warning(
+                "dup_clusters: hit max_iters=%d with %d labels still "
+                "changing — returned cluster ids are NOT converged (a "
+                "component's diameter exceeds the cap; raise max_iters "
+                "or use large-star/small-star for chain-shaped graphs)",
+                max_iters, changed)
     return labels.orderBy("doc_id")
 
 

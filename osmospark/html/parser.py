@@ -26,11 +26,21 @@ import os
 import re
 from html import unescape as _unescape
 from html.parser import HTMLParser as _StdHTMLParser
-from html.parser import (
-    attrfind_tolerant as _attrfind,
-    locatestarttagend_tolerant as _locatestart,
-    tagfind_tolerant as _tagfind,
-)
+
+try:
+    # private stdlib regexes the fast tokenizer reuses for bit-identical
+    # attribute parsing; undocumented, so a future Python may rename or
+    # drop them — fall back to the stdlib feed path instead of failing
+    # the whole package import
+    from html.parser import (
+        attrfind_tolerant as _attrfind,
+        locatestarttagend_tolerant as _locatestart,
+        tagfind_tolerant as _tagfind,
+    )
+    _HAVE_TOLERANT_RE = True
+except ImportError:  # pragma: no cover — depends on stdlib version
+    _attrfind = _locatestart = _tagfind = None
+    _HAVE_TOLERANT_RE = False
 
 VOID_ELEMENTS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -366,7 +376,8 @@ class _TreeBuilder(_StdHTMLParser):
 _CDATA_TAGS = {"script", "style"}
 # stdlib html.parser endtagfind (strict form; tolerant fallback below)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
-_USE_STD_PARSER = os.environ.get("OSMOSPARK_STD_PARSER") == "1"
+_USE_STD_PARSER = (os.environ.get("OSMOSPARK_STD_PARSER") == "1"
+                   or not _HAVE_TOLERANT_RE)
 # stdlib check_for_whole_start_tag's "end of input in or before attribute
 # value" character class
 _INCOMPLETE_NEXT = frozenset(

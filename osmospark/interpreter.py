@@ -467,10 +467,16 @@ class Runner:
             if not isinstance(p, (list, tuple)):
                 return p, None
             plist = p
-        st = self._proxy_rotation.get(id(plist))
+        # stable VALUE key, not id(plist): a GC'd list whose address is
+        # reused would otherwise serve the dead list's rotation state to
+        # an unrelated new list (the same id-reuse hazard fixed for
+        # _opts_cache). Equal proxy lists sharing one rotation is the
+        # reference's observable behavior for a re-declared option.
+        key = tuple(str(p) for p in plist)
+        st = self._proxy_rotation.get(key)
         if st is None:
             st = {"list": list(plist), "index": -1}
-            self._proxy_rotation[id(plist)] = st
+            self._proxy_rotation[key] = st
         if not st["list"]:
             return None, None
         st["index"] = (st["index"] + 1) % len(st["list"])

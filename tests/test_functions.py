@@ -200,6 +200,31 @@ def test_lsh_band_bucket_cap_bounds_hot_buckets(spark):
     assert a == b
 
 
+def test_dup_clusters_warns_when_iteration_cap_hit(spark, caplog):
+    """A 5-node near-dup chain (sliding text windows: only adjacent docs
+    share ≥0.5 Jaccard) cannot converge in one label-propagation
+    iteration — the cap exit must WARN; the default cap converges the
+    same graph silently to one cluster."""
+    import logging
+    from osmospark.functions.pipeline import dup_clusters
+    toks = [f"w{j:03d}" for j in range(100)]
+    rows = []
+    for i in range(5):
+        text = " ".join(toks[i * 9: i * 9 + 30])
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    with caplog.at_level(logging.WARNING, logger="osmospark.pipeline"):
+        dup_clusters(df, jaccard_threshold=0.5, max_iters=1).collect()
+    assert any("NOT converged" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="osmospark.pipeline"):
+        out = dup_clusters(df, jaccard_threshold=0.5, max_iters=6).collect()
+    assert not any("NOT converged" in r.message for r in caplog.records)
+    assert {r.cluster_id for r in out} == {0}     # one converged chain
+
+
 def test_embedding_near_dup_cap_bounds_degenerate_cluster(spark):
     """A planted degenerate embedding cluster (identical boilerplate
     vectors — the docstring's all-same-direction case) floods one LSH

@@ -249,6 +249,34 @@ def test_crawl_process_response_hook_distributed(spark):
     assert got == ["hi"]
 
 
+def test_crawl_process_response_sees_real_status_and_type(spark):
+    """Crawl-mode process_response hooks receive the page's REAL
+    status / content-type from the pages table (parity with the chain
+    path's process_page_row — previously hardcoded 200/text/html)."""
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://meta.test/a", ts, b"<body><b>x</b></body>", None, "en",
+         200, "text/html"),
+        ("http://meta.test/b", ts, b"<body><b>y</b></body>", None, "en",
+         503, "application/xml"),
+    ]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, status int, content_type string")
+    engine = FrontierEngine(spark, pages_df)
+
+    def stamp(d, res):
+        ct = res.headers.get("content-type")
+        return f"<body><i>{res.statusCode}|{ct}</i></body>"
+
+    records, _ = engine.run_crawl(
+        ["http://meta.test/a", "http://meta.test/b"], "a",
+        extract_spec={"val": "i"}, max_depth=0, process_response=stamp)
+    got = sorted(json.loads(r.value_json)["val"] for r in records.collect())
+    assert got == ["200|text/html", "503|application/xml"]
+
+
 def test_engine_pause_at_round_boundary(spark, tmp_path):
     """engine.pause() from on_round_end stops after the committed round;
     resuming from that round completes the same visit set as one-shot
