@@ -356,7 +356,7 @@ def q_near_duplicates(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(_documents(spark, sf_dir), bits=16)
+    return simhash(_documents(spark, sf_dir))    # 64-bit default
 
 
 def q_ann_topk(spark, sf_dir):
@@ -567,16 +567,25 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
 
+    # simhash (64-bit): each token hashes once to two 60-bit bigints
+    # (md5 hex 1-15 / 16-30) in a CTE; bit b of a token is (h >> b) & 1 —
+    # mirrors osmospark.functions.dedup.simhash bit-exactly
     simhash_bits = []
-    for b in range(16):
+    for b in range(64):
+        col, off = ("h1s", b) if b < 60 else ("h2s", b - 60)
         simhash_bits.append(
-            "CASE WHEN list_sum(list_transform(w, x -> CASE WHEN "
-            f"('0x' || substr(md5(x), {b + 1}, 1))::BIGINT % 2 = 1 "
-            "THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
+            f"CASE WHEN list_sum(list_transform({col}, h -> "
+            f"CASE WHEN (h >> {off}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+            "THEN '1' ELSE '0' END")
     simhash_sql = (
-        f"SELECT doc_id, ({' || '.join(simhash_bits)}) AS simhash "
+        f"SELECT doc_id, ({' || '.join(simhash_bits)}) AS simhash FROM ("
+        "SELECT doc_id, "
+        "list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) "
+        "AS h1s, "
+        "list_transform(w, x -> ('0x' || substr(md5(x), 16, 15))::BIGINT) "
+        "AS h2s "
         f"FROM (SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS w "
-        f"FROM documents)")
+        "FROM documents))")
 
     ann_sql = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

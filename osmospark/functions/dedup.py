@@ -196,22 +196,45 @@ def near_duplicates(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
-def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash signature: per bit, the sign of the sum over tokens of
-    (+1 / -1) by that bit of the token hash. Portable hash: bit b of a
-    token = hex digit parity of md5. Narrower than 64 bits by default to
-    keep the expression tree small; widen via ``bits``."""
+    (+1 / -1) by that bit of the token hash. 64-bit default — 16-bit
+    signatures collide heavily at corpus scale.
+
+    Portable hash shared bit-exactly with the DuckDB oracle: each token
+    hashes ONCE to two 60-bit bigints (md5 hex chars 1-15 and 16-30);
+    bit b is ``(h1 >> b) & 1`` for b < 60, else ``(h2 >> (b-60)) & 1``
+    (up to 120 bits). ONE array-accumulator aggregate sums all per-bit
+    signs in a single pass over the token list — the r2 formulation ran
+    one full md5-per-token aggregate PER BIT (16× then, 64× now)."""
+    if bits > 120:
+        raise ValueError("simhash supports at most 120 bits")
     words = F.split(_norm_text(F.col("text")), " ")
 
-    def bit_sum(b):
-        def step(acc, w):
-            return acc + F.when(
-                F.conv(F.substring(F.md5(w), b + 1, 1), 16, 10)
-                .cast("int") % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-        return F.aggregate(words, F.lit(0), step)
+    def _h(w, lo):
+        # 15 hex chars = 60 bits, safely inside a signed bigint
+        return F.conv(F.substring(F.md5(w), lo, 15), 16, 10).cast("bigint")
 
+    hs = F.transform(words, lambda w: F.struct(
+        _h(w, 1).alias("h1"), _h(w, 16).alias("h2")))
+
+    def _signs(s):
+        # literal shift amounts: the bits loop unrolls driver-side
+        return F.array(*[
+            F.when(F.shiftright(s["h1"] if b < 60 else s["h2"],
+                                b if b < 60 else b - 60)
+                   % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+            for b in range(bits)])
+
+    sums = F.aggregate(
+        hs, F.array_repeat(F.lit(0), bits),
+        lambda acc, s: F.zip_with(acc, _signs(s), lambda a, x: a + x))
+    # materialize the sums array as its own projection so the per-bit
+    # sign readout reuses ONE aggregate instead of inlining `bits` copies
+    with_sums = documents.select("doc_id", sums.alias("_sums"))
     sig = F.concat(*[
-        F.when(bit_sum(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.element_at("_sums", b + 1) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
         for b in range(bits)
     ])
-    return documents.select("doc_id", sig.alias("simhash"))
+    return with_sums.select("doc_id", sig.alias("simhash"))
