@@ -643,7 +643,14 @@ class FrontierEngine:
     def _flush_metrics(self) -> None:
         """Aggregate all rounds' per-partition metric rows in ONE job (the
         per-round rows read from already-checkpointed blocks; the deferred
-        404-miss anti-joins execute here, once, not per round)."""
+        404-miss anti-joins execute here, once, not per round).
+
+        With a state TableIO attached the aggregate is committed to the
+        ``metrics`` state table WITHOUT touching the driver — a web-scale
+        crawl has 10^6–10^7 hosts and a driver-side list would OOM; query
+        it via ``state.read_all("metrics")``. The in-memory
+        ``metrics_rows`` convenience list is populated only on stateless
+        (small/test) runs."""
         if not self._pending_metrics:
             return
         dfs = self._pending_metrics
@@ -651,11 +658,17 @@ class FrontierEngine:
         union = dfs[0]
         for d in dfs[1:]:
             union = union.unionByName(d)
-        rows = (union.groupBy("round", "host")
-                .agg(F.sum("fetched").alias("fetched"),
-                     F.sum("parsed").alias("parsed"),
-                     F.sum("errors").alias("errors"))
-                .collect())
+        agg = (union.groupBy("round", "host")
+               .agg(F.sum("fetched").alias("fetched"),
+                    F.sum("parsed").alias("parsed"),
+                    F.sum("errors").alias("errors")))
+        if self.state is not None:
+            # monotone commit key across resumed runs (each flush appends
+            # a new metrics round; read_all("metrics") unions them)
+            self.state.commit_round(
+                "metrics", self.state.last_round("metrics") + 1, agg)
+            return
+        rows = agg.collect()
         for r in sorted(rows, key=lambda r: (r.round, str(r.host))):
             self.metrics_rows.append(
                 {"round": r.round, "host": r.host, "fetched": r.fetched,
