@@ -89,6 +89,105 @@ def _engine(spark, sf_dir, **kw):
 
 NESTED_ROOTS = 40
 PAGINATE_LIMIT = 10
+THEN_ROOTS = 25
+DO_ROOTS = 30
+
+
+def _index_page_df(spark, k: int, path: str = "/nested-index"):
+    """One synthetic index page linking to the first k doc pages."""
+    idx_html = "".join(f'<a href="/d/{i}"></a>' for i in range(k))
+    return spark.createDataFrame(
+        [(f"{DOC_HOST}{path}", None, idx_html.encode("utf-8"),
+          None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def _then_fan(context, data, next):
+    """Module-level then-callback (cloudpickles cleanly to executors):
+    emits each context TWICE — the reference's multi-next flatMap form
+    (test/then.js fan-out; lib/commands/then.js)."""
+    next(context, data)
+    next(context, data)
+
+
+def q_then_fanout(spark, sf_dir):
+    """`then` fan-out distributively (reference test/then.js multi-next +
+    lib/commands/then.js): index → follow to each doc page → find the two
+    list links → a then callback emits each match twice → set captures
+    the raw @href. 4 records per doc (2 links × 2 emissions)."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    pages = doc_pages(spark, sf_dir)
+    idx = _index_page_df(spark, THEN_ROOTS, "/then-index")
+    chain = (O.get(f"{DOC_HOST}/then-index")
+             .follow("a")
+             .set({"page": "title"})
+             .find("li > a")
+             .then(_then_fan)
+             .set("href", "@href"))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.page").alias("page"),
+        F.get_json_object("value_json", "$.href").alias("href"))
+        .orderBy("page", "href"))
+
+
+def q_do_union(spark, sf_dir):
+    """`do` parallel branches distributively (reference test/do.js:1-24 +
+    lib/commands/do.js): three branches per doc page — a title setter, a
+    FAILING selector branch (contributes nothing, does not kill the
+    record), and a links setter — merge into ONE record per page."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    pages = doc_pages(spark, sf_dir)
+    idx = _index_page_df(spark, DO_ROOTS, "/do-index")
+    chain = (O.get(f"{DOC_HOST}/do-index")
+             .follow("a")
+             .do(
+                 O.set({"t": "title"}),
+                 O.find("article.missing").set("x", "true"),   # fails
+                 O.set({"l": ["a@href"]}),
+             ))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.t").alias("t"),
+        F.get_json_object("value_json", "$.l").alias("l"))
+        .orderBy("t"))
+
+
+def q_error_taxonomy(spark, sf_dir):
+    """Fetch-error taxonomy as per-class counts (reference
+    lib/Request.js:30-68): a planted URL list — every 3rd doc page (ok),
+    7 empty-body pages, 5 comment-only pages (parse to no root), 9
+    dangling URLs (404) — through the engine's one-round fetch_log, then
+    a groupBy on the outcome class."""
+    pages = doc_pages(spark, sf_dir)
+    extra = spark.createDataFrame(
+        [(f"{DOC_HOST}/empty/{i}", None, b"", None, "en")
+         for i in range(7)]
+        + [(f"{DOC_HOST}/noroot/{i}", None, b"<!-- only a comment -->",
+            None, "en") for i in range(5)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    from osmospark.frontier import FrontierEngine
+    eng = FrontierEngine(spark, pages.unionByName(extra))
+    n = _documents(spark, sf_dir).agg(F.max("doc_id")).first()[0] + 1
+    urls = ([f"{DOC_HOST}/d/{i}" for i in range(0, n, 3)]
+            + [f"{DOC_HOST}/empty/{i}" for i in range(7)]
+            + [f"{DOC_HOST}/noroot/{i}" for i in range(5)]
+            + [f"{DOC_HOST}/missing/{i}" for i in range(9)])
+    log = eng.fetch_log(urls, extract_spec={"t": "title"})
+    outcome = (F.when(F.col("error_msg").isNull(), F.lit("ok"))
+               .when(F.col("error_msg").endswith("- 404"), F.lit("404"))
+               .otherwise(F.col("error_msg")))
+    return (log.withColumn("outcome", outcome)
+            .groupBy("outcome")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum("parsed").alias("n_parsed"))
+            .orderBy("outcome"))
 
 
 def q_nested_set_follow(spark, sf_dir):
@@ -453,6 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
+        "then_fanout": q_then_fanout,
+        "do_union": q_do_union,
+        "error_taxonomy": q_error_taxonomy,
         "submit_params": q_submit_params,
         "find_explode": q_find_explode,
         "filter_contains": q_filter_contains,
@@ -831,6 +933,40 @@ def oracle_sql() -> dict[str, str]:
         "paginate_chain": f"""
             SELECT 'doc ' || doc_id AS page FROM documents
             WHERE doc_id <= {PAGINATE_LIMIT} ORDER BY page
+        """,
+        # then fan-out: each of the doc's 2 links emitted twice by the
+        # multi-next callback → 4 (page, href) rows per indexed doc
+        "then_fanout": f"""
+            WITH l AS (
+                SELECT doc_id, '/d/' || ((doc_id + 1) % {n_docs}) AS href
+                FROM documents WHERE doc_id < {THEN_ROOTS}
+                UNION ALL
+                SELECT doc_id, '/d/' || ((doc_id * 7 + 3) % {n_docs})
+                FROM documents WHERE doc_id < {THEN_ROOTS}
+            )
+            SELECT 'doc ' || doc_id AS page, href
+            FROM (SELECT * FROM l UNION ALL SELECT * FROM l)
+            ORDER BY page, href
+        """,
+        # do: three parallel branches (title setter, FAILING selector,
+        # links setter) merge into one record per page — the failed
+        # branch contributes nothing and kills nothing
+        "do_union": f"""
+            SELECT 'doc ' || doc_id AS t,
+                   '["/d/' || ((doc_id + 1) % {n_docs}) || '","/d/' ||
+                   ((doc_id * 7 + 3) % {n_docs}) || '"]' AS l
+            FROM documents WHERE doc_id < {DO_ROOTS} ORDER BY t
+        """,
+        # fetch-error taxonomy: planted URL list (every 3rd doc ok, 7
+        # empty bodies, 5 comment-only no-root pages, 9 dangling 404s)
+        "error_taxonomy": """
+            SELECT 'ok' AS outcome, count(*) AS n_urls,
+                   count(*) AS n_parsed
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT '404', 9, 0
+            UNION ALL SELECT 'Data is empty', 7, 0
+            UNION ALL SELECT 'Document has no root', 5, 0
+            ORDER BY outcome
         """,
         # expected params copied from reference test/submit.js:107-131
         # getInputs() goldens (the reference's own assertion matrix)

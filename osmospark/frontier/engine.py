@@ -694,6 +694,36 @@ class FrontierEngine:
         return (out.filter(F.col("row_kind") == "root")
                 .select("url", "value_json"))
 
+    def fetch_log(self, urls: list[str],
+                  extract_spec: dict | None = None) -> DataFrame:
+        """One fetch round over an explicit URL list (no recursion): the
+        reference's fetch-error taxonomy (reference lib/Request.js:30-68
+        — 404 miss, empty body, parse-to-no-root, hook failure) as a
+        queryable per-URL surface. Returns (url, fetched, parsed, errors,
+        error_msg); ``error_msg`` is NULL on success.
+
+        Same distributed shape as a crawl round — broadcast fetch join +
+        one mapInPandas — so every input row yields exactly one log row;
+        at scale, pass the round's admitted frontier through the same
+        pipeline instead of a driver-side list."""
+        from ..urlnorm import canonicalize, url_host, xxhash64_py
+        rows = []
+        for i, u in enumerate(urls):
+            cu = canonicalize(u)
+            rows.append({"url": cu, "url_hash": xxhash64_py(cu.encode()),
+                         "host": url_host(cu), "depth": 0, "sort_index": i,
+                         "referer": None, "kind": "crawl", "method": "get"})
+        frontier = self._frontier_df(rows)
+        joined = self._fetch_join(frontier, len(rows))
+        out = joined.select("url", "url_hash", "host", "depth", "referer",
+                            "html", "page_status", "content_type") \
+            .mapInPandas(make_crawl_udf(extract_spec, None), OUT_SCHEMA)
+        m = (out.filter(F.col("row_kind") == "metric")
+             .select("url_hash", "fetched", "parsed", "errors",
+                     "error_msg"))
+        return (frontier.select("url", "url_hash")
+                .join(m, "url_hash").drop("url_hash"))
+
     # ------------------------------------------------------------------
     # crawl mode — the 10^10-scale path
     # ------------------------------------------------------------------
