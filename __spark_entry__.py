@@ -481,6 +481,21 @@ def q_ann_ivf(spark, sf_dir):
                     cells=16, nprobe=4)
 
 
+def q_ann_ivf_pruned(spark, sf_dir):
+    """IVF over a CELL-PARTITIONED materialized index (``ivf_build``):
+    probe selection on the driver-side codebook becomes a literal
+    ``cell IN (...)`` PartitionFilter, so the scan reads only the probed
+    cell directories' files (tests assert numFiles shrinks). Results are
+    bit-identical to ``ann_ivf`` (same assignment/probe/rerank), so the
+    oracle is the same SQL."""
+    import tempfile
+    from osmospark.functions import ivf_build, ivf_topk_pruned
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = str(Path(tempfile.gettempdir()) / f"osmospark_ivf{tag}")
+    ivf_build(_embeddings(spark, sf_dir), path, cells=16)
+    return ivf_topk_pruned(spark, path, ANN_QUERIES, k=5, nprobe=4)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end curation composite: quality gate -> exact dedup ->
     LSH near-dup removal (keep-lowest-id) -> token accounting. One
@@ -578,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
         "corpus_pipeline": q_corpus_pipeline,
         "dup_clusters": q_dup_clusters,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -978,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
+        "ann_ivf_pruned": ann_ivf_sql,
         "corpus_pipeline": corpus_pipeline_sql,
         "dup_clusters": dup_clusters_sql,
         "dedup_embedding": f"""

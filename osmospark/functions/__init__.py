@@ -13,7 +13,9 @@ from .dedup import (
 from .similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_build,
     ivf_topk,
+    ivf_topk_pruned,
     lsh_topk,
     recall_at_k,
 )
@@ -29,8 +31,8 @@ from .textstats import (
 __all__ = [
     "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
     "near_duplicates", "ngram_jaccard", "simhash",
-    "brute_force_topk", "embedding_near_duplicates", "ivf_topk",
-    "lsh_topk", "recall_at_k",
+    "brute_force_topk", "embedding_near_duplicates", "ivf_build",
+    "ivf_topk", "ivf_topk_pruned", "lsh_topk", "recall_at_k",
     "corpus_pipeline", "dup_clusters",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",

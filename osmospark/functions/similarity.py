@@ -228,6 +228,104 @@ def ivf_centroid_ids(n: int, cells: int = DEFAULT_IVF_CELLS) -> list[int]:
     return [i * stride for i in range(cells) if i * stride < n]
 
 
+def _lit_vec(c):
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def ivf_build(embeddings: DataFrame, path: str,
+              cells: int = DEFAULT_IVF_CELLS) -> list:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet table
+    (vec_id, v, cell=<partition>) plus the codebook (JSON sidecar).
+
+    This is the PLANS.md §7 scale upgrade made real: once the corpus is
+    written partitioned by cell, a probe query scans only its nprobe
+    cell directories — Spark partition pruning skips the other
+    (cells − nprobe)/cells of the FILES, not just the rows. Assignment
+    is the same map-only literal-codebook projection as ``ivf_topk``
+    (no shuffle before the partitioned write besides the write's own
+    file layout); at real scale swap the sampled codebook for offline
+    k-means — identical table layout and query plan."""
+    import json as _json
+    import os as _os
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.agg(F.max("vec_id")).first()[0] + 1
+    cids = ivf_centroid_ids(n, cells)
+    by_id = {r["vec_id"]: r["v"]
+             for r in e.filter(F.col("vec_id").isin(cids)).collect()}
+    codebook = [by_id[i] for i in cids]
+    sims = F.array(*[cosine(F.col("v"), _lit_vec(c)) for c in codebook])
+    assigned = (e.withColumn("_sims", sims)
+                .withColumn("cell", (F.array_position(
+                    "_sims", F.array_max("_sims")) - 1).cast("int"))
+                .drop("_sims"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(_os.path.join(path, "_codebook.json"), "w") as f:
+        _json.dump(codebook, f)
+    return codebook
+
+
+def ivf_topk_pruned(spark, path: str, query_ids: list[int],
+                    k: int = DEFAULT_K,
+                    nprobe: int = DEFAULT_NPROBE) -> DataFrame:
+    """ANN over an ``ivf_build`` table, scanning ONLY the probed cells.
+
+    Probe selection runs on the driver against the broadcast-sized
+    codebook (cells × dim floats — the same place a real serving tier
+    keeps it); the probed cell ids become a LITERAL ``cell IN (...)``
+    predicate, so the parquet scan shows ``PartitionFilters`` and reads
+    nprobe×queries cell directories instead of the whole corpus. The
+    per-query pairing and exact cosine rerank are the same plan as
+    ``ivf_topk``. Python-side cosine folds left like ``F.aggregate``, so
+    probe choice is bit-identical to the in-plan variant."""
+    import json as _json
+    import math as _math
+    import os as _os
+
+    with open(_os.path.join(path, "_codebook.json")) as f:
+        codebook = _json.load(f)
+    tbl = spark.read.parquet(path)
+    qrows = (tbl.filter(F.col("vec_id").isin(query_ids))
+             .select("vec_id", "v").collect())
+
+    def _cos(a, b):
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return d / (_math.sqrt(na) * _math.sqrt(nb))
+
+    probe_rows = []
+    for r in qrows:
+        sims = [_cos(r["v"], c) for c in codebook]
+        order = sorted(range(len(codebook)), key=lambda i: (-sims[i], i))
+        for cell in order[:nprobe]:
+            probe_rows.append((int(r["vec_id"]), int(cell)))
+    probe_cells = sorted({c for _, c in probe_rows})
+
+    cand = (tbl.filter(F.col("cell").isin(probe_cells))
+            .select("vec_id", "v", "cell"))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qv = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["v"])) for r in qrows],
+        "query_id long, qv array<double>")
+    scored = (cand.join(F.broadcast(probes), "cell")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "vec_id",
+                      cosine(F.col("qv"), F.col("v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+            .orderBy("query_id", "rank"))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int],
              k: int = DEFAULT_K, cells: int = DEFAULT_IVF_CELLS,
              nprobe: int = DEFAULT_NPROBE) -> DataFrame:
@@ -252,10 +350,6 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int],
     by_id = {r["vec_id"]: r["v"]
              for r in e.filter(F.col("vec_id").isin(cids)).collect()}
     codebook = [by_id[i] for i in cids]
-
-    def _lit_vec(c):
-        return F.array(*[F.lit(float(x)) for x in c])
-
     sims = F.array(*[cosine(F.col("v"), _lit_vec(c)) for c in codebook])
     assigned = (e.withColumn("_sims", sims)
                 .withColumn("cell", (F.array_position(

@@ -57,6 +57,55 @@ def test_ann_ivf_prunes_candidates(spark, emb):
     assert len({r.neighbor_id for r in out}) == len(out)
 
 
+@pytest.fixture(scope="module")
+def ivf_path(spark, emb, tmp_path_factory):
+    from osmospark.functions import ivf_build
+    p = str(tmp_path_factory.mktemp("ivf") / "idx")
+    ivf_build(emb, p, cells=16)
+    return p
+
+
+def test_ivf_pruned_matches_in_plan(spark, emb, ivf_path):
+    # the cell-partitioned table + driver-side probe selection must return
+    # exactly what the in-plan (literal-codebook) variant returns — same
+    # assignment, same tie order, same rerank
+    from osmospark.functions import ivf_topk, ivf_topk_pruned
+    qids = list(range(8))
+    base = [tuple(r) for r in
+            ivf_topk(emb, qids, k=5, cells=16, nprobe=4).collect()]
+    pruned = [tuple(r) for r in
+              ivf_topk_pruned(spark, ivf_path, qids, k=5, nprobe=4).collect()]
+    assert pruned == base
+
+
+def _scan_num_files(df):
+    # runtime file-pruning proof: execute, then read the parquet scan
+    # node's numFiles SQL metric (inputFiles() ignores partition filters)
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    return leaves.head().metrics().apply("numFiles").value()
+
+
+def test_ivf_pruned_scans_only_probed_cells(spark, ivf_path):
+    # partition pruning must be real: a cell IN (...) predicate on the
+    # ivf_build table reads only those cell directories' FILES, and the
+    # plan carries it as a PartitionFilter (not a post-scan row filter)
+    import contextlib
+    import io
+    import re
+
+    tbl = spark.read.parquet(ivf_path)
+    probed = tbl.filter(F.col("cell").isin([0, 3]))
+    full_files = _scan_num_files(tbl)
+    probed_files = _scan_num_files(probed)
+    assert 0 < probed_files < full_files
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(0,3\)", buf.getvalue())
+    assert m, "cell IN predicate did not become a PartitionFilter"
+
+
 def test_corpus_pipeline_planted(spark):
     from osmospark.functions import corpus_pipeline
     long = ("the quick brown fox jumps over the lazy dog and then runs "
