@@ -286,6 +286,23 @@ def q_crawl_frontier(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_crawl_frontier_streaming(spark, sf_dir):
+    """The SAME frontier reachability computed by the Structured-Streaming
+    crawl (micro-batch rounds: frontier landing dir → state-store URL-seen
+    dedup → stream-static fetch join → crawl UDF → conts fed back): a
+    full-strength oracle row for the streaming engine — its visit set must
+    equal the batch engine's recursive-CTE reachability, not just pass a
+    rows-only check."""
+    import tempfile
+    from osmospark.streaming import streaming_crawl
+    wd = tempfile.mkdtemp(prefix="osmospark_stream_crawl_")
+    records = streaming_crawl(
+        spark, doc_pages(spark, sf_dir), [f"{DOC_HOST}/d/0"], "li > a",
+        None, workdir=wd, max_depth=CRAWL_MAX_DEPTH,
+        max_rounds=CRAWL_MAX_DEPTH + 1)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_find_explode(spark, sf_dir):
     """`find` = lateral explode with ordinals (SURVEY §2.4, posexplode)."""
     docs = _documents(spark, sf_dir)
@@ -565,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_frontier_streaming": q_crawl_frontier_streaming,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
         "then_fanout": q_then_fanout,
@@ -938,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_extract": crawl_extract_sql,
         "crawl_frontier": crawl_frontier_sql,
+        "crawl_frontier_streaming": crawl_frontier_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,
                    '[{{"t":"doc ' || ((doc_id + 1) % {n_docs}) ||

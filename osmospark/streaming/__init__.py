@@ -107,15 +107,23 @@ def stream_unseen_links_stateful(out_stream: DataFrame,
     per bucket (10 bits/key ≈ 1% FPR). The exact-state alternative is
     ``stream_outlinks`` (dropDuplicates); the batch engine uses the same
     two-tier design (Bloom prefilter + exact backstop)."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     conts = (out_stream.filter(F.col("row_kind") == "cont")
              .select("url", F.xxhash64("url").alias("url_hash"), "host",
-                     F.col("depth").cast("int").alias("depth"), "referer")
-             .withColumn(
-                 "bucket",
-                 F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
-                        F.lit(n_buckets)).cast("int")))
+                     F.col("depth").cast("int").alias("depth"), "referer"))
+    return _stateful_unseen(conts, n_buckets, bits_per_bucket)
+
+
+def _stateful_unseen(conts: DataFrame, n_buckets: int,
+                     bits_per_bucket: int) -> DataFrame:
+    """Core of the stateful Bloom URL-seen operator over any OUTLINK-shaped
+    stream (url, url_hash, host, depth, referer) — shared by the extraction
+    feed above and the streaming crawl's admission stage."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    conts = conts.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.coalesce(F.col("host"), F.lit(""))),
+               F.lit(n_buckets)).cast("int"))
     bits = bits_per_bucket
 
     def dedup(key, pdfs, state):
@@ -138,6 +146,9 @@ def stream_unseen_links_stateful(out_stream: DataFrame,
     return conts.groupBy("bucket").applyInPandasWithState(
         dedup, OUTLINK_SCHEMA, "bitset binary", "append",
         GroupStateTimeout.NoTimeout)
+
+
+from .crawl import streaming_crawl  # noqa: E402  (re-export)
 
 
 def stream_windowed_metrics(events: DataFrame, window: str = "1 hour",

@@ -85,6 +85,84 @@ def test_stream_windowed_metrics_matches_batch(spark, tmp_path_factory):
     assert got == want and len(got) > 0
 
 
+@pytest.fixture(scope="module")
+def synth_pages_df(spark):
+    from osmospark.corpus import pages_rows, synth_corpus
+    return spark.createDataFrame(
+        pages_rows(synth_corpus(n_urls=60, n_hosts=4)),
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").cache()
+
+
+def test_streaming_crawl_matches_batch(spark, synth_pages_df,
+                                       tmp_path_factory):
+    """The self-feeding micro-batch crawl (frontier landing dir → stateful
+    dedup → stream-static fetch join → crawl UDF → conts back to the dir)
+    must reproduce the batch engine's exact visit set + records on the
+    same seeds/corpus."""
+    from osmospark.corpus import seed_urls, synth_corpus
+    from osmospark.frontier import FrontierEngine
+    from osmospark.streaming import streaming_crawl
+
+    seeds = seed_urls(synth_corpus(n_urls=60, n_hosts=4))
+    spec = {"payload": "div"}
+
+    batch, _ = FrontierEngine(spark, synth_pages_df, dedup=True).run_crawl(
+        seeds, "li > a", extract_spec=spec, max_depth=2)
+    want = sorted((r.url, r.depth, r.value_json) for r in batch.collect())
+
+    wd = str(tmp_path_factory.mktemp("stream_crawl"))
+    got_df = streaming_crawl(spark, synth_pages_df, seeds, "li > a", spec,
+                             workdir=wd, max_depth=2)
+    got = sorted((r.url, r.depth, r.value_json) for r in got_df.collect())
+    assert got == want and len(got) > 10
+
+
+def test_streaming_crawl_bloom_mode_visits_once(spark, synth_pages_df,
+                                                tmp_path_factory):
+    """Bloom admission: bounded per-bucket state, each URL visited at most
+    once; at this corpus size FPR≈0 so the visit set equals exact mode."""
+    from osmospark.corpus import seed_urls, synth_corpus
+    from osmospark.streaming import streaming_crawl
+
+    seeds = seed_urls(synth_corpus(n_urls=60, n_hosts=4))
+    wd = str(tmp_path_factory.mktemp("stream_crawl_bloom"))
+    got_df = streaming_crawl(spark, synth_pages_df, seeds, "li > a",
+                             {"payload": "div"}, workdir=wd, max_depth=2,
+                             dedup_mode="bloom", bloom_buckets=4)
+    rows = got_df.collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) > 10
+
+
+def test_streaming_crawl_resume_from_checkpoint(spark, synth_pages_df,
+                                                tmp_path_factory):
+    """Kill-and-resume: a crawl stopped after one round continues from the
+    same workdir — the checkpoint's file-source log + dedup state ensure
+    the resumed run (even re-seeded) never re-visits, and the final record
+    set equals a one-shot crawl's."""
+    from osmospark.corpus import seed_urls, synth_corpus
+    from osmospark.streaming import streaming_crawl
+
+    seeds = seed_urls(synth_corpus(n_urls=60, n_hosts=4))
+    spec = {"payload": "div"}
+    one_wd = str(tmp_path_factory.mktemp("stream_one_shot"))
+    want = sorted(
+        (r.url, r.depth, r.value_json)
+        for r in streaming_crawl(spark, synth_pages_df, seeds, "li > a",
+                                 spec, workdir=one_wd,
+                                 max_depth=2).collect())
+
+    wd = str(tmp_path_factory.mktemp("stream_resume"))
+    partial = streaming_crawl(spark, synth_pages_df, seeds, "li > a", spec,
+                              workdir=wd, max_depth=2, max_rounds=1)
+    assert 0 < partial.count() < len(want)
+    resumed = streaming_crawl(spark, synth_pages_df, seeds, "li > a", spec,
+                              workdir=wd, max_depth=2)
+    got = sorted((r.url, r.depth, r.value_json) for r in resumed.collect())
+    assert got == want  # no re-visits, nothing lost
+
+
 def test_stateful_bloom_dedup_matches_exact_across_batches(spark, pages_dir):
     """applyInPandasWithState custom operator: Bloom URL-seen state in the
     state store must emit exactly the distinct link set (FPR ~0 at this
