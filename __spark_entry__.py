@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from osmospark.functions.dedup import (  # noqa: E402
     LSH_BANDS, MAX_BAND_BUCKET, N_MINHASH, exact_duplicates,
-    minhash_signatures, near_duplicates, simhash,
+    minhash_signatures, near_duplicates, simhash, simhash_near_duplicates,
 )
 from osmospark.functions.similarity import (  # noqa: E402
     MAX_EMB_BUCKET, brute_force_topk, lsh_topk,
@@ -475,6 +475,15 @@ def q_simhash(spark, sf_dir):
     return simhash(_documents(spark, sf_dir))    # 64-bit default
 
 
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash banded-Hamming near-dup join (Manku et al. WWW'07):
+    pigeonhole band buckets → skew-capped self-join → exact Hamming ≤ 3
+    verify. Oracle mirrors banding, cap, and per-position Hamming in
+    DuckDB on the same 64-bit signature CTE."""
+    return simhash_near_duplicates(_documents(spark, sf_dir),
+                                   max_hamming=3)
+
+
 def q_ann_topk(spark, sf_dir):
     return brute_force_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5)
 
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "near_duplicates": q_near_duplicates,
         "simhash": q_simhash,
+        "simhash_dedup": q_simhash_dedup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -722,6 +732,50 @@ def oracle_sql() -> dict[str, str]:
         "AS h2s "
         f"FROM (SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS w "
         "FROM documents))")
+
+    # simhash near-dup: pigeonhole banding over the same signature CTE,
+    # identical skew cap, exact per-position Hamming verify
+    sh_bits, sh_ham = 64, 3
+    sh_bands = sh_ham + 1
+    sh_w = sh_bits // sh_bands
+    sh_starts = [b * sh_w for b in range(sh_bands)]
+    sh_widths = [sh_w] * (sh_bands - 1) + [sh_bits - sh_starts[-1]]
+    sh_band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"substring(simhash, {sh_starts[b] + 1}, {sh_widths[b]}) AS band_key "
+        "FROM s"
+        for b in range(sh_bands))
+    simhash_dedup_sql = f"""
+        WITH s AS ({simhash_sql}),
+        b AS ({sh_band_sel}),
+        oversized AS (
+            SELECT band, band_key FROM b
+            GROUP BY band, band_key HAVING count(*) > {MAX_BAND_BUCKET}
+        ),
+        kept AS (
+            SELECT b.* FROM b WHERE NOT EXISTS (
+                SELECT 1 FROM oversized o
+                WHERE o.band = b.band AND o.band_key = b.band_key)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM kept a JOIN kept b2
+              ON a.band = b2.band AND a.band_key = b2.band_key
+             AND a.doc_id < b2.doc_id
+        ),
+        h AS (
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(1, {sh_bits + 1}),
+                       i -> substring(sa.simhash, i::INT, 1)
+                            <> substring(sb.simhash, i::INT, 1)))::INT
+                   AS hamming
+            FROM pairs
+            JOIN s sa ON sa.doc_id = doc_a
+            JOIN s sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, hamming FROM h
+        WHERE hamming <= {sh_ham} ORDER BY doc_a, doc_b
+    """
 
     ann_sql = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1011,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
                 ('form2_get', 'GET', '{submit_expected_get}')
             ) AS t(variant, method, data) ORDER BY variant
         """,
+        "simhash_dedup": simhash_dedup_sql,
         "ann_lsh": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
         "ann_ivf_pruned": ann_ivf_sql,

@@ -9,6 +9,7 @@ from .dedup import (
     near_duplicates,
     ngram_jaccard,
     simhash,
+    simhash_near_duplicates,
 )
 from .similarity import (
     brute_force_topk,
@@ -31,6 +32,7 @@ from .textstats import (
 __all__ = [
     "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
     "near_duplicates", "ngram_jaccard", "simhash",
+    "simhash_near_duplicates",
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
     "ivf_topk", "ivf_topk_pruned", "lsh_topk", "recall_at_k",
     "corpus_pipeline", "dup_clusters",

@@ -114,23 +114,32 @@ def lsh_candidate_pairs(documents: DataFrame,
     ])
     exploded = (sigs.select("doc_id", F.explode(entries).alias("e"))
                 .select("doc_id", "e.band", "e.band_key"))
-    # materialize once: the self-join reads both sides from storage instead
-    # of re-running the signature computation per side
+    return _banded_pairs(exploded, max_bucket_size, what="LSH")
+
+
+def _banded_pairs(exploded: DataFrame,
+                  max_bucket_size: int | None,
+                  what: str) -> DataFrame:
+    """Skew-capped banded self-join: (doc_id, band, band_key) rows →
+    distinct candidate (doc_a, doc_b) pairs sharing any band bucket.
+    Shared by MinHash-LSH and SimHash banding.
+
+    exploded is materialized once so the self-join reads both sides from
+    storage instead of re-running the signature computation per side.
+    The cap is ONE keys-only aggregation: groupBy on the same
+    (band, band_key) the self-join uses, map-side partial combine,
+    shuffling only short key pairs. The r2 formulation (count-over-window
+    + a separate distinct().count() job just to log the drop count)
+    sorted the FULL exploded frame per join side and re-scanned it
+    unconditionally — +48% on the sf0.1 dedup_minhash bench. Here the
+    over-cap list is the lazily PERSISTED broadcast side of a LEFT ANTI,
+    so the sizing runs inside the pairs job's own broadcast build (no
+    extra orchestrated job, never collected to the driver) and the
+    WARNING count afterwards is a cache hit."""
     exploded = exploded.persist()
     joinable = exploded
     hot = None
     if max_bucket_size is not None:
-        # ONE keys-only aggregation sizes every bucket: groupBy on the
-        # same (band, band_key) the self-join uses, map-side partial
-        # combine, shuffling only short key pairs. The r2 formulation
-        # (count-over-window + a separate distinct().count() job just to
-        # log the drop count) sorted the FULL exploded frame per join
-        # side and re-scanned it unconditionally — +48% on the sf0.1
-        # dedup_minhash bench. Here the over-cap list is the lazily
-        # PERSISTED broadcast side of a LEFT ANTI, so the sizing runs
-        # inside the pairs job's own broadcast build (no extra
-        # orchestrated job, never collected to the driver) and the
-        # WARNING count afterwards is a cache hit.
         hot = (exploded.groupBy("band", "band_key").count()
                .filter(F.col("count") > max_bucket_size)
                .select("band", "band_key")
@@ -157,9 +166,9 @@ def lsh_candidate_pairs(documents: DataFrame,
         n_dropped = hot.count()
         if n_dropped:
             log.warning(
-                "LSH: dropped %d band buckets over the %d-member cap "
+                "%s: dropped %d band buckets over the %d-member cap "
                 "(near-identical boilerplate; exact dedup handles these)",
-                n_dropped, max_bucket_size)
+                what, n_dropped, max_bucket_size)
         hot.unpersist()
     exploded.unpersist()
     return pairs
@@ -193,6 +202,54 @@ def near_duplicates(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     pairs = lsh_candidate_pairs(documents)
     return (ngram_jaccard(documents, pairs)
             .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b"))
+
+
+def simhash_near_duplicates(documents: DataFrame,
+                            max_hamming: int = 3,
+                            bits: int = 64,
+                            max_bucket_size: int | None = MAX_BAND_BUCKET,
+                            ) -> DataFrame:
+    """SimHash near-dup join — the Google web-dedup algorithm (Manku,
+    Jain & Das Sarma, WWW'07): pairs whose ``bits``-bit signatures differ
+    in at most ``max_hamming`` bits. Complements MinHash near-dup: one
+    64-bit signature per doc instead of a shingle set, so the candidate
+    stage shuffles ~8 bytes/doc/band.
+
+    Pigeonhole banding: the signature splits into ``max_hamming + 1``
+    near-equal bands — any pair within the distance budget agrees EXACTLY
+    on at least one band — so candidates come from per-band bucket joins
+    (the same skew-capped ``_banded_pairs`` core as MinHash-LSH, never an
+    all-pairs product). Verify: exact Hamming distance on the candidate
+    pairs, JVM-side (filter over a sequence of per-position char
+    comparisons). Output (doc_a, doc_b, hamming), ordered."""
+    bands = max_hamming + 1
+    if bands > bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    sigs = simhash(documents, bits=bits)
+    width = bits // bands
+    starts = [b * width for b in range(bands)]
+    widths = [width] * (bands - 1) + [bits - starts[-1]]  # last takes slack
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("simhash", starts[b] + 1, widths[b])
+                 .alias("band_key"))
+        for b in range(bands)
+    ])
+    exploded = (sigs.select("doc_id", F.explode(entries).alias("e"))
+                .select("doc_id", "e.band", "e.band_key"))
+    pairs = _banded_pairs(exploded, max_bucket_size, what="SimHash")
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sig_b"))
+    ham = F.size(F.filter(
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda i: F.col("sig_a").substr(i, F.lit(1))
+        != F.col("sig_b").substr(i, F.lit(1))))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
             .orderBy("doc_a", "doc_b"))
 
 

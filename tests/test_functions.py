@@ -106,6 +106,27 @@ def test_ivf_pruned_scans_only_probed_cells(spark, ivf_path):
     assert m, "cell IN predicate did not become a PartitionFilter"
 
 
+def test_simhash_near_duplicates_planted(spark):
+    # one-token edit => tiny Hamming distance; unrelated text => large.
+    # Also sanity-check the reported distance against a direct signature
+    # comparison (the banding must not change the verified metric).
+    from osmospark.functions import simhash, simhash_near_duplicates
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    near = base.replace("omicron", "omega")
+    far = ("one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string")
+    out = simhash_near_duplicates(df, max_hamming=12)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    direct = sum(a != b for a, b in zip(sigs[0], sigs[1]))
+    assert got[(0, 1)] == direct <= 12
+
+
 def test_corpus_pipeline_planted(spark):
     from osmospark.functions import corpus_pipeline
     long = ("the quick brown fox jumps over the lazy dog and then runs "
