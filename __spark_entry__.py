@@ -539,6 +539,15 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(_documents(spark, sf_dir), 0.5)
 
 
+def q_dup_clusters_star(spark, sf_dir):
+    """The same connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) — O(log² n) rounds on any component shape,
+    vs propagation's diameter-bound rounds. Same min-reachable fixed
+    point, same recursive-CTE oracle."""
+    from osmospark.functions import dup_clusters
+    return dup_clusters(_documents(spark, sf_dir), 0.5, algorithm="star")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
     k-gram hashes, sliding-window minima, dedup+sort."""
@@ -624,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "corpus_pipeline": q_corpus_pipeline,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
@@ -1071,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pruned": ann_ivf_sql,
         "corpus_pipeline": corpus_pipeline_sql,
         "dup_clusters": dup_clusters_sql,
+        "dup_clusters_star": dup_clusters_sql,
         "dedup_embedding": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

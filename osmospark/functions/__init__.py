@@ -20,7 +20,7 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
-from .pipeline import corpus_pipeline, dup_clusters
+from .pipeline import cluster_pairs, corpus_pipeline, dup_clusters
 from .textstats import (
     fingerprints,
     lang_id,
@@ -35,7 +35,7 @@ __all__ = [
     "simhash_near_duplicates",
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
     "ivf_topk", "ivf_topk_pruned", "lsh_topk", "recall_at_k",
-    "corpus_pipeline", "dup_clusters",
+    "cluster_pairs", "corpus_pipeline", "dup_clusters",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",
 ]

@@ -35,23 +35,48 @@ from .textstats import fingerprints, quality_scores, token_counts
 
 def dup_clusters(documents: DataFrame,
                  jaccard_threshold: float = 0.5,
-                 max_iters: int = 20) -> DataFrame:
+                 max_iters: int = 20,
+                 algorithm: str = "propagate") -> DataFrame:
     """Connected components over the near-duplicate pair graph:
     (doc_id, cluster_id) for every document that appears in at least one
     near-dup pair, where cluster_id = min doc_id reachable through pairs.
 
-    Distributed iterative min-label propagation (the simple half of
-    Kiveris et al.'s large-star/small-star — adequate because near-dup
-    components are shallow): each iteration joins labels across the
-    undirected edge list and keeps the per-node minimum, checkpointing
-    the label frame so lineage stays flat; stops when no label changed.
-    Components whose diameter exceeds ``max_iters`` would be pathological
-    for near-dup data; if the loop exits via the cap with labels still
-    changing, a WARNING is logged and the (non-converged) labels are
-    returned. Each iteration is one shuffle on doc_id; the edge list is
-    reused from a single eager checkpoint."""
+    ``algorithm``:
+
+    - ``'propagate'`` (default): iterative min-label propagation — one
+      shuffle per iteration, rounds proportional to component DIAMETER.
+      The right choice for near-dup graphs, whose components are shallow.
+    - ``'star'``: Kiveris et al.'s alternating large-star/small-star
+      (MapReduce CC) — O(log² n) rounds on ANY graph shape, two shuffles
+      per iteration. The web-scale choice when components can be long
+      chains (e.g. template drift across a crawl); proven equal to
+      propagate on every input, and convergent where propagate's
+      iteration cap trips (see tests).
+
+    Both paths checkpoint per iteration (flat lineage) and log a WARNING
+    if the cap is hit before convergence."""
     pairs = (near_duplicates(documents, jaccard_threshold)
              .select("doc_a", "doc_b").localCheckpoint(eager=True))
+    return cluster_pairs(pairs, max_iters=max_iters, algorithm=algorithm)
+
+
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20,
+                  algorithm: str = "propagate") -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) pair frame —
+    the graph core of ``dup_clusters``, exposed so any candidate-pair
+    producer (MinHash, SimHash, embedding near-dup) can be clustered."""
+    if algorithm == "propagate":
+        return _cc_propagate(pairs, max_iters)
+    if algorithm == "star":
+        return _cc_star(pairs, max_iters)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _cc_propagate(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation: each iteration joins labels across the
+    undirected edge list and keeps the per-node minimum; stops when no
+    label changed. Each iteration is one shuffle on doc_id; the edge
+    list is reused from a single eager checkpoint."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -86,9 +111,74 @@ def dup_clusters(documents: DataFrame,
                 "dup_clusters: hit max_iters=%d with %d labels still "
                 "changing — returned cluster ids are NOT converged (a "
                 "component's diameter exceeds the cap; raise max_iters "
-                "or use large-star/small-star for chain-shaped graphs)",
+                "or use algorithm='star' for chain-shaped graphs)",
                 max_iters, changed)
     return labels.orderBy("doc_id")
+
+
+def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14): converges in O(log²
+    n) rounds regardless of component diameter — each round HALVES long
+    chains instead of walking them one hop at a time.
+
+    - large-star: around each node u, every strictly-larger neighbour
+      re-attaches to the minimum of u's closed neighbourhood;
+    - small-star: edges point larger→smaller; each node and its
+      smaller-or-equal neighbours attach to the neighbourhood minimum.
+
+    Both phases are one groupBy-min plus one join per phase — shuffles
+    keyed on node ids, map-side combinable, nothing driver-side. The
+    fixpoint is a star forest: every node points at its component's
+    minimum, which is exactly the (doc_id, cluster_id) contract."""
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+    if not edges.head(1):
+        return edges.select(F.col("u").alias("doc_id"),
+                            F.col("v").alias("cluster_id"))
+    log_ = logging.getLogger("osmospark.pipeline")
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the undirected neighbourhood
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (und.groupBy("u").agg(F.min("v").alias("_mn"))
+             .select("u", F.least("u", "_mn").alias("m")))
+        large = (und.join(m, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # small-star over larger→smaller edges
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m2 = (directed.groupBy("u").agg(F.min("v").alias("_mn"))
+              .select("u", F.least("u", "_mn").alias("m")))
+        with_m = directed.join(m2, "u")
+        small = (with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(with_m.select("u", F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint(eager=True))
+        # fixpoint = identical edge SET (both frames are distinct)
+        changed = (small.exceptAll(edges).limit(1).count()
+                   + edges.exceptAll(small).limit(1).count())
+        edges = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        log_.warning(
+            "dup_clusters(star): hit max_iters=%d before the star-forest "
+            "fixpoint — returned cluster ids may not be fully merged",
+            max_iters)
+    roots = edges.select(F.col("v").alias("doc_id")).distinct()
+    return (edges.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("cluster_id"))
+            .unionByName(roots.select(
+                "doc_id", F.col("doc_id").alias("cluster_id")))
+            .orderBy("doc_id"))
 
 
 def corpus_pipeline(documents: DataFrame,

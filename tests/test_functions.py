@@ -106,6 +106,31 @@ def test_ivf_pruned_scans_only_probed_cells(spark, ivf_path):
     assert m, "cell IN predicate did not become a PartitionFilter"
 
 
+def test_cluster_pairs_star_equals_propagate(spark, docs):
+    # the O(log^2 n) star algorithm must reach the same min-reachable
+    # fixed point as propagation on real near-dup pairs
+    from osmospark.functions import dup_clusters
+    a = sorted(map(tuple, dup_clusters(docs, 0.5).collect()))
+    b = sorted(map(tuple,
+                   dup_clusters(docs, 0.5, algorithm="star").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_cluster_pairs_star_converges_where_propagate_cannot(spark):
+    # a 200-hop chain: propagation moves the min label one hop per
+    # iteration, so a 12-iteration cap cannot converge it; the star
+    # algorithm halves chains every round and finishes well inside 12
+    from osmospark.functions import cluster_pairs
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "doc_a long, doc_b long")
+    star = cluster_pairs(pairs, max_iters=12, algorithm="star").collect()
+    assert len(star) == 201
+    assert all(r.cluster_id == 0 for r in star)
+    prop = cluster_pairs(pairs, max_iters=12,
+                         algorithm="propagate").collect()
+    assert any(r.cluster_id != 0 for r in prop)  # cap hit, not converged
+
+
 def test_simhash_near_duplicates_planted(spark):
     # one-token edit => tiny Hamming distance; unrelated text => large.
     # Also sanity-check the reported distance against a direct signature
