@@ -138,10 +138,13 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     from osmospark.functions import (
         brute_force_topk, ivf_build, ivf_topk, ivf_topk_pruned, lsh_topk,
-        near_duplicates, quality_scores, token_counts,
+        near_duplicates, quality_scores, simhash_near_duplicates,
+        token_counts,
     )
 
     timed("dedup_minhash", lambda: _count(near_duplicates(docs, 0.5)))
+    timed("dedup_simhash", lambda: _count(
+        simhash_near_duplicates(docs, max_hamming=3)))
     timed("text_stats", lambda: _count(
         token_counts(docs).join(quality_scores(docs), "doc_id")))
     timed("ann_brute", lambda: _count(

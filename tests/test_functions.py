@@ -131,6 +131,26 @@ def test_cluster_pairs_star_converges_where_propagate_cannot(spark):
     assert any(r.cluster_id != 0 for r in prop)  # cap hit, not converged
 
 
+def test_cluster_pairs_composes_with_simhash(spark):
+    # the graph core accepts any candidate-pair producer: two planted
+    # near-dup groups via SimHash pairs must cluster to their minima
+    from osmospark.functions import cluster_pairs, simhash_near_duplicates
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    rows = [(0, base), (1, base.replace("omicron", "omega")),
+            (2, base.replace("kappa", "kappa2")),
+            (10, other), (11, other.replace("nine", "ninety"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_duplicates(df, max_hamming=12) \
+        .select("doc_a", "doc_b")
+    got = {r.doc_id: r.cluster_id
+           for r in cluster_pairs(pairs, algorithm="star").collect()}
+    assert got.get(1) == 0 and got.get(2) == 0
+    assert got.get(11) == 10 and got.get(10) == 10
+
+
 def test_simhash_near_duplicates_planted(spark):
     # one-token edit => tiny Hamming distance; unrelated text => large.
     # Also sanity-check the reported distance against a direct signature
