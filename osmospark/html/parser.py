@@ -290,6 +290,13 @@ class Document(Node):
 
 
 class _TreeBuilder(_StdHTMLParser):
+    """Builds the tree AND numbers it as it goes: nodes are created in
+    document (preorder) order by both parser engines, so ``order``, the
+    flat ``_nodes`` array and the ``_by_tag`` index are assigned at
+    creation time; only the subtree end-brackets need the single reverse
+    sweep in ``parse_html`` (the one post-parse mutation — libxml's meta
+    injection — falls back to the full ``_assign_order`` renumber)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.doc = Document()
@@ -298,24 +305,47 @@ class _TreeBuilder(_StdHTMLParser):
         self.body: Element | None = None
         self.had_explicit_head = False
         self.stack: list[Element] = []
+        self._counter = 0
+        self._nodes: list[Node] = []
+        self._by_tag: dict[str, list[Element]] = {}
+
+    def _number(self, node: Node) -> None:
+        self._counter += 1
+        node.order = self._counter
+        self._nodes.append(node)
+
+    def _number_el(self, el: Element) -> None:
+        self._counter += 1
+        el.order = self._counter
+        self._nodes.append(el)
+        lst = self._by_tag.get(el.tag)
+        if lst is None:
+            self._by_tag[el.tag] = [el]
+        else:
+            lst.append(el)
 
     # -- implicit structure -------------------------------------------
     def _ensure_html(self) -> Element:
         if self.html is None:
             self.html = Element("html")
+            self._number_el(self.html)
             self.doc.append(self.html)
         return self.html
 
     def _ensure_head(self) -> Element:
         if self.head is None:
+            html = self._ensure_html()
             self.head = Element("head")
-            self._ensure_html().append(self.head)
+            self._number_el(self.head)
+            html.append(self.head)
         return self.head
 
     def _ensure_body(self) -> Element:
         if self.body is None:
+            html = self._ensure_html()
             self.body = Element("body")
-            self._ensure_html().append(self.body)
+            self._number_el(self.body)
+            html.append(self.body)
         return self.body
 
     def _top(self, for_tag: str | None = None):
@@ -327,8 +357,12 @@ class _TreeBuilder(_StdHTMLParser):
         return self._ensure_body()
 
     # -- parser callbacks -----------------------------------------------
+    # Both engines (stdlib html.parser and _fast_feed) lowercase tag and
+    # attribute names before these callbacks fire, so no re-lowering here;
+    # Elements are built by direct slot assignment to skip the redundant
+    # normalization in Element.__init__ (this is the hottest path of the
+    # extraction kernel).
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
         if tag == "html":
             self._ensure_html()
             return
@@ -341,18 +375,30 @@ class _TreeBuilder(_StdHTMLParser):
             body = self._ensure_body()
             self.stack.append(body)
             return
-        el = Element(tag, [(k.lower(), v if v is not None else "") for k, v in attrs])
-        self._top(tag).append(el)
+        top = self._top(tag)  # may lazily create head/body: number first
+        el = Element.__new__(Element)
+        el.parent = top
+        el._end_order = -1
+        el.tag = tag
+        el.attrs = [(k, v if v is not None else "") for k, v in attrs]
+        el.children = []
+        self._number_el(el)
+        top.children.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        el = Element(tag, [(k.lower(), v if v is not None else "") for k, v in attrs])
-        self._top(tag).append(el)
+        top = self._top(tag)
+        el = Element.__new__(Element)
+        el.parent = top
+        el._end_order = -1
+        el.tag = tag
+        el.attrs = [(k, v if v is not None else "") for k, v in attrs]
+        el.children = []
+        self._number_el(el)
+        top.children.append(el)
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
         stack = self.stack
         if stack and stack[-1].tag == tag:  # the overwhelmingly common case
             stack.pop()
@@ -367,9 +413,14 @@ class _TreeBuilder(_StdHTMLParser):
 
     def handle_data(self, data):
         if self.stack:
-            self.stack[-1].append(TextNode(data))
+            tn = TextNode(data)
+            self._number(tn)
+            self.stack[-1].append(tn)
         elif data.strip():
-            self._ensure_body().append(TextNode(data))
+            body = self._ensure_body()
+            tn = TextNode(data)
+            self._number(tn)
+            body.append(tn)
         # whitespace-only text at top level is dropped (libxml does too)
 
 
@@ -534,6 +585,7 @@ def parse_html(html, base_url: str | None = None) -> Document:
     doc = builder.doc
     # libxml injects a Content-Type meta as the first child of an explicit
     # <head> (observable in the `head:html` golden, reference test/set.js:8-9)
+    injected = False
     if builder.had_explicit_head and builder.head is not None:
         has_meta = any(
             isinstance(c, Element) and c.tag == "meta" for c in builder.head.children
@@ -546,7 +598,27 @@ def parse_html(html, base_url: str | None = None) -> Document:
             )
             meta.parent = builder.head
             builder.head.children.insert(0, meta)
-    _assign_order(doc)
+            injected = True
+    if injected:
+        # the insert shifts document order — renumber from the tree
+        _assign_order(doc)
+    else:
+        # nodes were numbered at creation (creation order == preorder);
+        # only the subtree end-brackets remain. One reverse sweep: a
+        # node's bracket is its last child's (children appear after the
+        # parent in _nodes, so in reverse they are already finalized).
+        nodes = builder._nodes
+        for node in reversed(nodes):
+            if type(node) is Element and node.children:
+                node._end_order = node.children[-1]._end_order
+            else:
+                node._end_order = node.order
+        doc.order = 0
+        doc._end_order = builder._counter
+        doc._nodes = nodes
+        doc._by_tag = builder._by_tag
+        doc._tag_orders = {t: [e.order for e in lst]
+                           for t, lst in builder._by_tag.items()}
     if base_url is not None:
         doc.location = base_url
     return doc
