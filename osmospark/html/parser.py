@@ -412,19 +412,26 @@ class _TreeBuilder(_StdHTMLParser):
         # unmatched end tag: ignore
 
     def handle_data(self, data):
-        if self.stack:
-            tn = TextNode(data)
-            self._number(tn)
-            self.stack[-1].append(tn)
+        stack = self.stack
+        if stack:
+            top = stack[-1]
         elif data.strip():
-            body = self._ensure_body()
-            tn = TextNode(data)
-            self._number(tn)
-            body.append(tn)
-        # whitespace-only text at top level is dropped (libxml does too)
+            top = self._ensure_body()
+        else:
+            # whitespace-only text at top level is dropped (libxml does too)
+            return
+        tn = TextNode.__new__(TextNode)
+        tn.parent = top
+        tn._end_order = -1
+        tn.data = data
+        self._counter += 1
+        tn.order = self._counter
+        self._nodes.append(tn)
+        top.children.append(tn)
 
 
 _CDATA_TAGS = {"script", "style"}
+_CDATA_END = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_TAGS}
 # stdlib html.parser endtagfind (strict form; tolerant fallback below)
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _USE_STD_PARSER = (os.environ.get("OSMOSPARK_STD_PARSER") == "1"
@@ -433,6 +440,20 @@ _USE_STD_PARSER = (os.environ.get("OSMOSPARK_STD_PARSER") == "1"
 # value" character class
 _INCOMPLETE_NEXT = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+# One-regex fast path for the overwhelmingly common start-tag shape:
+# double-quoted attribute values with no '&'/'<'/'>' inside and whitespace
+# before every attribute. Inputs matching this shape parse bit-identically
+# under the stdlib tolerant regex cascade (_locatestart/_tagfind/_attrfind
+# + unescape), which remains the fallback for everything else; the
+# differential suite (tests/test_parser_diff.py) fuzzes both paths.
+# Name classes are strict subsets of the stdlib tolerant ones, and the
+# value class excludes '&' so skipping unescape() is exact.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*=\"[^\"&<>]*\")*)"
+    r"\s*(/?)>")
+_SIMPLE_ATTR = re.compile(r"([a-zA-Z_:][-.a-zA-Z0-9:_]*)=\"([^\"]*)\"")
 
 
 def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
@@ -482,6 +503,20 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
             builder.handle_data(_unescape(run) if "&" in run else run)
         nxt = rawdata[lt + 1:lt + 2]
         if nxt.isalpha():
+            sm = _SIMPLE_START.match(rawdata, lt)
+            if sm is not None:
+                tag = sm.group(1).lower()
+                rawattrs = sm.group(2)
+                attrs = ([(a.lower(), v)
+                          for a, v in _SIMPLE_ATTR.findall(rawattrs)]
+                         if rawattrs else [])
+                if sm.group(3):
+                    builder.handle_startendtag(tag, attrs)
+                else:
+                    builder.handle_starttag(tag, attrs)
+                    cdata_elem = _CDATA_END.get(tag)
+                i = sm.end()
+                continue
             # faithful port of stdlib parse_starttag +
             # check_for_whole_start_tag (tolerant mode)
             j = _locatestart.match(rawdata, lt).end()
@@ -528,9 +563,7 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                 builder.handle_startendtag(tag, attrs)
             else:
                 builder.handle_starttag(tag, attrs)
-                if tag in _CDATA_TAGS:
-                    cdata_elem = re.compile(
-                        rf"</\s*{tag}", re.IGNORECASE)
+                cdata_elem = _CDATA_END.get(tag)
             i = endpos
             continue
         if nxt == "/":
