@@ -303,6 +303,38 @@ def q_crawl_frontier_streaming(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Distributed redirect closure (reference index.js:226-231 redirect
+    hop log, needle follow-limit + loop failure, test/get.js:85-106):
+    every 3xx source in the corpus resolves to its final url, hop count,
+    and ok/max-redirects outcome via bounded self-joins over the tiny
+    edge set only — osmospark/frontier/redirects.py. The synthetic
+    redirect pages cover single hops with relative AND absolute targets,
+    a chain exactly at / one past the follow=5 limit, a 2-cycle loop,
+    and a cross-host target."""
+    from osmospark.frontier.redirects import redirect_closure
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    rows = [(f"{DOC_HOST}/r/{i}", 301, f"/d/{(i * 3) % n}")
+            for i in range(100)]
+    rows += [(f"{DOC_HOST}/chain/{i}", 301, f"/chain/{i + 1}")
+             for i in range(7)]
+    rows += [(f"{DOC_HOST}/chain/7", 301, "/d/7"),
+             (f"{DOC_HOST}/loop/0", 301, "/loop/1"),
+             (f"{DOC_HOST}/loop/1", 301, "/loop/0"),
+             (f"{DOC_HOST}/r/ext", 301, "http://other.local/x")]
+    pages = doc_pages(spark, sf_dir).select(
+        "url",
+        F.lit(None).cast("int").alias("page_status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+    ).unionByName(spark.createDataFrame(
+        rows, "url string, page_status int, redirect_to string"))
+    return redirect_closure(pages, max_hops=5).select(
+        "url", "final_url", "hops",
+        F.when(F.col("ok"), F.lit("ok"))
+         .otherwise(F.lit("max_redirects")).alias("outcome"))
+
+
 def q_find_explode(spark, sf_dir):
     """`find` = lateral explode with ordinals (SURVEY §2.4, posexplode)."""
     docs = _documents(spark, sf_dir)
@@ -601,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
         "crawl_frontier_streaming": q_crawl_frontier_streaming,
+        "redirect_resolve": q_redirect_resolve,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
         "then_fanout": q_then_fanout,
@@ -822,6 +855,43 @@ def oracle_sql() -> dict[str, str]:
         FROM r GROUP BY doc
     """
 
+    # -- redirect_resolve: the synthetic edge set is deterministic
+    # arithmetic, so the hop closure (follow limit 5, loop detection) is a
+    # bounded recursive walk; the terminal row per source is the closure
+    redirect_resolve_sql = f"""
+        WITH RECURSIVE edges(src, dst) AS (
+            SELECT 'http://docs.local/r/' || i,
+                   'http://docs.local/d/' || ((i * 3) % {n_docs})
+            FROM range(100) t(i)
+            UNION ALL
+            SELECT 'http://docs.local/chain/' || i,
+                   'http://docs.local/chain/' || (i + 1)
+            FROM range(7) t(i)
+            UNION ALL SELECT 'http://docs.local/chain/7',
+                             'http://docs.local/d/7'
+            UNION ALL SELECT 'http://docs.local/loop/0',
+                             'http://docs.local/loop/1'
+            UNION ALL SELECT 'http://docs.local/loop/1',
+                             'http://docs.local/loop/0'
+            UNION ALL SELECT 'http://docs.local/r/ext',
+                             'http://other.local/x'
+        ),
+        walk(src, cur, hops) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON w.cur = e.src
+            WHERE w.hops < 5
+        )
+        SELECT t.src AS url, t.cur AS final_url, t.hops::INT AS hops,
+               CASE WHEN t.cur IN (SELECT src FROM edges)
+                    THEN 'max_redirects' ELSE 'ok' END AS outcome
+        FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                           ORDER BY hops DESC) AS rn
+              FROM walk) t
+        WHERE t.rn = 1
+    """
+
     crawl_extract_sql = f"""
         SELECT 'http://docs.local/d/' || doc_id AS url,
                'doc ' || doc_id AS title,
@@ -1021,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_extract": crawl_extract_sql,
         "crawl_frontier": crawl_frontier_sql,
         "crawl_frontier_streaming": crawl_frontier_sql,
+        "redirect_resolve": redirect_resolve_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,
                    '[{{"t":"doc ' || ((doc_id + 1) % {n_docs}) ||

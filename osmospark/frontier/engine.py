@@ -92,6 +92,8 @@ class FrontierEngine:
         round_seconds: float = 60.0,
         adaptive_shuffle: bool = True,
         dedup_via: str = "window",
+        follow_redirects: bool = True,
+        max_redirects: int = 5,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -166,6 +168,18 @@ class FrontierEngine:
         self.on_round_end = None
         self._total_admitted = 0
         self._total_rounds = 0
+        # distributed redirect resolution (reference follow-limit
+        # semantics): when the pages table carries a ``redirect_to``
+        # column, frontier urls landing on a 3xx source resolve to the
+        # final target via ONE join per round against a precomputed hop
+        # closure over the (tiny) redirect edge set — see
+        # frontier/redirects.py. Built lazily on first run_crawl round.
+        self._redirect_src = (
+            pages_df if follow_redirects
+            and "redirect_to" in pages_df.columns else None)
+        self._redirect_closure_df: DataFrame | None = None
+        self._redirects_small = False
+        self.max_redirects = max_redirects
 
     def pause(self) -> None:
         """Request a pause at the next round boundary (resume via
@@ -438,6 +452,63 @@ class FrontierEngine:
             return cand.unionByName(rest).drop("_brank")
         w = Window.partitionBy("host").orderBy(*order)
         return frontier.withColumn("_rank", F.row_number().over(w))
+
+    def _redirects(self) -> DataFrame | None:
+        """Lazily built redirect hop-closure (frontier/redirects.py); the
+        build cost is O(redirect rows), paid once per engine, zero when
+        the pages table has no ``redirect_to`` column."""
+        if self._redirect_src is None:
+            return None
+        if self._redirect_closure_df is None:
+            from .redirects import redirect_closure
+            self._redirect_closure_df = redirect_closure(
+                self._redirect_src, self.max_redirects)
+            n = self._redirect_closure_df.count()
+            self._redirects_small = n <= self.broadcast_threshold
+        return self._redirect_closure_df
+
+    def _resolve_redirects(self, frontier: DataFrame,
+                           round_no: int) -> DataFrame:
+        """Rewrite frontier rows that point at a redirect source to their
+        FINAL url (referer := the redirecting url, per the reference's
+        final-hop referer); rows whose chain exhausts the ``follow`` limit
+        (loops included) drop with an error metric — the distributed form
+        of needle's "Max redirects reached. Possible loop in: <url>".
+        Runs BEFORE URL-seen dedup, so the seen set keys final urls and a
+        target reached via two different sources fetches exactly once."""
+        closure = self._redirects()
+        if closure is None:
+            return frontier
+        cc = closure.select(
+            F.col("url_hash").alias("_r_key"),
+            F.col("final_url").alias("_r_final"),
+            F.col("final_hash").alias("_r_fhash"),
+            F.col("final_host").alias("_r_fhost"),
+            F.col("ok").alias("_r_ok"))
+        if self._redirects_small:
+            cc = F.broadcast(cc)
+        joined = frontier.join(cc, frontier["url_hash"] == cc["_r_key"],
+                               "left")
+        # max-redirects failures: counted per source host like fetch
+        # errors; lazy frame over checkpointed frontier blocks + the
+        # checkpointed closure, executed once in _flush_metrics
+        self._pending_metrics.append(
+            joined.filter(F.col("_r_ok") == F.lit(False))
+            .groupBy("host")
+            .agg(F.count("*").alias("fetched"),
+                 F.lit(0).cast("long").alias("parsed"),
+                 F.count("*").alias("errors"))
+            .withColumn("round", F.lit(round_no)))
+        return (joined
+                .filter(F.col("_r_key").isNull() | F.col("_r_ok"))
+                .withColumn("referer",
+                            F.when(F.col("_r_key").isNotNull(),
+                                   F.col("url"))
+                            .otherwise(F.col("referer")))
+                .withColumn("url", F.coalesce("_r_final", "url"))
+                .withColumn("url_hash", F.coalesce("_r_fhash", "url_hash"))
+                .withColumn("host", F.coalesce("_r_fhost", "host"))
+                .select(*_FRONTIER_COLS))
 
     def _apply_robots(self, frontier: DataFrame) -> DataFrame:
         """Drop robots-disallowed URLs (never fetched; logged as metrics)."""
@@ -815,6 +886,8 @@ class FrontierEngine:
                     spark.conf.set("spark.sql.shuffle.partitions", str(target))
                 t0 = _time.perf_counter()
                 fr = frontier
+                if self._redirect_src is not None:
+                    fr = self._resolve_redirects(fr, round_no)
                 if self.dedup:
                     fr = self._dedup_round(fr)
                 fr = self._apply_robots(fr)

@@ -305,3 +305,94 @@ def test_engine_pause_at_round_boundary(spark, tmp_path):
                                  max_depth=5)
     assert {r.url for r in rec2.select("url").collect()} == \
         {r.url for r in rec3.select("url").collect()}
+
+
+# ----------------------------------------------------------------------
+# distributed redirect resolution (frontier/redirects.py)
+# ----------------------------------------------------------------------
+
+_REDIR_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                 "lang string, page_status int, redirect_to string")
+
+
+def _redirect_pages_df(spark):
+    """Tiny corpus exercising every redirect shape from reference
+    test/get.js:85-106/181-224: single hop (relative + absolute target),
+    two sources -> one target, a 6-hop chain (over the follow=5 limit),
+    a 5-hop chain (exactly at it), and a 2-cycle loop."""
+    h = "http://a.local"
+
+    def page(url, html, status=200, redirect_to=None):
+        return (url, None, html.encode(), "", "en", status, redirect_to)
+
+    rows = [
+        page(f"{h}/start",
+             '<a href="/r/one"></a><a href="/r/two"></a>'
+             '<a href="/hop/0"></a><a href="/hop/1"></a>'
+             '<a href="/loop/a"></a><a href="/d/2"></a>'),
+        page(f"{h}/d/1", "<div>d1</div>"),
+        page(f"{h}/d/2", "<div>d2</div>"),
+        page(f"{h}/d/3", "<div>d3</div>"),
+        page(f"{h}/r/one", "", 301, "/d/1"),
+        page(f"{h}/r/two", "", 302, f"{h}/d/2"),
+        page(f"{h}/loop/a", "", 301, "/loop/b"),
+        page(f"{h}/loop/b", "", 301, "/loop/a"),
+    ]
+    for i in range(5):
+        rows.append(page(f"{h}/hop/{i}", "", 301, f"/hop/{i + 1}"))
+    rows.append(page(f"{h}/hop/5", "", 301, "/d/3"))
+    return spark.createDataFrame(rows, _REDIR_SCHEMA)
+
+
+def test_redirect_closure_hops_and_outcomes(spark):
+    from osmospark.frontier.redirects import redirect_closure
+    got = {r.url: r for r in redirect_closure(
+        _redirect_pages_df(spark), max_hops=5).collect()}
+    h = "http://a.local"
+    assert got[f"{h}/r/one"].final_url == f"{h}/d/1"      # relative target
+    assert got[f"{h}/r/one"].hops == 1 and got[f"{h}/r/one"].ok
+    assert got[f"{h}/r/two"].final_url == f"{h}/d/2"      # absolute target
+    # /hop/1 -> 2 -> 3 -> 4 -> 5 -> /d/3: exactly 5 hops, at the limit: ok
+    assert got[f"{h}/hop/1"].final_url == f"{h}/d/3"
+    assert got[f"{h}/hop/1"].hops == 5 and got[f"{h}/hop/1"].ok
+    # /hop/0 needs 6 hops: max-redirects failure (reference needle error)
+    assert not got[f"{h}/hop/0"].ok
+    # loop: never terminates, capped at 5 hops, failure
+    assert not got[f"{h}/loop/a"].ok and got[f"{h}/loop/a"].hops == 5
+    assert got[f"{h}/hop/1"].final_host == "a.local"
+
+
+def test_crawl_follows_redirects_with_final_url_dedup(spark):
+    """Crawl-mode redirect semantics: frontier urls resolve to final
+    targets pre-admission; /d/2 reached BOTH directly and via /r/two is
+    fetched once; over-limit chains and loops drop with error metrics."""
+    h = "http://a.local"
+    engine = FrontierEngine(spark, _redirect_pages_df(spark), dedup=True,
+                            politeness=False)
+    records, _ = engine.run_crawl(
+        [f"{h}/start"], "a", extract_spec={"payload": "div"}, max_depth=1)
+    urls = sorted(r.url for r in records.collect())
+    # visited: start + d/1 (via r/one), d/2 (once: direct + via r/two
+    # collapse on the final url), d/3 (via hop/1's 5-hop chain);
+    # hop/0 and loop/a dropped as max-redirects errors
+    assert urls == [f"{h}/d/1", f"{h}/d/2", f"{h}/d/3", f"{h}/start"]
+    errs = {(m["round"], m["host"]): m["errors"]
+            for m in engine.metrics_rows}
+    assert errs[(1, "a.local")] == 2  # hop/0 + loop/a
+
+
+def test_crawl_redirects_off_flag(spark):
+    """follow_redirects=False ignores the redirect_to column entirely:
+    redirect sources join as ordinary pages (whose empty bodies then fail
+    extraction, the reference's empty-body error), so redirect TARGETS are
+    never reached."""
+    h = "http://a.local"
+    engine = FrontierEngine(spark, _redirect_pages_df(spark), dedup=True,
+                            politeness=False, follow_redirects=False)
+    records, _ = engine.run_crawl(
+        [f"{h}/start"], "a", extract_spec=None, max_depth=1)
+    urls = {r.url for r in records.collect()}
+    # d/1 and d/3 are only reachable THROUGH redirects; d/2 is linked
+    # directly from /start
+    assert f"{h}/d/1" not in urls and f"{h}/d/3" not in urls
+    assert f"{h}/d/2" in urls
