@@ -303,6 +303,20 @@ def q_crawl_frontier_streaming(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_crawl_frontier_cuckoo(spark, sf_dir):
+    """The same frontier reachability under the cuckoo-filter URL-seen
+    backend (frontier/cuckoo.py — the north rule's second named
+    probabilistic structure): partitioned executor-resident fingerprint
+    tables + exact-array backstop must reproduce the recursive-CTE
+    reachability exactly, not just pass a parity golden."""
+    engine = _engine(spark, sf_dir, dedup=True, politeness=False,
+                     seen_mode="cuckoo", bloom_buckets=8)
+    records, _ = engine.run_crawl(
+        [f"{DOC_HOST}/d/0"], "li > a", extract_spec=None,
+        max_depth=CRAWL_MAX_DEPTH, max_rounds=CRAWL_MAX_DEPTH + 1)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Distributed redirect closure (reference index.js:226-231 redirect
     hop log, needle follow-limit + loop failure, test/get.js:85-106):
@@ -633,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
         "crawl_frontier_streaming": q_crawl_frontier_streaming,
+        "crawl_frontier_cuckoo": q_crawl_frontier_cuckoo,
         "redirect_resolve": q_redirect_resolve,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
@@ -1091,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_extract": crawl_extract_sql,
         "crawl_frontier": crawl_frontier_sql,
         "crawl_frontier_streaming": crawl_frontier_sql,
+        "crawl_frontier_cuckoo": crawl_frontier_sql,
         "redirect_resolve": redirect_resolve_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,

@@ -42,6 +42,7 @@ from ..record import merge_value
 from ..spec import Chain, collect_chains
 from ..urlnorm import xxhash64_py
 from . import bloom as bloom_mod
+from . import cuckoo as cuckoo_mod
 from .politeness import DEFAULT_CONCURRENCY, host_slots
 
 FRONTIER_SCHEMA = StructType([
@@ -120,7 +121,15 @@ class FrontierEngine:
         self.robots_df = robots_df
         self.dedup = dedup
         self.politeness_salt_buckets = politeness_salt_buckets
+        if seen_mode not in ("auto", "bloom", "cuckoo"):
+            raise ValueError(f"seen_mode {seen_mode!r} not in "
+                             "('auto', 'bloom', 'cuckoo')")
         self.seen_mode = seen_mode
+        # both probabilistic backends share the partitioned state-row
+        # machinery (probe cogroup, delta build, merge); they differ only
+        # in the per-bucket filter blob (Bloom bitset vs cuckoo
+        # fingerprint table — frontier/bloom.py vs frontier/cuckoo.py)
+        self._prob_seen = seen_mode in ("bloom", "cuckoo")
         self.seen_broadcast_keys = seen_broadcast_keys
         self.bloom_buckets = bloom_buckets
         self.bloom_bits = bloom_bits_per_bucket
@@ -231,14 +240,14 @@ class FrontierEngine:
             (``searchsorted``), the backstop that keeps the visit set exact
             despite Bloom false positives.
         """
-        if self.seen_mode != "bloom" and self._seen_parts:
+        if not self._prob_seen and self._seen_parts:
             seen = self._seen_parts[0]
             for p in self._seen_parts[1:]:
                 seen = seen.unionByName(p)
             if self._seen_count <= self.seen_broadcast_keys:
                 seen = F.broadcast(seen)
             frontier = frontier.join(seen, "url_hash", "left_anti")
-        if self.seen_mode == "bloom" and self._seen_state is not None:
+        if self._prob_seen and self._seen_state is not None:
             frontier = self._probe_seen_state(frontier)
         if self.dedup_via == "window":
             w = Window.partitionBy("url_hash").orderBy(
@@ -280,16 +289,21 @@ class FrontierEngine:
         schema = frontier.schema
         cols = [f.name for f in schema.fields]
         tagged = frontier.withColumn("_bucket", self._bucket_col())
+        mode = self.seen_mode
 
         def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
             left = left.drop(columns=["_bucket"])
             if len(left) == 0 or len(right) == 0:
                 return left
-            bl = np.frombuffer(right["bitset"].iloc[0], dtype=np.uint8)
             ex = np.frombuffer(right["hashes"].iloc[0], dtype=np.int64)
             hashes = left["url_hash"].to_numpy(dtype=np.int64)
-            maybe = bloom_mod.contains(bl, hashes)
+            if mode == "cuckoo":
+                maybe = cuckoo_mod.contains(
+                    cuckoo_mod.from_bytes(right["bitset"].iloc[0]), hashes)
+            else:
+                bl = np.frombuffer(right["bitset"].iloc[0], dtype=np.uint8)
+                maybe = bloom_mod.contains(bl, hashes)
             seen = np.zeros(len(left), dtype=bool)
             if maybe.any() and len(ex):
                 cand = hashes[maybe]
@@ -325,7 +339,7 @@ class FrontierEngine:
         cogroup (bitset OR + sorted-array union), and the new state
         checkpoints eagerly. The driver never touches per-URL data — it
         only swaps the DataFrame handle."""
-        if self.seen_mode != "bloom":
+        if not self._prob_seen:
             if n_rows is not None:
                 # fast path: ``admitted`` is already a filter over
                 # checkpointed blocks — its select is lineage-stable with
@@ -351,15 +365,20 @@ class FrontierEngine:
                 self._seen_parts = [merged.localCheckpoint(eager=True)]
             return
         bits = self.bloom_bits
+        mode = self.seen_mode
 
         def build_delta(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
             hashes = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
-            bs = bloom_mod.empty_bitset(bits)
-            bloom_mod.add(bs, hashes)
+            if mode == "cuckoo":
+                blob = cuckoo_mod.build(hashes).tobytes()
+            else:
+                bs = bloom_mod.empty_bitset(bits)
+                bloom_mod.add(bs, hashes)
+                blob = bs.tobytes()
             return pd.DataFrame(
                 {"bucket": [int(pdf["bucket"].iloc[0])],
-                 "bitset": [bs.tobytes()],
+                 "bitset": [blob],
                  "hashes": [hashes.tobytes()]})
 
         deltas = (
@@ -376,17 +395,31 @@ class FrontierEngine:
                 rows = pd.concat([left, right], ignore_index=True)
                 if len(rows) <= 1:
                     return rows
-                bs = np.frombuffer(rows["bitset"].iloc[0],
-                                   dtype=np.uint8).copy()
-                ex = np.frombuffer(rows["hashes"].iloc[0], dtype=np.int64)
+                ex0 = np.frombuffer(rows["hashes"].iloc[0], dtype=np.int64)
+                ex = ex0
                 for i in range(1, len(rows)):
-                    bs |= np.frombuffer(rows["bitset"].iloc[i],
-                                        dtype=np.uint8)
                     ex = np.union1d(ex, np.frombuffer(
                         rows["hashes"].iloc[i], dtype=np.int64))
+                if mode == "cuckoo":
+                    # insert only the genuinely-new keys into row 0's
+                    # table; saturation (add_many -> None) rebuilds at
+                    # the next power-of-two size from the exact array,
+                    # so the filter can never report a false negative
+                    t = cuckoo_mod.from_bytes(rows["bitset"].iloc[0])
+                    t = cuckoo_mod.add_many(t, np.setdiff1d(ex, ex0))
+                    if t is None:
+                        t = cuckoo_mod.build(ex)
+                    blob = t.tobytes()
+                else:
+                    bs = np.frombuffer(rows["bitset"].iloc[0],
+                                       dtype=np.uint8).copy()
+                    for i in range(1, len(rows)):
+                        bs |= np.frombuffer(rows["bitset"].iloc[i],
+                                            dtype=np.uint8)
+                    blob = bs.tobytes()
                 return pd.DataFrame({
                     "bucket": [int(rows["bucket"].iloc[0])],
-                    "bitset": [bs.tobytes()], "hashes": [ex.tobytes()]})
+                    "bitset": [blob], "hashes": [ex.tobytes()]})
 
             new_state = (self._seen_state.groupBy("bucket")
                          .cogroup(deltas.groupBy("bucket"))

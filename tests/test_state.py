@@ -178,7 +178,7 @@ print("PHASE1_OK")
 """
 
 
-@pytest.mark.parametrize("seen_mode", ["auto", "bloom"])
+@pytest.mark.parametrize("seen_mode", ["auto", "bloom", "cuckoo"])
 def test_crawl_survives_total_executor_state_loss(spark, tmp_path,
                                                  seen_mode):
     """Lost-executor recovery (north rule: resumable from checkpoint):
@@ -304,7 +304,7 @@ def test_seen_part_compaction_bounds_parts_and_preserves_visits(spark):
     assert len(v1) == len(v2)
 
 
-@pytest.mark.parametrize("seen_mode", ["auto", "bloom"])
+@pytest.mark.parametrize("seen_mode", ["auto", "bloom", "cuckoo"])
 def test_crawl_resume_matches_one_shot(spark, tmp_path, seen_mode):
     """North rule: any round is resumable. A crawl interrupted after k
     rounds and resumed from the committed frontier + seen state must visit
@@ -343,3 +343,64 @@ def test_crawl_resume_matches_one_shot(spark, tmp_path, seen_mode):
     resumed = {r.url for r in rec2.select("url").collect()}
     one_shot = {r.url for r in rec3.select("url").collect()}
     assert resumed == one_shot
+
+
+# ----------------------------------------------------------------------
+# cuckoo-filter URL-seen backend (frontier/cuckoo.py)
+# ----------------------------------------------------------------------
+
+def test_cuckoo_filter_no_false_negatives_and_low_fp():
+    """CoNEXT'14 cuckoo filter invariants: every inserted key answers
+    'maybe seen' (no false negatives — the property crawl exactness
+    rides on), and the false-positive rate at 16-bit fingerprints stays
+    far below Bloom's ~1%."""
+    import numpy as np
+    from osmospark.frontier import cuckoo
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(-2**62, 2**62, 50_000, dtype=np.int64))
+    t = cuckoo.build(keys)
+    assert cuckoo.contains(t, keys).all()
+    probe = np.unique(rng.integers(-2**62, 2**62, 100_000, dtype=np.int64))
+    probe = np.setdiff1d(probe, keys)
+    fp_rate = cuckoo.contains(t, probe).mean()
+    assert fp_rate < 0.005, fp_rate
+
+
+def test_cuckoo_filter_grows_on_saturation():
+    """add_many signals saturation (None) instead of dropping keys; the
+    build() rebuild path doubles until everything places — the exact
+    array carried in the state row makes the rebuild exact."""
+    import numpy as np
+    from osmospark.frontier import cuckoo
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(-2**62, 2**62, 5_000, dtype=np.int64))
+    t = cuckoo.empty_table(64)  # way undersized: forces saturation
+    assert cuckoo.add_many(t.copy(), keys) is None
+    grown = cuckoo.build(keys)
+    assert grown.shape[0] > t.shape[0]
+    assert cuckoo.contains(grown, keys).all()
+
+
+def test_cuckoo_mode_matches_auto_and_keeps_state_off_driver(spark):
+    """seen_mode='cuckoo': same partitioned executor-resident state rows
+    as bloom mode, same visit set as the exact anti-join backend."""
+    from osmospark.corpus import synth_corpus_df, synth_seed_urls
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 400, 4, weight=1).cache()
+    pages.count()
+    seeds = synth_seed_urls(4)
+    auto = FrontierEngine(spark, pages, dedup=True)
+    rec_a, _ = auto.run_crawl(seeds, "li > a", extract_spec=None,
+                              max_depth=4)
+    ck = FrontierEngine(spark, pages, dedup=True, seen_mode="cuckoo",
+                        bloom_buckets=8)
+    rec_c, _ = ck.run_crawl(seeds, "li > a", extract_spec=None,
+                            max_depth=4)
+    urls_a = {r.url for r in rec_a.select("url").collect()}
+    urls_c = {r.url for r in rec_c.select("url").collect()}
+    assert urls_a == urls_c and len(urls_a) > 10
+    state_rows = ck._seen_state.count()
+    assert 0 < state_rows <= 8
