@@ -482,6 +482,42 @@ def q_robots_filter(spark, sf_dir):
             .select("doc_id", "host", "path"))
 
 
+ROBOTS_RFC_TXT = ("User-agent: *\nDisallow: /d/1\nAllow: /d/1*5\n"
+                  "Disallow: /d/*7$\nAllow: /d/2\nDisallow: /d/2\n"
+                  "Allow: /d/3\nDisallow: /d/3$\n")
+
+
+def q_robots_rfc(spark, sf_dir):
+    """Full RFC 9309 robots semantics through the REAL engine path:
+    compile_robots (distributed parse + regex compile) → broadcast rules
+    join → JVM-side longest-pattern / allow-wins-ties verdict
+    (engine._apply_robots). Rules exercise wildcards, $ anchors, a
+    same-length Allow/Disallow tie, and an anchor-vs-prefix precedence
+    flip; hosts 0/3/6/9 carry the rules, the rest pass unfiltered."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.frontier.politeness import compile_robots
+
+    docs = _documents(spark, sf_dir)
+    robots = compile_robots(spark.createDataFrame(
+        [(f"host{h}", ROBOTS_RFC_TXT) for h in range(0, 10, 3)],
+        "host string, robots_txt string"))
+    pages = spark.createDataFrame(
+        [("http://x/", None, b"", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    eng = FrontierEngine(spark, pages, robots_df=robots)
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), F.pmod(F.col("doc_id"), F.lit(10)))
+        .alias("host"),
+        F.concat(F.lit("http://host"), F.pmod(F.col("doc_id"), F.lit(10)),
+                 F.lit("/d/"), F.pmod(F.col("doc_id"), F.lit(53)))
+        .alias("url"))
+    return (eng._apply_robots(frontier)
+            .select("doc_id", "host",
+                    F.parse_url(F.col("url"), F.lit("PATH")).alias("path")))
+
+
 def q_token_counts(spark, sf_dir):
     return token_counts(_documents(spark, sf_dir))
 
@@ -666,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "politeness_window": q_politeness_window,
         "robots_filter": q_robots_filter,
+        "robots_rfc": q_robots_rfc,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1306,6 +1343,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT ((doc_id % 10) IN (0, 3, 6, 9)
                        AND (('/d/' || (doc_id % 50)) LIKE '/d/1%'
                             OR ('/d/' || (doc_id % 50)) LIKE '/d/3%'))
+        """,
+        "robots_rfc": """
+            WITH rules(rx, allow, len) AS (VALUES
+                ('^/d/1',    FALSE, 4),
+                ('^/d/1.*5', TRUE,  6),
+                ('^/d/.*7$', FALSE, 6),
+                ('^/d/2',    TRUE,  4),
+                ('^/d/2',    FALSE, 4),
+                ('^/d/3',    TRUE,  4),
+                ('^/d/3$',   FALSE, 5)),
+            frontier AS (
+                SELECT doc_id,
+                       'host' || (doc_id % 10) AS host,
+                       '/d/' || (doc_id % 53) AS path
+                FROM documents),
+            winner AS (
+                SELECT f.doc_id, r.allow,
+                       row_number() OVER (PARTITION BY f.doc_id
+                           ORDER BY r.len DESC, r.allow DESC) AS rn
+                FROM frontier f JOIN rules r
+                  ON (f.doc_id % 10) IN (0, 3, 6, 9)
+                 AND regexp_matches(f.path, r.rx))
+            SELECT f.doc_id, f.host, f.path
+            FROM frontier f
+            LEFT JOIN (SELECT doc_id, allow FROM winner WHERE rn = 1) w
+              USING (doc_id)
+            WHERE w.allow IS NULL OR w.allow
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -544,12 +544,39 @@ class FrontierEngine:
                 .select(*_FRONTIER_COLS))
 
     def _apply_robots(self, frontier: DataFrame) -> DataFrame:
-        """Drop robots-disallowed URLs (never fetched; logged as metrics)."""
-        if self.robots_df is None or "disallow" not in self.robots_df.columns:
+        """Drop robots-disallowed URLs (never fetched; logged as metrics).
+
+        Two robots-table shapes:
+
+        - ``rules`` column (``politeness.RULES_TYPE``, built by
+          ``compile_robots``): full RFC 9309 semantics — ``*`` wildcards,
+          ``$`` anchors, longest-pattern-wins with Allow on ties —
+          evaluated ENTIRELY JVM-side: filter the rule array down to
+          regex matches, then ``array_max`` over (len, allow) structs is
+          exactly the RFC precedence (struct compare is field-ordered, so
+          longer patterns win and ``true > false`` breaks ties toward
+          Allow). No Python touches the frontier.
+        - legacy ``disallow`` prefix array: simple EXISTS(startswith).
+        """
+        if self.robots_df is None:
+            return frontier
+        path = F.parse_url(F.col("url"), F.lit("PATH"))
+        if "rules" in self.robots_df.columns:
+            rules = F.broadcast(self.robots_df.select("host", "rules"))
+            joined = frontier.join(rules, "host", "left")
+            matched = F.filter(
+                F.coalesce(F.col("rules"), F.array()),
+                lambda r: F.regexp_like(path, r["rx"]))
+            verdict = F.array_max(F.transform(
+                matched,
+                lambda r: F.struct(r["len"].alias("l"),
+                                   r["allow"].alias("a"))))
+            blocked = verdict.isNotNull() & ~verdict["a"]
+            return joined.filter(~blocked).drop("rules")
+        if "disallow" not in self.robots_df.columns:
             return frontier
         rules = F.broadcast(self.robots_df.select("host", "disallow"))
         joined = frontier.join(rules, "host", "left")
-        path = F.parse_url(F.col("url"), F.lit("PATH"))
         blocked = F.exists(
             F.coalesce(F.col("disallow"), F.array()),
             lambda p: path.startswith(p),

@@ -13,21 +13,40 @@ become per-round admission control (north rule: "per-host politeness window
   slots`` — a ranking window as the concurrency gate (SURVEY §2.6);
 - disallowed URLs are dropped with a metrics row, never fetched.
 
-Robots parsing is the subset that matters for scheduling: ``User-agent: *``
-groups with ``Allow``/``Disallow`` prefixes and ``Crawl-delay``.
+Robots parsing follows RFC 9309 (Robots Exclusion Protocol): user-agent
+group selection (most-specific product token, else ``*``; same-agent
+groups merge), ``Allow``/``Disallow`` patterns with ``*`` wildcards and a
+``$`` end anchor, longest-PATTERN-wins precedence with Allow winning
+length ties, and ``Crawl-delay`` (a de-facto extension the north rule
+names). Rules compile to Java-compatible regexes so the frontier filter
+evaluates them JVM-side (engine ``_apply_robots``); parsing/compiling for
+millions of hosts runs distributed via ``compile_robots``.
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 DEFAULT_CONCURRENCY = 5      # reference index.js:93
 DEFAULT_ROUND_SECONDS = 60.0
 
+# engine._apply_robots expects this rules shape on the robots table
+RULES_TYPE = "array<struct<rx: string, allow: boolean, len: int>>"
 
-def parse_robots(text: str) -> dict:
+
+def parse_robots(text: str, agent: str = "*") -> dict:
     """Parse a robots.txt body → {'disallow': [...], 'allow': [...],
-    'crawl_delay': float|None} for User-agent: * (subset semantics)."""
-    disallow, allow, delay = [], [], None
-    applies = False
+    'crawl_delay': float|None} for the RFC 9309 group matching ``agent``:
+    the group whose user-agent token is the longest case-insensitive
+    substring-prefix of ``agent`` wins; absent any match, the ``*`` group
+    applies; multiple groups for the same token merge."""
+    groups: dict[str, dict] = {}
+    cur: list[str] = []
+    in_agents = False  # consecutive User-agent lines share one group
     for line in (text or "").splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -35,31 +54,99 @@ def parse_robots(text: str) -> dict:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            applies = val == "*"
-        elif applies and key == "disallow" and val:
-            disallow.append(val)
-        elif applies and key == "allow" and val:
-            allow.append(val)
-        elif applies and key == "crawl-delay":
-            try:
-                delay = float(val)
-            except ValueError:
-                pass
-    return {"disallow": disallow, "allow": allow, "crawl_delay": delay}
+            tok = val.lower()
+            if not in_agents:
+                cur = []
+            in_agents = True
+            cur.append(tok)
+            for t in (tok,):
+                groups.setdefault(
+                    t, {"disallow": [], "allow": [], "crawl_delay": None})
+        else:
+            in_agents = False
+            for t in cur:
+                g = groups.get(t)
+                if g is None:
+                    continue
+                if key == "disallow" and val:
+                    g["disallow"].append(val)
+                elif key == "allow" and val:
+                    g["allow"].append(val)
+                elif key == "crawl-delay":
+                    try:
+                        g["crawl_delay"] = float(val)
+                    except ValueError:
+                        pass
+    agent = agent.lower()
+    best = None
+    if agent != "*":
+        for tok in groups:
+            if tok != "*" and tok in agent and (
+                    best is None or len(tok) > len(best)):
+                best = tok
+    if best is None and "*" in groups:
+        best = "*"
+    if best is None:
+        return {"disallow": [], "allow": [], "crawl_delay": None}
+    return groups[best]
 
 
-def is_allowed(path: str, rules: dict) -> bool:
-    """Longest-prefix-match allow/disallow (standard robots semantics)."""
-    best_len, allowed = -1, True
-    for p in rules.get("allow", ()):
-        if path.startswith(p) and len(p) > best_len:
-            best_len, allowed = len(p), True
-    for p in rules.get("disallow", ()):
-        if path.startswith(p) and len(p) > best_len:
-            best_len, allowed = len(p), False
-        elif path.startswith(p) and len(p) == best_len:
-            allowed = False  # disallow wins ties
-    return allowed
+def pattern_rx(p: str) -> str:
+    """RFC 9309 path pattern → anchored regex: ``*`` matches any
+    sequence, a trailing ``$`` anchors the end, everything else is
+    literal. Emits only constructs shared by java.util.regex and Python
+    ``re`` so the same string runs JVM-side and in the simulator."""
+    anchored = p.endswith("$")
+    if anchored:
+        p = p[:-1]
+    rx = "^" + ".*".join(re.escape(seg) for seg in p.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def compile_rules(rules: dict) -> list[tuple[str, bool, int]]:
+    """Parsed group → [(regex, is_allow, specificity)]; specificity is
+    the raw pattern length (RFC 9309 'most specific = longest')."""
+    out = []
+    for allow, key in ((False, "disallow"), (True, "allow")):
+        for p in rules.get(key, ()):
+            out.append((pattern_rx(p), allow, len(p)))
+    return out
+
+
+def is_allowed(path: str, rules: dict | list) -> bool:
+    """RFC 9309 verdict for one path: among matching rules the longest
+    pattern wins, Allow winning exact length ties; no match → allowed.
+    ``rules`` is a parsed group dict or a precompiled rule list."""
+    compiled = rules if isinstance(rules, list) else compile_rules(rules)
+    best = (-1, True)
+    for rx, allow, ln in compiled:
+        if re.match(rx, path or "") and (ln, allow) > best:
+            best = (ln, allow)
+    return best[1]
+
+
+def compile_robots(robots_texts: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → (host, rules, crawl_delay): the robots table
+    the engine broadcasts. Parsing + regex compilation run in an
+    Arrow-batched UDF, so a million-host robots corpus never funnels
+    through the driver."""
+
+    @F.pandas_udf(f"struct<rules: {RULES_TYPE}, crawl_delay: double>")
+    def _compile(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            g = parse_robots(t, agent=agent)
+            rows.append({
+                "rules": [{"rx": rx, "allow": a, "len": ln}
+                          for rx, a, ln in compile_rules(g)],
+                "crawl_delay": g["crawl_delay"],
+            })
+        return pd.DataFrame(rows)
+
+    return (robots_texts
+            .withColumn("_c", _compile(F.col("robots_txt")))
+            .select("host", F.col("_c.rules").alias("rules"),
+                    F.col("_c.crawl_delay").alias("crawl_delay")))
 
 
 def host_slots(crawl_delay: float | None,

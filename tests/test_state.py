@@ -404,3 +404,77 @@ def test_cuckoo_mode_matches_auto_and_keeps_state_off_driver(spark):
     assert urls_a == urls_c and len(urls_a) > 10
     state_rows = ck._seen_state.count()
     assert 0 < state_rows <= 8
+
+
+# ----------------------------------------------------------------------
+# RFC 9309 robots semantics (politeness.py compile_rules / compile_robots)
+# ----------------------------------------------------------------------
+
+def test_robots_rfc_wildcards_anchors_and_ties():
+    txt = """
+        User-agent: *
+        Disallow: /d/1
+        Allow: /d/1*5
+        Disallow: /d/*7$
+        Allow: /d/2
+        Disallow: /d/2
+        Allow: /d/3
+        Disallow: /d/3$
+    """
+    g = parse_robots(txt)
+    assert not is_allowed("/d/1", g)          # prefix disallow
+    assert not is_allowed("/d/12", g)
+    assert is_allowed("/d/15", g)             # longer wildcard allow wins
+    assert not is_allowed("/d/47", g)         # $-anchored wildcard
+    assert not is_allowed("/d/17", g)         # len 6 disallow > len 4 allow? (no /d/1 allow) — blocked
+    assert is_allowed("/d/2", g)              # exact length tie: Allow wins
+    assert not is_allowed("/d/3", g)          # $ rule is longer than allow
+    assert is_allowed("/d/31", g)             # $ rule doesn't match
+    assert is_allowed("/other", g)            # no match: allowed
+
+
+def test_robots_agent_group_selection():
+    txt = """
+        User-agent: *
+        Disallow: /all
+        User-agent: osmo
+        User-agent: otherbot
+        Disallow: /osmo
+        Crawl-delay: 9
+    """
+    star = parse_robots(txt)
+    assert not is_allowed("/all/x", star) and is_allowed("/osmo", star)
+    mine = parse_robots(txt, agent="osmobot/1.0")
+    assert not is_allowed("/osmo/x", mine) and is_allowed("/all", mine)
+    assert mine["crawl_delay"] == 9.0
+    other = parse_robots(txt, agent="unknown-crawler")
+    assert not is_allowed("/all/x", other)
+
+
+def test_engine_applies_rfc_rules_jvm_side(spark):
+    """compile_robots -> engine._apply_robots: the RFC verdict (wildcards,
+    $ anchors, allow-wins-ties) evaluated as array expressions over the
+    broadcast rules join — byte-identical to the Python is_allowed on
+    every frontier row."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.frontier.politeness import compile_robots
+
+    txt = ("User-agent: *\nDisallow: /d/1\nAllow: /d/1*5\n"
+           "Disallow: /d/*7$\nAllow: /d/2\nDisallow: /d/2\n"
+           "Allow: /d/3\nDisallow: /d/3$\n")
+    robots = compile_robots(spark.createDataFrame(
+        [("a.local", txt)], "host string, robots_txt string"))
+    pages = spark.createDataFrame(
+        [("http://a.local/", None, b"", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    eng = FrontierEngine(spark, pages, robots_df=robots)
+    paths = [f"/d/{i}" for i in range(60)] + ["/other", "/d/15x"]
+    frontier = spark.createDataFrame(
+        [(f"http://a.local{p}", "a.local", p) for p in paths],
+        "url string, host string, path string")
+    kept = {r.path for r in eng._apply_robots(frontier).collect()}
+    g = parse_robots(txt)
+    expected = {p for p in paths if is_allowed(p, g)}
+    assert kept == expected
+    assert "/d/15" in kept and "/d/2" in kept and "/d/3" not in kept
+    assert "/d/47" not in kept and "/d/31" in kept
