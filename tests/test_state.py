@@ -478,3 +478,36 @@ def test_engine_applies_rfc_rules_jvm_side(spark):
     assert kept == expected
     assert "/d/15" in kept and "/d/2" in kept and "/d/3" not in kept
     assert "/d/47" not in kept and "/d/31" in kept
+
+
+def test_cuckoo_filter_property_incremental_merge_sequence():
+    """Property test of the engine's merge discipline: arbitrary batches
+    inserted incrementally (rebuild-on-saturation, exactly as
+    _note_seen's merge does) never lose a key and never report a false
+    negative, for any batch sizes/orderings."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from osmospark.frontier import cuckoo
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                 min_size=0, max_size=400),
+        min_size=1, max_size=6))
+    def run(batches):
+        table = None
+        seen = np.array([], dtype=np.int64)
+        for b in batches:
+            delta = np.unique(np.array(b, dtype=np.int64))
+            if table is None:
+                seen = delta
+                table = cuckoo.build(delta) if len(delta) else None
+                continue
+            new = np.setdiff1d(delta, seen)
+            seen = np.union1d(seen, delta)
+            t = cuckoo.add_many(table, new)
+            table = cuckoo.build(seen) if t is None else t
+        if table is not None and len(seen):
+            assert cuckoo.contains(table, seen).all()
+
+    run()
