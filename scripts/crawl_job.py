@@ -51,6 +51,21 @@ def parse_args(argv):
     p.add_argument("--politeness", action="store_true")
     p.add_argument("--concurrency", type=int, default=5)
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--seen-mode", default="auto",
+                   choices=["auto", "bloom", "cuckoo"],
+                   help="URL-seen backend: exact anti-join, partitioned "
+                        "Bloom, or partitioned cuckoo filter")
+    p.add_argument("--seen-buckets", type=int, default=32,
+                   help="host buckets for the bloom/cuckoo state table")
+    p.add_argument("--robots", default=None,
+                   help="parquet path of (host, robots_txt); compiled to "
+                        "RFC 9309 rules + crawl-delay budgets")
+    p.add_argument("--agent", default="*",
+                   help="user-agent product token for robots group "
+                        "selection")
+    p.add_argument("--max-redirects", type=int, default=5,
+                   help="redirect follow limit when the corpus carries a "
+                        "redirect_to column")
     p.add_argument("--out", default=None,
                    help="optional parquet path for extracted records")
     return p.parse_args(argv)
@@ -89,11 +104,21 @@ def main(argv=None):
         if last >= 0:
             start_round = last + 1
 
+    robots_df = None
+    if args.robots:
+        from osmospark.frontier.politeness import compile_robots
+        robots_df = compile_robots(spark.read.parquet(args.robots),
+                                   agent=args.agent)
+
     eng = FrontierEngine(
         spark, pages, state=state,
         dedup=not args.no_dedup,
         politeness=args.politeness,
-        concurrency=args.concurrency)
+        concurrency=args.concurrency,
+        seen_mode=args.seen_mode,
+        bloom_buckets=args.seen_buckets,
+        robots_df=robots_df,
+        max_redirects=args.max_redirects)
 
     if start_round > 0:
         # resume: reload seen-set and continue from the committed frontier
