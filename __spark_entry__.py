@@ -91,6 +91,8 @@ NESTED_ROOTS = 40
 PAGINATE_LIMIT = 10
 THEN_ROOTS = 25
 DO_ROOTS = 30
+SEL_ROOTS = 35
+SIZE_ROOTS = 30
 
 
 def _index_page_df(spark, k: int, path: str = "/nested-index"):
@@ -188,6 +190,64 @@ def q_error_taxonomy(spark, sf_dir):
             .agg(F.count("*").alias("n_urls"),
                  F.sum("parsed").alias("n_parsed"))
             .orderBy("outcome"))
+
+
+def q_find_select(spark, sf_dir):
+    """Relative `select` distributively (§2.4, reference test/find.js:52-65
+    find-then-select + lib/commands/select.js): find each doc page's LAST
+    list item, select the `a` relative to the found node, capture @href.
+    The last li's link is (doc_id*7+3) mod n by construction."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    pages = doc_pages(spark, sf_dir)
+    idx = _index_page_df(spark, SEL_ROOTS, "/sel-index")
+    chain = (O.get(f"{DOC_HOST}/sel-index")
+             .follow("a")
+             .set({"page": "title"})
+             .find("ul > li:last")
+             .select("a")
+             .set("href", "@href"))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.page").alias("page"),
+        F.get_json_object("value_json", "$.href").alias("href"))
+        .orderBy("page", "href"))
+
+
+def _size_cb(ctx):
+    # reference lib/Request.js:110-117 — decoded body length
+    return ctx.doc().response["size"]["body"]
+
+
+def _data_head_cb(ctx):
+    # reference lib/Request.js:81-83 — raw body retained under keep_data
+    return ctx.doc().response["data"][:17]
+
+
+def q_response_size(spark, sf_dir):
+    """keep_data / response.size distributively (§2.7, reference
+    lib/Request.js:81-83,110-117): every followed doc page records its
+    decoded body length and a prefix of the retained raw data via set
+    callbacks — the crawl path must populate response.size/data exactly
+    like the sync interpreter."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    pages = doc_pages(spark, sf_dir)
+    idx = _index_page_df(spark, SIZE_ROOTS, "/size-index")
+    chain = (O.get(f"{DOC_HOST}/size-index")
+             .follow("a")
+             .config("keep_data", True)
+             .set({"page": "title", "nchars": _size_cb,
+                   "head": _data_head_cb}))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.page").alias("page"),
+        F.get_json_object("value_json", "$.nchars").cast("bigint")
+         .alias("nchars"),
+        F.get_json_object("value_json", "$.head").alias("head"))
+        .orderBy("page"))
 
 
 def q_nested_set_follow(spark, sf_dir):
@@ -690,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "then_fanout": q_then_fanout,
         "do_union": q_do_union,
         "error_taxonomy": q_error_taxonomy,
+        "find_select": q_find_select,
+        "response_size": q_response_size,
         "submit_params": q_submit_params,
         "find_explode": q_find_explode,
         "filter_contains": q_filter_contains,
@@ -1179,6 +1241,30 @@ def oracle_sql() -> dict[str, str]:
                    '["/d/' || ((doc_id + 1) % {n_docs}) || '","/d/' ||
                    ((doc_id * 7 + 3) % {n_docs}) || '"]' AS l
             FROM documents WHERE doc_id < {DO_ROOTS} ORDER BY t
+        """,
+        # relative select: the last li's a links to (doc_id*7+3) mod n
+        # by doc_pages construction
+        "find_select": f"""
+            SELECT 'doc ' || doc_id AS page,
+                   '/d/' || ((doc_id * 7 + 3) % {n_docs}) AS href
+            FROM documents WHERE doc_id < {SEL_ROOTS} ORDER BY page, href
+        """,
+        # response.size / keep_data: character length of the exact html
+        # string doc_pages concatenates (DuckDB length() = chars, matching
+        # Python len() of the utf-8-decoded body), and the retained raw
+        # data's fixed 17-char prefix
+        "response_size": f"""
+            SELECT 'doc ' || doc_id AS page,
+                   length('<head><title>doc ' || doc_id ||
+                          '</title></head><body><div class="content">' ||
+                          text ||
+                          '</div><ul><li><a href="/d/' ||
+                          ((doc_id + 1) % {n_docs}) ||
+                          '"></a></li><li><a href="/d/' ||
+                          ((doc_id * 7 + 3) % {n_docs}) ||
+                          '"></a></li></ul></body>') AS nchars,
+                   '<head><title>doc ' AS head
+            FROM documents WHERE doc_id < {SIZE_ROOTS} ORDER BY page
         """,
         # fetch-error taxonomy: planted URL list (every 3rd doc ok, 7
         # empty bodies, 5 comment-only no-root pages, 9 dangling 404s)

@@ -153,6 +153,12 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
     html = row["html"]
     if len(html) == 0:
         return _fetch_fail("Data is empty")
+    # decode ONCE before the hook: chain-mode hooks receive the response
+    # body as str (reference lib/Request.js:88-100 hands back decoded
+    # data), so crawl-mode hooks must too — the same
+    # ``lambda d: d.replace(...)`` chain must run unchanged in both modes
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
     # process_response hook at the resume position's folded opts (the
     # distributed analogue of the sync request path's scoped hook)
     hook_runner = Runner(page_scope=True)
@@ -167,6 +173,8 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
                           row["url"]))
         if err is not None:
             return _fetch_fail(str(err))
+        if isinstance(html, (bytes, bytearray)):  # byte-returning hooks
+            html = bytes(html).decode("utf-8", errors="replace")
 
     params = json.loads(row["params_json"]) if row.get("params_json") else None
     doc = build_document(
@@ -177,6 +185,12 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
     )
     if doc.root is None:
         return _fetch_fail("Document has no root")
+    # response.size / keep_data parity with the chain path
+    # (interpreter.py sets both right after build_document —
+    # reference lib/Request.js:81-83,110-117)
+    doc.response["size"] = {"body": len(html)}
+    if opts_here.get("keep_data") is True:
+        doc.response["data"] = html
 
     data = Record()
     captured: list = []
@@ -425,6 +439,10 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                     m_errors[i] = 1
                     m_msg[i] = "Data is empty"
                     continue
+                # hooks receive str in BOTH modes (chain parity); decode
+                # once up front, and re-decode byte-returning hooks
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
                 if process_response is not None:
                     from .interpreter import (
                         _ResponseMeta, apply_process_response,
@@ -438,12 +456,17 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                         m_errors[i] = 1
                         m_msg[i] = str(err)
                         continue
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", errors="replace")
                 doc = build_document(html, urls[i], referer=refs[i])
                 if doc.root is None:
                     m_fetched[i] = 1
                     m_errors[i] = 1
                     m_msg[i] = "Document has no root"
                     continue
+                # response.size parity with the chain path
+                # (reference lib/Request.js:110-117)
+                doc.response["size"] = {"body": len(html)}
                 errors = 0
                 if spec_chain is None:
                     # no extraction spec: the visit itself is the record

@@ -277,6 +277,57 @@ def test_crawl_process_response_sees_real_status_and_type(spark):
     assert got == ["200|text/html", "503|application/xml"]
 
 
+def test_crawl_hook_receives_str_distributed(spark):
+    """The SAME process_response hook a user wrote for the chain path
+    (str in, str out, no defensive decode) must work inside the crawl
+    UDF: html bytes are decoded BEFORE the hook in both modes.
+    (Local def → cloudpickle by value; test modules aren't importable
+    on executors.)"""
+    import datetime as dt
+
+    def str_hook(d):
+        return d.replace("b>", "i>")
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [("http://prs.test/", ts, b"<body><b>hi</b></body>", None, "en")]
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    engine = FrontierEngine(spark, pages_df)
+    records, _ = engine.run_crawl(
+        ["http://prs.test/"], "a", extract_spec={"val": "i"}, max_depth=0,
+        process_response=str_hook)
+    got = [json.loads(r.value_json)["val"] for r in records.collect()]
+    assert got == ["hi"]
+
+
+def chain_keep_data():
+    def size_cb(ctx):
+        return ctx.doc().response["size"]["body"]
+
+    def data_cb(ctx):
+        return ctx.doc().response.get("data")
+
+    return (O.get(f"{FIXTURE_HOST}/2")
+            .config("keep_data", True)
+            .set({"size": size_cb, "data": data_cb}))
+
+
+def test_crawl_keep_data_and_size_parity(spark, fixture_pages_df):
+    """response.size.body and keep_data must be identical between the
+    sync interpreter and the distributed chain path (reference
+    lib/Request.js:81-83,110-117) — previously crawl-mode docs carried
+    neither."""
+    expected = sync_records(chain_keep_data)
+    engine = FrontierEngine(spark, fixture_pages_df)
+    got = [json.loads(r.value_json)
+           for r in engine.run_chain(chain_keep_data()).collect()]
+    assert got == expected
+    assert expected[0]["data"] == \
+        "<head><title>2</title></head><body></body>"
+    assert expected[0]["size"] == len(expected[0]["data"])
+
+
 def test_engine_pause_at_round_boundary(spark, tmp_path):
     """engine.pause() from on_round_end stops after the committed round;
     resuming from that round completes the same visit set as one-shot
