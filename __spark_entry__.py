@@ -93,6 +93,7 @@ THEN_ROOTS = 25
 DO_ROOTS = 30
 SEL_ROOTS = 35
 SIZE_ROOTS = 30
+TYPE_ROOTS = 28
 
 
 def _index_page_df(spark, k: int, path: str = "/nested-index"):
@@ -247,6 +248,40 @@ def q_response_size(spark, sf_dir):
         F.get_json_object("value_json", "$.nchars").cast("bigint")
          .alias("nchars"),
         F.get_json_object("value_json", "$.head").alias("head"))
+        .orderBy("page"))
+
+
+def _type_cb(ctx):
+    # reference lib/Request.js:128-142 — content-type → response.type
+    return ctx.doc().response["type"]
+
+
+def q_response_type(spark, sf_dir):
+    """content-type → response.type distributively (§2.7, reference
+    lib/Request.js:128-142): pages carry a content_type column cycling
+    through html/xml/json/plain variants by doc_id; the crawl path must
+    map each to response.type exactly like the sync interpreter
+    (xml-substring wins, then html, else passthrough)."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.spec import O
+
+    did = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+    cts = F.array(F.lit("text/html"),
+                  F.lit("application/xml; charset=utf-8"),
+                  F.lit("application/json"),
+                  F.lit("text/plain"))
+    pages = doc_pages(spark, sf_dir).withColumn(
+        "content_type",
+        F.element_at(cts, (F.pmod(did, F.lit(4)) + 1).cast("int")))
+    idx = _index_page_df(spark, TYPE_ROOTS, "/type-index") \
+        .withColumn("content_type", F.lit("text/html"))
+    chain = (O.get(f"{DOC_HOST}/type-index")
+             .follow("a")
+             .set({"page": "title", "rtype": _type_cb}))
+    out = FrontierEngine(spark, pages.unionByName(idx)).run_chain(chain)
+    return (out.select(
+        F.get_json_object("value_json", "$.page").alias("page"),
+        F.get_json_object("value_json", "$.rtype").alias("rtype"))
         .orderBy("page"))
 
 
@@ -752,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_taxonomy": q_error_taxonomy,
         "find_select": q_find_select,
         "response_size": q_response_size,
+        "response_type": q_response_type,
         "submit_params": q_submit_params,
         "find_explode": q_find_explode,
         "filter_contains": q_filter_contains,
@@ -1265,6 +1301,15 @@ def oracle_sql() -> dict[str, str]:
                           '"></a></li></ul></body>') AS nchars,
                    '<head><title>doc ' AS head
             FROM documents WHERE doc_id < {SIZE_ROOTS} ORDER BY page
+        """,
+        # content-type → response.type: xml-substring wins, then html,
+        # else passthrough (reference lib/Request.js:128-142)
+        "response_type": f"""
+            SELECT 'doc ' || doc_id AS page,
+                   CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'xml'
+                        WHEN 2 THEN 'application/json'
+                        ELSE 'text/plain' END AS rtype
+            FROM documents WHERE doc_id < {TYPE_ROOTS} ORDER BY page
         """,
         # fetch-error taxonomy: planted URL list (every 3rd doc ok, 7
         # empty bodies, 5 comment-only no-root pages, 9 dangling 404s)

@@ -182,6 +182,7 @@ def process_page_row(chains: list[Chain], row: dict, round_no: int) -> list[dict
         params=params, referer=row.get("referer"),
         status=int(row.get("page_status") or 200),
         count=int(row["count"]) if row.get("count") is not None else None,
+        content_type=row.get("content_type") or "text/html",
     )
     if doc.root is None:
         return _fetch_fail("Document has no root")
@@ -458,7 +459,9 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                         continue
                     if isinstance(html, (bytes, bytearray)):
                         html = bytes(html).decode("utf-8", errors="replace")
-                doc = build_document(html, urls[i], referer=refs[i])
+                doc = build_document(html, urls[i], referer=refs[i],
+                                     status=int(stats[i]),
+                                     content_type=ctypes[i] or "text/html")
                 if doc.root is None:
                     m_fetched[i] = 1
                     m_errors[i] = 1
