@@ -33,8 +33,10 @@ import time
 def parse_args(argv):
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", default=None,
-                   help="parquet path of pages table (url, warc_ts, html, "
-                        "text, lang); default: synthetic corpus")
+                   help="pages table (url, warc_ts, html, text, lang): "
+                        "a parquet path, or iceberg:<table-identifier> "
+                        "read through a configured Iceberg catalog; "
+                        "default: synthetic corpus")
     p.add_argument("--n-urls", type=int, default=2000,
                    help="synthetic corpus size when --corpus omitted")
     p.add_argument("--n-hosts", type=int, default=16)
@@ -85,7 +87,18 @@ def main(argv=None):
     from osmospark.tableio import TableIO
 
     if args.corpus:
-        pages = spark.read.parquet(args.corpus)
+        if args.corpus.startswith("iceberg:"):
+            # north-rule shape: the pages corpus is an Iceberg table read
+            # through a configured catalog (snapshot isolation for free);
+            # same gating as TableIO's iceberg backend
+            from osmospark.tableio import detect_iceberg_catalog
+            if detect_iceberg_catalog(spark) is None:
+                raise SystemExit(
+                    "--corpus iceberg:<table> requires an Iceberg catalog "
+                    "(spark.sql.catalog.*) on the session")
+            pages = spark.table(args.corpus[len("iceberg:"):])
+        else:
+            pages = spark.read.parquet(args.corpus)
         seeds = args.seeds
         if not seeds:
             raise SystemExit("--seeds required with --corpus")
