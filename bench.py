@@ -126,6 +126,30 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     timed("crawl_polite", polite_bench)
 
+    # q3b: robots-gated crawl — RFC 9309 rules (wildcard Disallow) +
+    # Crawl-delay budgets compiled distributively once, then evaluated
+    # JVM-side in every round's admission; measures the full
+    # robots+politeness scheduling overhead on the same corpus
+    def robots_bench():
+        from pyspark.sql import functions as F
+        from osmospark.frontier.politeness import compile_robots
+
+        hosts_df = spark.range(n_hosts).select(
+            F.format_string("host%04d.test", F.col("id")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /p/1*\n"
+                  "Crawl-delay: 0.05\n").alias("robots_txt"))
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=500, politeness_salt_buckets=32,
+                             robots_df=compile_robots(hosts_df),
+                             broadcast_threshold=1_000_000)
+        records, _ = eng.run_crawl(
+            seeds, "li > a",
+            extract_spec={"payload": "div", "links": ["a@href"]},
+            max_depth=5, max_rounds=4)
+        return _count(records)
+
+    timed("crawl_robots", robots_bench)
+
     # parquet at small sf reads as 1-2 splits — repartition so the text /
     # vector pipelines actually parallelize (at 100 TB the scan itself
     # yields thousands of splits and this is a no-op concern)
