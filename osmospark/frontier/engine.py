@@ -73,6 +73,38 @@ _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 _STATE_SCHEMA = "bucket int, bitset binary, hashes binary"
 
 
+def _checkpoint_truncated(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also RESETS Catalyst's size statistics.
+
+    ``Dataset.localCheckpoint`` preserves the pre-checkpoint plan's
+    *estimated* stats in the resulting ``LogicalRDD`` (``originStats``),
+    and ``SizeInBytesOnlyStatsPlanVisitor.default`` estimates multi-child
+    nodes — including ``FlatMapCoGroupsInPandas`` — as the PRODUCT of the
+    children's ``sizeInBytes``. An iterative loop whose rounds cogroup two
+    previously-checkpointed frames (frontier × URL-seen state) therefore
+    compounds those products: the preserved ``sizeInBytes`` BigInteger's
+    bit-length grows Fibonacci-style per round, and by round ~14 Catalyst
+    burns minutes of driver CPU in ``BigInteger.multiplyToomCook3`` while
+    executors sit idle (measured: 3.5s → 150s/round on constant-size
+    data; jstack shows the planner inside ``multiplyToomCook3``).
+
+    Rebuilding the DataFrame from the checkpointed RDD drops
+    ``originStats`` — the fresh ``LogicalRDD`` reports the session default
+    size — so every round plans against bounded stats. Falls back to the
+    plain checkpoint if the private ``internalCreateDataFrame`` bridge is
+    unavailable (stats preservation then remains, which is only a
+    performance hazard for deep crawls, not a correctness one)."""
+    cp = df.localCheckpoint(eager=True)
+    try:
+        jdf = cp._jdf
+        spark = df.sparkSession
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(fresh, spark)
+    except Exception:  # pragma: no cover — py4j bridge unavailable
+        return cp
+
+
 class FrontierEngine:
     def __init__(
         self,
@@ -350,8 +382,8 @@ class FrontierEngine:
                 # slow path (resume rebuild): checkpoint — NOT persist — so
                 # the part never recomputes through upstream lineage the
                 # caller may later unpersist/invalidate (quadratic).
-                part = admitted.select("url_hash") \
-                    .localCheckpoint(eager=True)
+                part = _checkpoint_truncated(
+                    admitted.select("url_hash"))
                 self._seen_count += part.count()
                 self._seen_parts.append(part)
             if len(self._seen_parts) >= self.seen_compact_parts:
@@ -362,7 +394,7 @@ class FrontierEngine:
                 merged = self._seen_parts[0]
                 for p in self._seen_parts[1:]:
                     merged = merged.unionByName(p)
-                self._seen_parts = [merged.localCheckpoint(eager=True)]
+                self._seen_parts = [_checkpoint_truncated(merged)]
             return
         bits = self.bloom_bits
         mode = self.seen_mode
@@ -427,7 +459,7 @@ class FrontierEngine:
         # eager: materialize the new state from the old checkpoint blocks
         # BEFORE dropping the old handle (ContextCleaner then reclaims the
         # old blocks). One bounded job per round: n_buckets rows.
-        self._seen_state = new_state.localCheckpoint(eager=True)
+        self._seen_state = _checkpoint_truncated(new_state)
 
     def _rank_politeness(self, frontier: DataFrame) -> DataFrame:
         """Per-host fetch-slot ranking (SURVEY §2.6): adds ``_rank``/``_slots``
@@ -671,8 +703,8 @@ class FrontierEngine:
             if self.state is not None:
                 self.state.commit_round("frontier", round_no, frontier,
                                         meta={"size": n_frontier})
-            out = self._run_round(chains, frontier, round_no, n_frontier) \
-                .localCheckpoint(eager=True)
+            out = _checkpoint_truncated(
+                self._run_round(chains, frontier, round_no, n_frontier))
             out_parts.append(out)
             self._pending_metrics.append(
                 out.filter(F.col("row_kind") == "metric")
@@ -952,7 +984,7 @@ class FrontierEngine:
                     fr = self._dedup_round(fr)
                 fr = self._apply_robots(fr)
                 fr = self._rank_politeness(fr)
-                ranked = fr.localCheckpoint(eager=True)
+                ranked = _checkpoint_truncated(fr)
                 if self.politeness:
                     admitted = ranked.filter(
                         F.col("_rank") <= F.col("_slots")).drop("_rank", "_slots")
@@ -1001,7 +1033,7 @@ class FrontierEngine:
                     .mapInPandas(crawl_udf, OUT_SCHEMA)
                 # ONE materialization per round: everything downstream (records,
                 # next frontier, metrics) reads the checkpointed blocks
-                out = out.localCheckpoint(eager=True)
+                out = _checkpoint_truncated(out)
                 phase_t["extract"] = round(_time.perf_counter() - t0, 2)
 
                 t0 = _time.perf_counter()

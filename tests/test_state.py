@@ -511,3 +511,39 @@ def test_cuckoo_filter_property_incremental_merge_sequence():
             assert cuckoo.contains(table, seen).all()
 
     run()
+
+
+def test_checkpoint_truncated_resets_catalyst_size_stats(spark):
+    """Regression: plain ``localCheckpoint`` PRESERVES the pre-checkpoint
+    plan's estimated ``sizeInBytes`` in the resulting LogicalRDD, and
+    Catalyst's default stats visitor multiplies child sizes for
+    multi-child nodes — so an iterative loop that checkpoints a join of
+    two previously-checkpointed frames compounds the estimate's
+    BigInteger bit-length exponentially per round (by round ~14 of a
+    real crawl the driver burned minutes per round inside
+    BigInteger.multiplyToomCook3 while executors idled).
+
+    ``_checkpoint_truncated`` rebuilds the DataFrame from the
+    checkpointed RDD, dropping the poisoned stats: the estimate must
+    stay bounded across rounds, while the plain variant demonstrably
+    grows past it."""
+    from osmospark.frontier.engine import _checkpoint_truncated
+
+    base = spark.range(64).withColumnRenamed("id", "k")
+
+    def bits(df):
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes()).bit_length()
+
+    plain = fixed = base
+    for _ in range(5):
+        plain = (plain.alias("a").join(plain.alias("b"), "k")
+                 .select("k").localCheckpoint(eager=True))
+        fixed = _checkpoint_truncated(
+            fixed.alias("a").join(fixed.alias("b"), "k").select("k"))
+
+    assert fixed.count() == plain.count() == 64  # same data either way
+    assert bits(fixed) <= 128, "stats must reset to a bounded default"
+    assert bits(plain) > bits(fixed), (
+        "hazard gone from Spark itself? plain localCheckpoint no longer "
+        "compounds stats - the helper may be removable")
