@@ -31,6 +31,15 @@ from osmospark.functions.textstats import (  # noqa: E402
     BPE_SPLIT_RE, STOPWORDS, fingerprints, lang_id, quality_scores,
     token_counts,
 )
+from osmospark.functions.curation import (  # noqa: E402
+    SAMPLE_MOD, decontaminate, repetition_scores, stratified_sample,
+)
+
+# shared constants so the Spark queries, the oracles and the tests agree
+DECON_N = 5                   # decontamination n-gram width
+DECON_BENCH_MOD = 97          # every 97th doc seeds the synthetic eval set
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.125,
+                    "es": 1.0, "zh": 0.0}
 
 DOC_HOST = "http://docs.local"
 ANN_QUERIES = [0, 1, 2, 3, 4]
@@ -768,6 +777,33 @@ def q_media_features(spark, sf_dir):
                         .alias("feat_sum"))
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition stats — map-only sorted-array folds
+    (functions/curation.py), no shuffle."""
+    return repetition_scores(_documents(spark, sf_dir))
+
+
+def _decon_benchmark(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic eval set: a 12-word snippet (words 5-16)
+    of every DECON_BENCH_MOD-th document — no external data."""
+    words = F.split(F.regexp_replace(
+        F.trim(F.lower("text")), r"\s+", " "), " ")
+    return (docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+            .select(F.concat_ws(" ", F.slice(words, 5, 12)).alias("text")))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: corpus docs sharing any
+    DECON_N-gram with the (broadcast) eval snippets."""
+    docs = _documents(spark, sf_dir)
+    return decontaminate(docs, _decon_benchmark(docs), n=DECON_N)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash downsampling (corpus mixing)."""
+    return stratified_sample(_documents(spark, sf_dir), SAMPLE_FRACTIONS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -821,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "events_sessionized": q_events_sessionized,
         "media_features": q_media_features,
+        "repetition_scores": q_repetition_scores,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -841,6 +880,15 @@ def _shingle_sql(norm=_NORM):
             f"list_slice({w}, i, i + 2), ' ')) ELSE [{norm}] END")
 
 
+def _grams_sql(n: int, norm=_NORM) -> str:
+    """Word n-grams with the same short-text fallback as
+    curation._word_grams (texts under n words → one pseudo-gram)."""
+    w = f"regexp_split_to_array({norm}, ' ')"
+    return (f"CASE WHEN len({w}) >= {n} THEN list_transform("
+            f"range(1, len({w}) - {n} + 2), i -> array_to_string("
+            f"list_slice({w}, i, i + {n} - 1), ' ')) ELSE [{norm}] END")
+
+
 def _minhash_sql(k: int) -> str:
     # mirrors osmospark.functions.dedup.minhash_signatures: md5 hex (15
     # chars = 60 bits) → bigint once per shingle, then double hashing
@@ -851,6 +899,10 @@ def _minhash_sql(k: int) -> str:
 
 _HS_SQL = ("list_transform(sh, s -> "
            "('0x' || substr(md5(s), 1, 15))::BIGINT)")
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_FRACTIONS.items()))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1603,5 +1655,62 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(feat, x -> (x::FLOAT)::DOUBLE),
                        (a, b) -> a + b), 4) AS feat_sum
             FROM s
+        """,
+        "repetition_scores": f"""
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS u
+              FROM documents),
+            lstat AS (
+              SELECT doc_id, sum(c * l) AS total,
+                     sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup
+              FROM (SELECT doc_id, count(*) AS c, length(u) AS l
+                    FROM lines GROUP BY doc_id, u) GROUP BY doc_id),
+            g2 AS (SELECT doc_id, unnest({_grams_sql(2)}) AS u
+                   FROM documents),
+            g2stat AS (
+              SELECT doc_id, sum(c * l) AS total, max(c * l) AS best
+              FROM (SELECT doc_id, count(*) AS c, length(u) AS l
+                    FROM g2 GROUP BY doc_id, u) GROUP BY doc_id),
+            g3 AS (SELECT doc_id, unnest({_grams_sql(3)}) AS u
+                   FROM documents),
+            g3stat AS (
+              SELECT doc_id, sum(c * l) AS total,
+                     sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup
+              FROM (SELECT doc_id, count(*) AS c, length(u) AS l
+                    FROM g3 GROUP BY doc_id, u) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(ls.total, 0) > 0
+                        THEN round(ls.dup::DOUBLE / ls.total, 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN coalesce(g2stat.total, 0) > 0
+                        THEN round(g2stat.best::DOUBLE / g2stat.total, 6)
+                        ELSE 0.0 END AS top2gram_frac,
+                   CASE WHEN coalesce(g3stat.total, 0) > 0
+                        THEN round(g3stat.dup::DOUBLE / g3stat.total, 6)
+                        ELSE 0.0 END AS dup3gram_frac
+            FROM documents d
+            LEFT JOIN lstat ls USING (doc_id)
+            LEFT JOIN g2stat USING (doc_id)
+            LEFT JOIN g3stat USING (doc_id)
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_grams_sql(DECON_N,
+                  f"array_to_string(list_slice("
+                  f"regexp_split_to_array({_NORM}, ' '), 5, 16), ' ')")})
+                  AS g
+              FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            docg AS (SELECT doc_id, unnest({_grams_sql(DECON_N)}) AS g
+                     FROM documents)
+            SELECT doc_id, count(DISTINCT g) AS n_hits
+            FROM docg JOIN bench USING (g)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang AS stratum FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % {SAMPLE_MOD}
+                  < CAST(trunc((CASE lang {_SAMPLE_CASE}
+                                ELSE 0.0 END) * {SAMPLE_MOD}) AS BIGINT)
         """,
     }

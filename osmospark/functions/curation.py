@@ -1,0 +1,166 @@
+"""Corpus curation operators a pretraining-data pipeline runs beyond
+dedup: repetition scoring (the Gopher rules), benchmark decontamination,
+and deterministic stratified downsampling.
+
+All three are built-in ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen; no Python in the hot path) with exact DuckDB oracles
+in ``__spark_entry__.py``:
+
+- ``repetition_scores`` — per-document duplicate-line / top-n-gram /
+  duplicate-n-gram character fractions (Rae et al., Gopher, §A1.1.2:
+  documents dominated by repeated lines or n-grams are low-quality
+  machine text). MAP-ONLY: every metric is computed per row with sorted
+  arrays + linear folds — no explode, no shuffle — so at 100 TB it
+  pipelines inside the scan like the other textstats.
+- ``decontaminate`` — flag documents sharing any word n-gram with a
+  benchmark/eval set (the standard n-gram-overlap contamination rule).
+  The benchmark side is tiny and broadcast; the corpus explodes grams
+  map-side into a broadcast-hash join, then one partial-agg shuffle on
+  doc_id.
+- ``stratified_sample`` — deterministic per-stratum hash sampling:
+  ``md5(doc_id)``'s first 8 hex chars modulo 1e6 against the stratum's
+  rate, so the SAME rows are kept on any engine, any partitioning, any
+  run — reproducible corpus mixes without storing a sample table.
+  Map-only (a filter), no RNG, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SAMPLE_MOD = 1_000_000
+
+
+def _norm_words(col):
+    return F.split(
+        F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "), " ")
+
+
+def _word_grams(col, n: int):
+    """n-word grams with the same short-text fallback as dedup._shingles:
+    texts under n words yield one pseudo-gram (the normalized text)."""
+    words = _norm_words(col)
+    m = F.size(words)
+    norm = F.concat_ws(" ", words)
+    return F.when(m >= n, F.transform(
+        F.sequence(F.lit(1), m - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )).otherwise(F.array(norm))
+
+
+def _dup_mass_frac(arr):
+    """Char-mass fraction of elements that occur more than once.
+
+    Sort, then an element belongs to a duplicate run iff it equals a
+    neighbor — O(W log W) per row, all inside codegen (the naive
+    count-per-distinct nested filter is O(W²) and would not survive
+    10k-word documents)."""
+    s = F.array_sort(arr)
+    m = F.size(s)
+    total = F.aggregate(s, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    # F.get is 0-indexed and NULL-safe at both ends (element_at raises on
+    # index 0 and, under ANSI, past the end); NULL comparisons fall to 0
+    dup = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.when(
+            (F.get(s, i - 1) == F.get(s, i - 2))
+            | (F.get(s, i - 1) == F.get(s, i)),
+            F.length(F.get(s, i - 1))).otherwise(F.lit(0)))
+    return F.when(total > 0, F.round(dup.cast("double") / total, 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def _top_mass_frac(arr):
+    """Char-mass fraction of the heaviest element value: max over
+    distinct values of count×length, via ONE linear fold over the sorted
+    array (runs are contiguous after sorting; each boundary closes a run
+    and scores it)."""
+    s = F.array_sort(arr)
+    total = F.aggregate(s, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"))
+    best = F.aggregate(
+        s, init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .cast("bigint").alias("run"),
+            F.when(x == acc["prev"], acc["best"]).otherwise(
+                F.greatest(acc["best"],
+                           acc["run"] * F.length(acc["prev"])))
+            .cast("bigint").alias("best")),
+        lambda acc: F.greatest(acc["best"],
+                               acc["run"] * F.length(acc["prev"])))
+    return F.when(total > 0, F.round(best.cast("double") / total, 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def repetition_scores(documents: DataFrame,
+                      top_n: int = 2, dup_n: int = 3) -> DataFrame:
+    """Gopher-style repetition stats per document:
+
+    - ``dup_line_frac``    — char fraction of lines occurring > once;
+    - ``top{top_n}gram_frac`` — char-mass fraction of the most repeated
+      word ``top_n``-gram (count × gram length over total gram mass);
+    - ``dup{dup_n}gram_frac`` — char-mass fraction of word
+      ``dup_n``-grams occurring > once.
+
+    A pipeline drops documents above thresholds (Gopher: e.g. dup-line
+    > 0.30, top-2-gram > 0.20). Zero shuffles: everything folds per row.
+    """
+    lines = F.split(F.col("text"), "\n")
+    return documents.select(
+        "doc_id",
+        _dup_mass_frac(lines).alias("dup_line_frac"),
+        _top_mass_frac(_word_grams(F.col("text"), top_n))
+        .alias(f"top{top_n}gram_frac"),
+        _dup_mass_frac(_word_grams(F.col("text"), dup_n))
+        .alias(f"dup{dup_n}gram_frac"),
+    )
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word ``n``-gram
+    with the benchmark set, with the count of distinct shared grams —
+    the rows a pipeline REMOVES before training so eval stays honest.
+
+    benchmark: any DataFrame with a ``text`` column (an eval set is
+    thousands of rows — broadcast side). The corpus side explodes grams
+    into a broadcast-hash semi-join (map-side, no corpus shuffle), then
+    one partial-agg shuffle on the surviving doc_ids only.
+    Output: (doc_id, n_hits), ordered."""
+    bench_grams = (benchmark
+                   .select(F.explode(_word_grams(F.col("text"), n))
+                           .alias("g"))
+                   .distinct())
+    doc_grams = documents.select(
+        "doc_id", F.explode(_word_grams(F.col("text"), n)).alias("g"))
+    return (doc_grams.join(F.broadcast(bench_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+def stratified_sample(documents: DataFrame,
+                      fractions: dict[str, float],
+                      key: str = "lang",
+                      default: float = 0.0) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff the first
+    8 hex chars of ``md5(doc_id)`` modulo 1e6 fall under the stratum's
+    rate. The keep decision depends only on doc_id — reproducible across
+    engines, partitionings and runs (how a pipeline pins a corpus mix,
+    e.g. {'en': 1.0, 'de': 0.25} without materializing a sample).
+    Map-only filter; Catalyst pushes it into the scan."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 8), 16, 10).cast("bigint") % SAMPLE_MOD
+    rate = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        rate = F.when(F.col(key) == k, F.lit(float(v))).otherwise(rate)
+    return (documents
+            .filter(bucket < (rate * SAMPLE_MOD).cast("bigint"))
+            .select("doc_id", F.col(key).alias("stratum")))

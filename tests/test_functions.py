@@ -368,3 +368,61 @@ def test_embedding_near_dup_cap_bounds_degenerate_cluster(spark):
     c = {(r.vec_a, r.vec_b) for r in embedding_near_duplicates(
         small, threshold=0.9).collect()}
     assert u == c
+
+
+def test_repetition_scores_planted(spark):
+    """Gopher repetition stats: exact fractions on planted documents.
+    doc 1: 'x y\nx y\nz' — 'x y' (3 chars) twice + 'z' → dup 6/7.
+    doc 2: 'a b a b a b' — five 2-grams, 'a b' thrice (9 chars) of 15
+    total gram chars; all four 3-grams are 'a b a'/'b a b' repeats.
+    doc 3: all-distinct words → no duplicate mass anywhere."""
+    from osmospark.functions.curation import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y\nx y\nz"), (2, "a b a b a b"), (3, "p q r s t")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert got[1].dup_line_frac == round(6 / 7, 6)
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].top2gram_frac == round(9 / 15, 6)
+    assert got[2].dup3gram_frac == 1.0
+    assert got[3].dup_line_frac == 0.0
+    assert got[3].dup3gram_frac == 0.0
+    # a distinct doc's top 2-gram still has mass: count 1 × len
+    assert got[3].top2gram_frac == round(3 / (4 * 3), 6)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc embedding a benchmark 5-gram is flagged with the right hit
+    count; clean docs are absent."""
+    from osmospark.functions.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "intro text the quick brown fox jumps over and more"),
+         (2, "completely different words with no overlap at all here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in decontaminate(docs, bench).collect()}
+    # bench text has two 5-grams; doc 1 contains both
+    assert got == {1: 2}
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    """Hash sampling: repeatable, stratum-faithful, rate ≈ requested."""
+    from osmospark.functions.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string")
+    fr = {"en": 0.25, "de": 1.0}
+    a = {(r.doc_id, r.stratum) for r in stratified_sample(df, fr).collect()}
+    b = {(r.doc_id, r.stratum) for r in stratified_sample(df, fr).collect()}
+    assert a == b                                  # deterministic
+    de = {d for d, s in a if s == "de"}
+    en = {d for d, s in a if s == "en"}
+    assert len(de) == 1000                         # rate 1.0 keeps all
+    assert 150 < len(en) < 350                     # ≈0.25 of 1000
+    # unknown stratum defaults to dropped
+    c = stratified_sample(df, {"en": 0.25}).collect()
+    assert all(r.stratum == "en" for r in c)
