@@ -32,7 +32,8 @@ from osmospark.functions.textstats import (  # noqa: E402
     token_counts,
 )
 from osmospark.functions.curation import (  # noqa: E402
-    SAMPLE_MOD, decontaminate, repetition_scores, stratified_sample,
+    SAMPLE_MOD, decontaminate, pack_sequences, repetition_scores,
+    stratified_sample,
 )
 
 # shared constants so the Spark queries, the oracles and the tests agree
@@ -804,6 +805,11 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_documents(spark, sf_dir), SAMPLE_FRACTIONS)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk context-window packing (one sharded window)."""
+    return pack_sequences(_documents(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -860,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1712,5 +1719,24 @@ def oracle_sql() -> dict[str, str]:
                   % {SAMPLE_MOD}
                   < CAST(trunc((CASE lang {_SAMPLE_CASE}
                                 ELSE 0.0 END) * {SAMPLE_MOD}) AS BIGINT)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 16 AS shard,
+                     len({_WORDS})::INT AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                         AS "offset"
+              FROM t)
+            SELECT doc_id, shard, n_tokens, "offset",
+                   CAST(floor("offset" / 256.0) AS BIGINT) AS start_pack,
+                   CAST(floor(("offset" + n_tokens - 1) / 256.0) AS BIGINT)
+                       AS end_pack,
+                   "offset" % 256 AS pack_offset
+            FROM o
         """,
     }

@@ -146,6 +146,41 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .orderBy("doc_id"))
 
 
+def pack_sequences(documents: DataFrame, context_len: int = 256,
+                   n_shards: int = 16) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between curation and
+    training: documents (ordered by doc_id within a shard) concatenate
+    into one token stream per shard, chunked into fixed ``context_len``
+    windows. Output per document: its shard, token count, stream offset,
+    the first/last pack (window) it lands in, and its offset inside the
+    first pack — everything a loader needs to materialize packed
+    examples without re-tokenizing.
+
+    Plan shape: ONE window (running sum) partitioned by shard — shards
+    bound the per-task state so the packing parallelizes; at 100 TB
+    shards map to input files/buckets and the window never sees more
+    than a shard. Documents may span pack boundaries (start_pack <
+    end_pack) exactly like real concat-then-chunk pipelines."""
+    from pyspark.sql import Window
+
+    toks = F.size(_norm_words(F.col("text")))
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint")
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = documents.select("doc_id", shard.alias("shard"),
+                            toks.alias("n_tokens"))
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (base
+            .withColumn("offset", off)
+            .withColumn("start_pack",
+                        F.floor(F.col("offset") / context_len))
+            .withColumn("end_pack",
+                        F.floor((F.col("offset") + F.col("n_tokens") - 1)
+                                / context_len))
+            .withColumn("pack_offset",
+                        F.col("offset") % context_len))
+
+
 def stratified_sample(documents: DataFrame,
                       fractions: dict[str, float],
                       key: str = "lang",

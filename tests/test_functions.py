@@ -426,3 +426,26 @@ def test_stratified_sample_deterministic_and_rate(spark):
     # unknown stratum defaults to dropped
     c = stratified_sample(df, {"en": 0.25}).collect()
     assert all(r.stratum == "en" for r in c)
+
+
+def test_pack_sequences_boundaries(spark):
+    """Concat-and-chunk packing: offsets are per-shard running sums and
+    boundary-spanning docs report the packs they straddle."""
+    from osmospark.functions.curation import pack_sequences
+
+    # one shard (n_shards=1): docs of 100/100/100 tokens, context 256:
+    # doc0 [0,100) pack 0; doc1 [100,200) pack 0; doc2 [200,300) packs 0-1
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100))) for i in range(3)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           pack_sequences(docs, context_len=256, n_shards=1).collect()}
+    assert (got[0].offset, got[0].start_pack, got[0].end_pack) == (0, 0, 0)
+    assert (got[1].offset, got[1].pack_offset) == (100, 100)
+    assert (got[2].start_pack, got[2].end_pack) == (0, 1)
+    # sharding: offsets restart per shard, shard = doc_id % n_shards
+    sharded = {r.doc_id: r for r in
+               pack_sequences(docs, context_len=256, n_shards=2).collect()}
+    assert sharded[0].shard == 0 and sharded[2].shard == 0
+    assert sharded[1].shard == 1 and sharded[1].offset == 0
+    assert sharded[2].offset == 100
