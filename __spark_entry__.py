@@ -810,6 +810,28 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_documents(spark, sf_dir))
 
 
+def q_link_rank(spark, sf_dir):
+    """Integer PageRank over a deterministic link graph: each doc links
+    to (id+1)%N (a ring) and (id²+1)%N (non-bijective — quadratic
+    residues collide, so in-degrees and therefore ranks genuinely
+    spread; the doc_pages (id·7+3)%N map is a bijection and would give
+    every node identical rank). The frontier-priority input for
+    score-ordered crawling; oracle = the same graph through unrolled
+    integer-PageRank CTEs."""
+    from osmospark.functions.linkgraph import link_rank
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    ).union(docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n))
+        .alias("dst"),
+    ))
+    return link_rank(edges, iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -867,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "link_rank": q_link_rank,
     }
 
 
@@ -910,6 +933,38 @@ _HS_SQL = ("list_transform(sh, s -> "
 
 _SAMPLE_CASE = " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_FRACTIONS.items()))
+
+
+def _link_rank_sql(iters: int = 3, damping: int = 85,
+                   unit: int = 1_000_000) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring
+    linkgraph.link_rank over the doc_pages arithmetic link graph
+    ((id+1)%N and (id*7+3)%N). All-bigint: '//' here and Spark's 'div'
+    agree on the positive operands involved."""
+    base = unit * (100 - damping) // 100
+    ctes = [
+        "nmax AS (SELECT max(doc_id) + 1 AS n FROM documents)",
+        ("edges AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst "
+         "FROM documents, nmax UNION ALL "
+         "SELECT doc_id, (doc_id * doc_id + 1) % n "
+         "FROM documents, nmax)"),
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        ("nodes AS (SELECT DISTINCT src AS id FROM edges "
+         "UNION SELECT DISTINCT dst FROM edges)"),
+        f"r0 AS (SELECT id, {unit}::BIGINT AS u FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nd.id, CAST({base} + ({damping} * "
+            f"coalesce(fl.f, 0)) // 100 AS BIGINT) AS u "
+            f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst, sum(r.u // deg.d) AS f "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst) fl "
+            f"ON fl.dst = nd.id)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT id AS node_id, u AS rank_u FROM r{iters}"
+            + " ORDER BY node_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1739,4 +1794,5 @@ def oracle_sql() -> dict[str, str]:
                    "offset" % 256 AS pack_offset
             FROM o
         """,
+        "link_rank": _link_rank_sql(),
     }

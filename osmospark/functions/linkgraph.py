@@ -1,0 +1,58 @@
+"""Link-graph scoring over a crawled corpus — the classic frontier
+prioritizer: pages earning link mass get fetch slots first (the
+priority-queue input the north rule's scheduler consumes; complements
+the reference's depth-first ordering, which stays the default).
+
+``link_rank`` is PageRank with INTEGER arithmetic: ranks are micro-units
+(1e6 per node at start) and every step is bigint division/addition, so
+the result is bit-exactly reproducible on any engine and any partition
+order — no floating-point summation-order drift between Spark and the
+DuckDB oracle. Per iteration: one join of edges to the current ranks on
+``src`` plus one ``groupBy(dst)`` shuffle with map-side partial sums.
+Dangling mass (nodes without out-links) is dropped, the standard
+simplification; the damping base re-injects rank floor every step.
+
+At 100 TB the edge table is the big side: it shuffles ONCE per iteration
+on its natural keys, the rank table is nodes-sized, and iterations are
+few (3-5 for crawl prioritization) so lineage stays shallow; for deeper
+runs checkpoint per iteration exactly like ``pipeline.dup_clusters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_UNIT = 1_000_000
+DAMPING_PCT = 85
+
+
+def link_rank(edges: DataFrame, iters: int = 3,
+              damping_pct: int = DAMPING_PCT,
+              unit: int = RANK_UNIT) -> DataFrame:
+    """Integer PageRank over (src, dst) edges.
+
+    Output: (node_id, rank_u) — rank in micro-units, ordered by node.
+    new_rank = unit·(100−damping)/100 + (damping · Σ in(u//out_deg)) div 100,
+    all bigint (div truncates; every value is positive so Spark's ``div``
+    and DuckDB's ``//`` agree)."""
+    src = F.col("src").cast("bigint")
+    dst = F.col("dst").cast("bigint")
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .union(e.select(F.col("dst").alias("node_id")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    base = unit * (100 - damping_pct) // 100
+    r = nodes.withColumn("rank_u", F.lit(unit).cast("bigint"))
+    for _ in range(iters):
+        contrib = (e.join(deg, "src")
+                   .join(r.withColumnRenamed("node_id", "src"), "src")
+                   .select("dst", F.expr("rank_u div out_deg").alias("c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("flow"))
+        r = (nodes.join(inflow,
+                        nodes["node_id"] == inflow["dst"], "left")
+             .select("node_id",
+                     (F.lit(base) + F.expr(
+                         f"({damping_pct} * coalesce(flow, 0L)) div 100"))
+                     .cast("bigint").alias("rank_u")))
+    return r.orderBy("node_id")

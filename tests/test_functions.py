@@ -449,3 +449,23 @@ def test_pack_sequences_boundaries(spark):
     assert sharded[0].shard == 0 and sharded[2].shard == 0
     assert sharded[1].shard == 1 and sharded[1].offset == 0
     assert sharded[2].offset == 100
+
+
+def test_link_rank_integer_exact_on_planted_hub(spark):
+    """Integer PageRank: two leaves pointing at a hub. Hand-computed
+    (unit 1e6, damping 85%, base 150000):
+      iter1: hub = 150000 + 85%·(1e6 + 1e6)  = 1850000, leaves 150000
+      iter2: hub = 150000 + 85%·(2 · 150000) =  405000 (leaves decayed)
+    Exact equality — no float tolerance anywhere."""
+    from osmospark.functions.linkgraph import link_rank
+
+    edges = spark.createDataFrame([(1, 0), (2, 0)], "src long, dst long")
+    r1 = {r.node_id: r.rank_u for r in link_rank(edges, iters=1).collect()}
+    assert r1 == {0: 1850000, 1: 150000, 2: 150000}
+    r2 = {r.node_id: r.rank_u for r in link_rank(edges, iters=2).collect()}
+    assert r2 == {0: 405000, 1: 150000, 2: 150000}
+    # hubs must outrank leaves on a skewed graph regardless of iters
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 20)] + [(0, 1)], "src long, dst long")
+    r = {x.node_id: x.rank_u for x in link_rank(star, iters=3).collect()}
+    assert r[0] > r[1] > r[2] == r[19]
