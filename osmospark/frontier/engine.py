@@ -127,6 +127,7 @@ class FrontierEngine:
         dedup_via: str = "window",
         follow_redirects: bool = True,
         max_redirects: int = 5,
+        priority_df: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -221,6 +222,20 @@ class FrontierEngine:
         self._redirect_closure_df: DataFrame | None = None
         self._redirects_small = False
         self.max_redirects = max_redirects
+        # optional score-ordered admission (north rule's "priority
+        # queue"): (url_hash, priority) rows — e.g. linkgraph.link_rank
+        # over a prior crawl's edges, keyed by xxhash64(url). Higher
+        # priority wins fetch slots first; unscored URLs keep the
+        # default DFS order among themselves (priority NULL sorts last).
+        # Order-only on exhaustive crawls (same reachable closure —
+        # tested); under a tight max_depth the visited set may shift,
+        # as with any crawl scheduler, because admission order changes
+        # the depth at which links are discovered.
+        self.priority_df = (
+            priority_df.select("url_hash",
+                               F.col("priority").cast("bigint")
+                               .alias("priority"))
+            if priority_df is not None else None)
 
     def pause(self) -> None:
         """Request a pause at the next round boundary (resume via
@@ -492,6 +507,14 @@ class FrontierEngine:
         order = [F.col("depth").desc(),
                  F.col("sort_index").asc_nulls_last(),
                  F.col("url").asc()]
+        if self.priority_df is not None:
+            # score-ordered admission: scored URLs outrank unscored
+            # (NULL last), score breaks before the DFS keys. The join is
+            # a plain equi-join on url_hash — at scale both sides are
+            # url-keyed tables and AQE picks broadcast when the score
+            # table is small.
+            frontier = frontier.join(self.priority_df, "url_hash", "left")
+            order = [F.col("priority").desc_nulls_last(), *order]
         S = self.politeness_salt_buckets
         if S > 1:
             # Two-phase admission against hot-host skew (SURVEY §7.3): a

@@ -547,3 +547,59 @@ def test_checkpoint_truncated_resets_catalyst_size_stats(spark):
     assert bits(plain) > bits(fixed), (
         "hazard gone from Spark itself? plain localCheckpoint no longer "
         "compounds stats - the helper may be removable")
+
+
+def test_priority_df_orders_fetch_slot_admission(spark):
+    """Score-ordered admission: with one politeness slot on one host,
+    the first round must fetch the HIGHEST-priority seed instead of the
+    default DFS (url-lexicographic) winner; without a priority table the
+    lexicographic seed wins. Unscored URLs keep DFS order (NULL last)."""
+    from pyspark.sql import functions as F
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+    from osmospark.urlnorm import xxhash64_py
+
+    pages = synth_corpus_df(spark, 60, n_hosts=1, weight=1).cache()
+    pages.count()
+    seeds = [f"http://host0000.test/p/{i}" for i in (3, 5, 7)]
+
+    def first_round_urls(prio):
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=1, priority_df=prio)
+        rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                               max_depth=1, max_rounds=1)
+        return {r.url for r in rec.select("url").collect()}
+
+    assert first_round_urls(None) == {seeds[0]}  # DFS: /p/3 first
+    prio = spark.createDataFrame(
+        [(xxhash64_py(seeds[2].encode()), 10)],
+        "url_hash long, priority long")
+    assert first_round_urls(prio) == {seeds[2]}  # scored /p/7 jumps queue
+
+
+def test_priority_df_preserves_exhaustive_closure(spark):
+    """Priority reorders admission; on an exhaustive crawl (depth bound
+    above the graph diameter) the reachable closure must be IDENTICAL
+    with and without a score table. (Under a tight max_depth the sets
+    may legitimately differ — admission order changes the depth at which
+    links are discovered, exactly like any crawl scheduler.)"""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+    from osmospark.urlnorm import xxhash64_py
+
+    pages = synth_corpus_df(spark, 60, n_hosts=1, weight=1).cache()
+    pages.count()
+    seeds = [f"http://host0000.test/p/{i}" for i in (3, 5, 7)]
+    prio = spark.createDataFrame(
+        [(xxhash64_py(seeds[2].encode()), 10)],
+        "url_hash long, priority long")
+
+    def closure(p):
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=2, priority_df=p)
+        rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                               max_depth=60, max_rounds=60)
+        return {r.url for r in rec.select("url").collect()}
+
+    a, b = closure(None), closure(prio)
+    assert a == b and len(a) > 50
