@@ -70,6 +70,20 @@ def parse_args(argv):
                         "redirect_to column")
     p.add_argument("--out", default=None,
                    help="optional parquet path for extracted records")
+    p.add_argument("--cache-corpus", choices=["on", "off"], default="on",
+                   help="persist the pages table before crawling (every "
+                        "round's fetch join re-scans it otherwise). 'on' "
+                        "uses MEMORY_AND_DISK so corpora larger than "
+                        "cluster memory spill instead of thrashing; pass "
+                        "'off' only when the corpus is re-generated "
+                        "cheaper than it is stored")
+    p.add_argument("--aqe", choices=["on", "off"], default="on",
+                   help="adaptive query execution: 'on' (real-cluster "
+                        "default) or 'off' (benchmark discipline — AQE's "
+                        "per-stage barriers cost ~0.5s/round on "
+                        "many-small-job crawl loops; the engine "
+                        "right-sizes shuffle partitions per round "
+                        "itself)")
     return p.parse_args(argv)
 
 
@@ -79,7 +93,8 @@ def main(argv=None):
     from pyspark.sql import SparkSession
 
     spark = (SparkSession.builder.appName("osmospark-crawl")
-             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.enabled",
+                     "true" if args.aqe == "on" else "false")
              .getOrCreate())
 
     from osmospark.corpus import pages_rows, seed_urls, synth_corpus
@@ -109,6 +124,10 @@ def main(argv=None):
             "url string, warc_ts timestamp, html binary, text string, "
             "lang string")
         seeds = args.seeds or seed_urls(raw)
+
+    if args.cache_corpus == "on":
+        from pyspark import StorageLevel
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
 
     state = TableIO(args.state, spark) if args.state else None
     start_round = 0
