@@ -70,6 +70,14 @@ def parse_args(argv):
                         "redirect_to column")
     p.add_argument("--out", default=None,
                    help="optional parquet path for extracted records")
+    p.add_argument("--broadcast-threshold", type=int, default=100_000,
+                   help="frontier rows under which the fetch join "
+                        "broadcasts the admitted side")
+    p.add_argument("--warm", action="store_true",
+                   help="run one tiny crawl round before the timed crawl "
+                        "so reported throughput is steady-state (Python "
+                        "worker fork + JVM codegen excluded) — the same "
+                        "discipline bench.py uses")
     p.add_argument("--cache-corpus", choices=["on", "off"], default="on",
                    help="persist the pages table before crawling (every "
                         "round's fetch join re-scans it otherwise). 'on' "
@@ -127,7 +135,15 @@ def main(argv=None):
 
     if args.cache_corpus == "on":
         from pyspark import StorageLevel
-        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+        # cache ONLY the columns the engine consumes: on a real
+        # Common-Crawl pages table (url, warc_ts, html, text, lang) the
+        # text column roughly doubles the bytes every round's fetch join
+        # streams from cache; the crawl reads url+html (+ response
+        # metadata / redirect edges when present)
+        keep = [c for c in ("url", "html", "page_status", "status",
+                            "content_type", "redirect_to")
+                if c in pages.columns]
+        pages = pages.select(*keep).persist(StorageLevel.MEMORY_AND_DISK)
 
     state = TableIO(args.state, spark) if args.state else None
     start_round = 0
@@ -150,7 +166,15 @@ def main(argv=None):
         seen_mode=args.seen_mode,
         bloom_buckets=args.seen_buckets,
         robots_df=robots_df,
+        broadcast_threshold=args.broadcast_threshold,
         max_redirects=args.max_redirects)
+
+    if args.warm:
+        warm = pages.sample(False, 0.02, seed=1)
+        FrontierEngine(spark, warm, dedup=True, politeness=args.politeness) \
+            .run_crawl(seeds[:4] if seeds else [], args.follow,
+                       extract_spec=json.loads(args.extract),
+                       max_depth=0, max_rounds=1)
 
     if start_round > 0:
         # resume: reload seen-set and continue from the committed frontier
