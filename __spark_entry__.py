@@ -32,8 +32,8 @@ from osmospark.functions.textstats import (  # noqa: E402
     token_counts,
 )
 from osmospark.functions.curation import (  # noqa: E402
-    SAMPLE_MOD, decontaminate, pack_sequences, repetition_scores,
-    stratified_sample,
+    PII_PATTERNS, SAMPLE_MOD, decontaminate, pack_sequences,
+    repetition_scores, scrub_pii, stratified_sample,
 )
 
 # shared constants so the Spark queries, the oracles and the tests agree
@@ -810,6 +810,20 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_documents(spark, sf_dir))
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction over the corpus with DETERMINISTIC planted PII (the
+    raw word-soup corpus has none): each doc gains an email and a
+    phone derived from its doc_id, the same augmentation the oracle
+    applies, so redactions demonstrably fire (2 per doc)."""
+    docs = _documents(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or call +1 555-00"), F.col("doc_id"),
+                 F.lit(" now")).alias("text"))
+    return scrub_pii(aug)
+
+
 def q_link_rank(spark, sf_dir):
     """Integer PageRank over a deterministic link graph: each doc links
     to (id+1)%N (a ring) and (id²+1)%N (non-bijective — quadratic
@@ -890,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "link_rank": q_link_rank,
+        "scrub_pii": q_scrub_pii,
     }
 
 
@@ -933,6 +948,27 @@ _HS_SQL = ("list_transform(sh, s -> "
 
 _SAMPLE_CASE = " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_FRACTIONS.items()))
+
+
+def _scrub_pii_sql() -> str:
+    """Mirrors curation.scrub_pii over the SAME doc_id-derived planted
+    PII: sequential CTEs apply each pattern's count-then-replace in
+    PII_PATTERNS order (counts run against the partially-scrubbed text
+    exactly like the Spark chain)."""
+    ctes = ["aug AS (SELECT doc_id, text || ' contact user' || doc_id"
+            " || '@example.com or call +1 555-00' || doc_id || ' now'"
+            " AS t, 0 AS n FROM documents)"]
+    prev = "aug"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        esc = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{esc}', '{repl}', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{esc}')) AS n FROM {prev})")
+        prev = f"s{i}"
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT doc_id, t AS scrubbed, n::INT AS n_redacted"
+            f" FROM {prev}")
 
 
 def _link_rank_sql(iters: int = 3, damping: int = 85,
@@ -1795,4 +1831,5 @@ def oracle_sql() -> dict[str, str]:
             FROM o
         """,
         "link_rank": _link_rank_sql(),
+        "scrub_pii": _scrub_pii_sql(),
     }

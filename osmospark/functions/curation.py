@@ -146,6 +146,44 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .orderBy("doc_id"))
 
 
+# PII patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret IDENTICALLY: explicit char classes, bounded repetition, no
+# backrefs/lookaround. Applied in list order: email first (its digits
+# must not half-match as a phone), then ip, then bare digit runs as IDs,
+# then phone LAST — the phone pattern also matches any ≥9-digit run, so
+# putting it earlier would make the id pattern dead code.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("id", r"[0-9]{9,}", "<ID>"),
+    ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass a pretraining pipeline runs
+    before anything trains: emails, IPv4s, phone-shaped digit runs and
+    long numeric IDs replaced by typed placeholder tokens, with a
+    per-document redaction count.
+
+    MAP-ONLY: a chain of ``regexp_count`` + ``regexp_replace`` — no
+    Python, no shuffle, pipelines inside the scan. Patterns stay in the
+    Java∩RE2 common syntax so the DuckDB oracle scrubs bit-identically.
+    """
+    col = F.col(text_col)
+    n = F.lit(0)
+    scrubbed = col
+    for _, pat, repl in PII_PATTERNS:
+        n = n + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n.cast("int").alias("n_redacted"),
+    )
+
+
 def pack_sequences(documents: DataFrame, context_len: int = 256,
                    n_shards: int = 16) -> DataFrame:
     """Concat-and-chunk sequence packing — the step between curation and

@@ -469,3 +469,25 @@ def test_link_rank_integer_exact_on_planted_hub(spark):
         [(i, 0) for i in range(1, 20)] + [(0, 1)], "src long, dst long")
     r = {x.node_id: x.rank_u for x in link_rank(star, iters=3).collect()}
     assert r[0] > r[1] > r[2] == r[19]
+
+
+def test_scrub_pii_planted(spark):
+    """Each PII class redacts with its typed token; clean text is
+    untouched; counts reflect every hit."""
+    from osmospark.functions.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test-host.org or b@x.io today"),
+         (2, "server at 10.0.255.7 port open"),
+         (3, "call +44 20 7946-0958 soon"),
+         (4, "order 123456789012 shipped"),
+         (5, "perfectly clean text with no identifiers")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].scrubbed == "mail <EMAIL> or <EMAIL> today"
+    assert got[1].n_redacted == 2
+    assert got[2].scrubbed == "server at <IP> port open"
+    assert got[3].scrubbed == "call <PHONE> soon"
+    assert got[4].scrubbed == "order <ID> shipped"
+    assert got[5].scrubbed == df.collect()[4].text
+    assert got[5].n_redacted == 0
