@@ -70,6 +70,14 @@ def parse_args(argv):
                         "redirect_to column")
     p.add_argument("--out", default=None,
                    help="optional parquet path for extracted records")
+    p.add_argument("--corpus-partitions", type=int, default=128,
+                   help="repartition the cached corpus to this many "
+                        "partitions (0 = leave the scan's own splits). "
+                        "A ~1 GB corpus parquet reads as ~8 128MB splits; "
+                        "cached at that granularity every round's "
+                        "fetch-join+extract stage runs 8 straggler-bound "
+                        "tasks no matter how many cores exist — measured "
+                        "3x skew on a 27k-page round")
     p.add_argument("--broadcast-threshold", type=int, default=100_000,
                    help="frontier rows under which the fetch join "
                         "broadcasts the admitted side")
@@ -143,7 +151,10 @@ def main(argv=None):
         keep = [c for c in ("url", "html", "page_status", "status",
                             "content_type", "redirect_to")
                 if c in pages.columns]
-        pages = pages.select(*keep).persist(StorageLevel.MEMORY_AND_DISK)
+        pages = pages.select(*keep)
+        if args.corpus_partitions:
+            pages = pages.repartition(args.corpus_partitions)
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
 
     state = TableIO(args.state, spark) if args.state else None
     start_round = 0
