@@ -27,6 +27,7 @@ Two execution modes:
 from __future__ import annotations
 
 import json
+import logging
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -148,6 +149,24 @@ class FrontierEngine:
             page_cols.append(F.col("content_type"))
         self.pages = pages_df.withColumn(
             "url_hash", F.xxhash64("url")).select(*page_cols)
+        # cache/scan granularity bounds every round's fetch-join+extract
+        # parallelism: a ~1 GB parquet reads as ~8 x 128 MB splits, and at
+        # that width the extract stage runs 8 straggler-skewed tasks no
+        # matter how many cores exist (event-log-measured 3x skew, fake
+        # 0.5 scaling). Warn rather than auto-repartition — the shuffle
+        # is the caller's cost decision (crawl_job defaults it on).
+        try:
+            n_parts = self.pages.rdd.getNumPartitions()
+            cores = spark.sparkContext.defaultParallelism
+            if n_parts < cores * 2:
+                logging.getLogger("osmospark.frontier").warning(
+                    "pages table has %d partitions for %d cores; the "
+                    "per-round extract stage is capped at %d tasks and "
+                    "skew-bound — repartition(%d) the corpus before "
+                    "caching (see crawl_job --corpus-partitions)",
+                    n_parts, cores, n_parts, cores * 4)
+        except Exception:  # pragma: no cover — plan→rdd bridge quirk
+            pass
         self.state = state
         self.concurrency = concurrency
         self.politeness = politeness

@@ -603,3 +603,19 @@ def test_priority_df_preserves_exhaustive_closure(spark):
 
     a, b = closure(None), closure(prio)
     assert a == b and len(a) > 50
+
+
+def test_engine_warns_on_underpartitioned_pages(spark, caplog):
+    """A pages table with fewer partitions than 2x cores caps the
+    per-round extract stage's parallelism (the cache-granularity
+    hazard); the engine must say so at construction."""
+    import logging as _logging
+    from osmospark.frontier import FrontierEngine
+
+    pages = spark.createDataFrame(
+        [("http://h/p", None, b"<div>x</div>", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").coalesce(1)
+    with caplog.at_level(_logging.WARNING, logger="osmospark.frontier"):
+        FrontierEngine(spark, pages)
+    assert any("repartition" in r.message for r in caplog.records)
