@@ -33,7 +33,7 @@ from osmospark.functions.textstats import (  # noqa: E402
 )
 from osmospark.functions.curation import (  # noqa: E402
     PII_PATTERNS, SAMPLE_MOD, decontaminate, pack_sequences,
-    repetition_scores, scrub_pii, stratified_sample,
+    repetition_scores, scrub_pii, stratified_sample, vocab_stats,
 )
 
 # shared constants so the Spark queries, the oracles and the tests agree
@@ -810,6 +810,12 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_documents(spark, sf_dir))
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary counts + doc frequency (tokenizer-training
+    input); one word-keyed aggregation."""
+    return vocab_stats(_documents(spark, sf_dir))
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII redaction over the corpus with DETERMINISTIC planted PII (the
     raw word-soup corpus has none): each doc gains an email and a
@@ -905,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "link_rank": q_link_rank,
         "scrub_pii": q_scrub_pii,
+        "vocab_stats": q_vocab_stats,
     }
 
 
@@ -1832,4 +1839,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_rank": _link_rank_sql(),
         "scrub_pii": _scrub_pii_sql(),
+        "vocab_stats": f"""
+            SELECT u AS word, count(*) AS count,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM (SELECT doc_id, unnest({_WORDS}) AS u FROM documents)
+            GROUP BY u HAVING count(*) >= 2
+            ORDER BY count(*) DESC, u
+        """,
     }

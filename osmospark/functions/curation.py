@@ -146,6 +146,26 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .orderBy("doc_id"))
 
 
+def vocab_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary statistics — the input a tokenizer-training
+    (BPE/unigram) job consumes: per normalized word, total occurrences
+    and document frequency, thresholded at ``min_count``.
+
+    Scale shape: explode → ONE logical aggregation on the word key;
+    count(*) partial-aggregates map-side, count(distinct doc_id) runs
+    as Spark's standard two-phase distinct expansion — both shuffle
+    only (word[, doc_id]) pairs, never text. Output ordered by count
+    desc then word for a stable cross-engine comparison."""
+    ex = documents.select("doc_id",
+                          F.explode(_norm_words(F.col("text"))).alias("w"))
+    return (ex.groupBy("w")
+            .agg(F.count("*").alias("count"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .filter(F.col("count") >= min_count)
+            .orderBy(F.col("count").desc(), F.col("w").asc())
+            .select(F.col("w").alias("word"), "count", "doc_freq"))
+
+
 # PII patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
 # interpret IDENTICALLY: explicit char classes, bounded repetition, no
 # backrefs/lookaround. Applied in list order: email first (its digits

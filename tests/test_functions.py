@@ -491,3 +491,18 @@ def test_scrub_pii_planted(spark):
     assert got[4].scrubbed == "order <ID> shipped"
     assert got[5].scrubbed == df.collect()[4].text
     assert got[5].n_redacted == 0
+
+
+def test_vocab_stats_counts_and_threshold(spark):
+    from osmospark.functions.curation import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c C"), (3, "rare")],
+        "doc_id long, text string")
+    rows = {r.word: (r["count"], r.doc_freq)
+            for r in vocab_stats(df, min_count=2).collect()}
+    # 'a' appears 3x across 2 docs; 'c' twice (case-folded) in one doc;
+    # 'b' and 'rare' fall under the threshold
+    assert rows == {"a": (3, 2), "c": (2, 1)}
+    ordered = [r.word for r in vocab_stats(df, min_count=1).collect()]
+    assert ordered[0] == "a"      # count-desc, then word-asc
