@@ -32,8 +32,9 @@ from osmospark.functions.textstats import (  # noqa: E402
     token_counts,
 )
 from osmospark.functions.curation import (  # noqa: E402
-    PII_PATTERNS, SAMPLE_MOD, decontaminate, pack_sequences,
-    repetition_scores, scrub_pii, stratified_sample, vocab_stats,
+    PACK_DOCS_PER_SHARD, PACK_MIN_SHARDS, PII_PATTERNS, SAMPLE_MOD,
+    decontaminate, pack_sequences, repetition_scores, scrub_pii,
+    stratified_sample, vocab_stats,
 )
 
 # shared constants so the Spark queries, the oracles and the tests agree
@@ -1819,8 +1820,16 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 0.0 END) * {SAMPLE_MOD}) AS BIGINT)
         """,
         "pack_sequences": f"""
-            WITH t AS (
-              SELECT doc_id, doc_id % 16 AS shard,
+            -- shard count mirrors curation.pack_sequences' data-derived
+            -- formula: max(16, ceil(n_docs / 4096)) with shard = doc_id
+            -- mod n_shards (deterministic on any engine)
+            WITH ns AS (
+              SELECT greatest({PACK_MIN_SHARDS}, CAST(ceil(
+                       count(*) / {PACK_DOCS_PER_SHARD}.0) AS BIGINT))
+                     AS n
+              FROM documents),
+            t AS (
+              SELECT doc_id, doc_id % (SELECT n FROM ns) AS shard,
                      len({_WORDS})::INT AS n_tokens
               FROM documents),
             o AS (

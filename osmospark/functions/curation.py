@@ -204,8 +204,13 @@ def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PACK_MIN_SHARDS = 16
+PACK_DOCS_PER_SHARD = 4096
+
+
 def pack_sequences(documents: DataFrame, context_len: int = 256,
-                   n_shards: int = 16) -> DataFrame:
+                   n_shards: int | None = None,
+                   docs_per_shard: int = PACK_DOCS_PER_SHARD) -> DataFrame:
     """Concat-and-chunk sequence packing — the step between curation and
     training: documents (ordered by doc_id within a shard) concatenate
     into one token stream per shard, chunked into fixed ``context_len``
@@ -215,12 +220,24 @@ def pack_sequences(documents: DataFrame, context_len: int = 256,
     examples without re-tokenizing.
 
     Plan shape: ONE window (running sum) partitioned by shard — shards
-    bound the per-task state so the packing parallelizes; at 100 TB
-    shards map to input files/buckets and the window never sees more
-    than a shard. Documents may span pack boundaries (start_pack <
-    end_pack) exactly like real concat-then-chunk pipelines."""
+    bound the per-task state so the packing parallelizes. The shard
+    count is DERIVED FROM DATA SIZE (``max(16, ceil(n_docs /
+    docs_per_shard))``, one cheap metadata-backed count job) unless
+    ``n_shards`` pins it: a fixed shard count is a hidden parallelism
+    cap — at 100 TB sixteen window partitions means 1/16 of the corpus
+    sorting and running-summing through a single task (the identical
+    bug class PLANS.md §12 fixed in the crawl cache). The derived count
+    keeps per-shard state bounded (~``docs_per_shard`` docs) at any
+    corpus size while staying deterministic: shard = doc_id mod
+    n_shards, so the oracle mirrors it from its own count(*).
+    Documents may span pack boundaries (start_pack < end_pack) exactly
+    like real concat-then-chunk pipelines."""
     from pyspark.sql import Window
 
+    if n_shards is None:
+        n_docs = documents.count()
+        n_shards = max(PACK_MIN_SHARDS,
+                       -(-n_docs // docs_per_shard))  # ceil div
     toks = F.size(_norm_words(F.col("text")))
     shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint")
     w = (Window.partitionBy("shard").orderBy("doc_id")

@@ -451,6 +451,32 @@ def test_pack_sequences_boundaries(spark):
     assert sharded[2].offset == 100
 
 
+def test_pack_sequences_shard_count_scales_with_corpus(spark):
+    """The packing window's parallelism = its shard count, so a fixed
+    shard count is a hidden cap (the PLANS §12 bug class: at 100 TB,
+    corpus/16 streams through one task). The derived count must GROW
+    with the corpus — 4× the docs ⇒ 4× the window partitions — while
+    per-shard state stays bounded at ~docs_per_shard."""
+    from osmospark.functions.curation import pack_sequences
+
+    def shards(n_docs, per_shard):
+        docs = (spark.range(n_docs)
+                .selectExpr("id AS doc_id", "'w' AS text"))
+        out = pack_sequences(docs, context_len=8,
+                             docs_per_shard=per_shard)
+        return out.groupBy("shard").count().collect()
+
+    small = shards(8_000, 500)       # ceil(8000/500)  = 16 shards
+    large = shards(32_000, 500)      # ceil(32000/500) = 64 shards
+    assert len(small) == 16
+    assert len(large) == 64          # 4× docs -> 4× window partitions
+    # per-shard state stays bounded by the target regardless of size
+    assert max(r["count"] for r in large) == 500
+    # the floor keeps tiny corpora at the historical 16 shards
+    tiny = shards(100, 4096)
+    assert len(tiny) == 16
+
+
 def test_link_rank_integer_exact_on_planted_hub(spark):
     """Integer PageRank: two leaves pointing at a hub. Hand-computed
     (unit 1e6, damping 85%, base 150000):
