@@ -140,6 +140,7 @@ def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
                             F.col("v").alias("cluster_id"))
     log_ = logging.getLogger("osmospark.pipeline")
     converged = False
+    n_edges = edges.count()
     for _ in range(max_iters):
         # large-star over the undirected neighbourhood
         und = edges.unionByName(
@@ -161,11 +162,17 @@ def _cc_star(pairs: DataFrame, max_iters: int) -> DataFrame:
                  .unionByName(with_m.select("u", F.col("m").alias("v")))
                  .filter(F.col("u") != F.col("v"))
                  .distinct().localCheckpoint(eager=True))
-        # fixpoint = identical edge SET (both frames are distinct)
-        changed = (small.exceptAll(edges).limit(1).count()
-                   + edges.exceptAll(small).limit(1).count())
-        edges = small
-        if changed == 0:
+        # fixpoint = identical edge SET. Both frames are distinct, so
+        # |small| == |edges| AND small ⊆ edges ⇒ equality: one cheap
+        # count over the fresh checkpoint's blocks, then ONE bounded
+        # left-anti probe — and only when the counts already agree.
+        # (The previous two full exceptAll scans per round cost ~2×
+        # the edge set in shuffle purely to detect the fixpoint.)
+        n_small = small.count()
+        same = n_small == n_edges and not (
+            small.join(edges, ["u", "v"], "left_anti").head(1))
+        edges, n_edges = small, n_small
+        if same:
             converged = True
             break
     if not converged:

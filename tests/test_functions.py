@@ -131,6 +131,33 @@ def test_cluster_pairs_star_converges_where_propagate_cannot(spark):
     assert any(r.cluster_id != 0 for r in prop)  # cap hit, not converged
 
 
+def test_cluster_pairs_star_convergence_check_cost(spark):
+    """Fixpoint detection must not shuffle the edge set every round: the
+    per-round check is one count over the fresh checkpoint's blocks,
+    with the bounded left-anti probe only when counts agree. Pinned by
+    total task count on a fixed input: the two-exceptAll form measured
+    349 tasks / 232 stages here; the count+probe form 296 / 215 — the
+    ceiling catches a regression back to per-round full-shuffle checks."""
+    from osmospark.functions import cluster_pairs
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(32)],
+                                  "doc_a long, doc_b long")
+    cluster_pairs(pairs, algorithm="star").collect()  # warm codegen
+    st = sc.statusTracker()
+    sc.setJobGroup("star_cost", "convergence-cost pin")
+    out = cluster_pairs(pairs, algorithm="star").collect()
+    sc.setJobGroup(None, None)
+    assert sorted((r.doc_id, r.cluster_id) for r in out) == \
+        [(i, 0) for i in range(33)]
+    tasks = 0
+    for j in (st.getJobIdsForGroup("star_cost") or []):
+        for s in st.getJobInfo(j).stageIds:
+            si = st.getStageInfo(s)
+            if si:
+                tasks += si.numTasks
+    assert 0 < tasks <= 320, f"star run cost regressed: {tasks} tasks"
+
+
 def test_cluster_pairs_composes_with_simhash(spark):
     # the graph core accepts any candidate-pair producer: two planted
     # near-dup groups via SimHash pairs must cluster to their minima
