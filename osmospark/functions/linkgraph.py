@@ -14,8 +14,9 @@ simplification; the damping base re-injects rank floor every step.
 
 At 100 TB the edge table is the big side: it shuffles ONCE per iteration
 on its natural keys, the rank table is nodes-sized, and iterations are
-few (3-5 for crawl prioritization) so lineage stays shallow; for deeper
-runs checkpoint per iteration exactly like ``pipeline.dup_clusters``.
+few (3-5 for crawl prioritization) so lineage stays shallow; deeper runs
+flatten lineage via the built-in ``checkpoint_every`` knob (stats-reset
+eager checkpoints, same mechanism as the crawl engine's round loop).
 """
 
 from __future__ import annotations
@@ -28,13 +29,27 @@ DAMPING_PCT = 85
 
 def link_rank(edges: DataFrame, iters: int = 3,
               damping_pct: int = DAMPING_PCT,
-              unit: int = RANK_UNIT) -> DataFrame:
+              unit: int = RANK_UNIT,
+              checkpoint_every: int = 5) -> DataFrame:
     """Integer PageRank over (src, dst) edges.
 
     Output: (node_id, rank_u) — rank in micro-units, ordered by node.
     new_rank = unit·(100−damping)/100 + (damping · Σ in(u//out_deg)) div 100,
     all bigint (div truncates; every value is positive so Spark's ``div``
-    and DuckDB's ``//`` agree)."""
+    and DuckDB's ``//`` agree).
+
+    Dangling mass: nodes with no out-links leak their rank each step
+    (the standard drop-dangling simplification) instead of redistributing
+    it uniformly — fine for RELATIVE frontier ordering, which is what the
+    priority queue consumes; absolute rank sums are not conserved.
+
+    ``checkpoint_every``: every k iterations the (nodes-sized) rank frame
+    is eagerly checkpointed with Catalyst size stats RESET (the engine's
+    ``_checkpoint_truncated``) — each iteration joins the rank frame
+    against the fixed edge/degree frames, so both the lineage depth and
+    the preserved ``sizeInBytes`` estimate otherwise grow multiplicatively
+    per iteration and deep runs (20+ iterations at scale) stall the
+    driver in plan analysis. 0 disables (short runs / tests)."""
     src = F.col("src").cast("bigint")
     dst = F.col("dst").cast("bigint")
     e = edges.select(src.alias("src"), dst.alias("dst"))
@@ -44,7 +59,7 @@ def link_rank(edges: DataFrame, iters: int = 3,
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     base = unit * (100 - damping_pct) // 100
     r = nodes.withColumn("rank_u", F.lit(unit).cast("bigint"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (e.join(deg, "src")
                    .join(r.withColumnRenamed("node_id", "src"), "src")
                    .select("dst", F.expr("rank_u div out_deg").alias("c")))
@@ -55,4 +70,8 @@ def link_rank(edges: DataFrame, iters: int = 3,
                      (F.lit(base) + F.expr(
                          f"({damping_pct} * coalesce(flow, 0L)) div 100"))
                      .cast("bigint").alias("rank_u")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            from ..frontier.engine import _checkpoint_truncated
+            r = _checkpoint_truncated(r)
     return r.orderBy("node_id")

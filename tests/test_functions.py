@@ -524,6 +524,27 @@ def test_link_rank_integer_exact_on_planted_hub(spark):
     assert r[0] > r[1] > r[2] == r[19]
 
 
+def test_link_rank_checkpoint_knob_flat_plans_same_ranks(spark):
+    """Deep runs (iters > checkpoint_every) must not grow the logical
+    plan per iteration: the stats-reset checkpoint truncates lineage, so
+    the final plan of a 12-iteration run stays a bounded tail (at most
+    checkpoint_every iterations deep) instead of 12 nested join trees —
+    and the ranks are bit-identical to the uncheckpointed loop."""
+    from osmospark.functions.linkgraph import link_rank
+
+    edges = spark.createDataFrame(
+        [(i, (i * i + 1) % 40) for i in range(40)]
+        + [(i, (i + 1) % 40) for i in range(40)], "src long, dst long")
+    plain = link_rank(edges, iters=12, checkpoint_every=0)
+    ck = link_rank(edges, iters=12, checkpoint_every=3)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, ck.collect()))
+    plan_plain = plain._jdf.queryExecution().analyzed().toString()
+    plan_ck = ck._jdf.queryExecution().analyzed().toString()
+    # 12 unrolled iterations vs a ≤3-iteration tail over an RDD scan
+    assert len(plan_ck) < len(plan_plain) / 2
+
+
 def test_scrub_pii_planted(spark):
     """Each PII class redacts with its typed token; clean text is
     untouched; counts reflect every hit."""
