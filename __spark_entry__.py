@@ -423,6 +423,48 @@ def q_crawl_frontier_cuckoo(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+PRIORITY_SEEDS = 24
+PRIORITY_SLOTS = 8
+PRIORITY_DEPTH = 2
+PRIORITY_ROUNDS = 3
+
+
+def q_crawl_frontier_priority(spark, sf_dir):
+    """Score-ordered admission (north rule's priority queue) proven
+    RELATIONALLY: a politeness-capped crawl (8 fetch slots/round on one
+    host, 3 rounds, 24 seeds) where every URL carries a UNIQUE planted
+    priority ((doc·13+7) mod n — a bijection, so admission is a total
+    order and no DFS tie-break is ever reached). With slots binding,
+    WHICH urls are ever visited and at what depth depends entirely on
+    the priority permutation: low-priority seeds defer behind
+    high-priority discovered links across rounds. The oracle replays
+    the same schedule as three unrolled admission/defer/discover CTE
+    rounds (engine.py _rank_politeness: priority DESC first, then the
+    DFS keys; deferred rows keep their discovery depth; records carry
+    the max depth among a doc's frontier rows, the within-round
+    winner)."""
+    import math as _math
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    # the planted score must be a bijection or the oracle would need the
+    # engine's full DFS tie-break chain; 13 is coprime with every
+    # shipped sf's doc count
+    assert _math.gcd(13, n) == 1
+    pr = docs.select(
+        F.xxhash64(F.concat(F.lit(f"{DOC_HOST}/d/"),
+                            F.col("doc_id").cast("string")))
+        .alias("url_hash"),
+        F.pmod(F.col("doc_id") * 13 + 7, F.lit(n)).cast("bigint")
+        .alias("priority"))
+    engine = _engine(spark, sf_dir, dedup=True, politeness=True,
+                     concurrency=PRIORITY_SLOTS, priority_df=pr)
+    records, _ = engine.run_crawl(
+        [f"{DOC_HOST}/d/{i}" for i in range(PRIORITY_SEEDS)], "li > a",
+        extract_spec=None, max_depth=PRIORITY_DEPTH,
+        max_rounds=PRIORITY_ROUNDS)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Distributed redirect closure (reference index.js:226-231 redirect
     hop log, needle follow-limit + loop failure, test/get.js:85-106):
@@ -864,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "crawl_frontier_streaming": q_crawl_frontier_streaming,
         "crawl_frontier_cuckoo": q_crawl_frontier_cuckoo,
+        "crawl_frontier_priority": q_crawl_frontier_priority,
         "redirect_resolve": q_redirect_resolve,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
@@ -1009,6 +1052,48 @@ def _link_rank_sql(iters: int = 3, damping: int = 85,
     return ("WITH " + ", ".join(ctes)
             + f" SELECT id AS node_id, u AS rank_u FROM r{iters}"
             + " ORDER BY node_id")
+
+
+def _frontier_priority_sql(n_docs: str) -> str:
+    """Unrolled replay of the priority-queue schedule (one CTE pair per
+    round): a{r} = top-`slots` of frontier f{r} by the planted unique
+    priority; f{r+1} = (links of a{r} at depth+1) ∪ (deferred f{r} rows)
+    minus everything admitted so far, keeping each doc's MAX depth (the
+    engine's within-round winner is the deepest row: engine.py
+    _dedup_round order depth DESC first)."""
+    ctes = [
+        f"pr AS (SELECT doc_id AS doc, (doc_id * 13 + 7) % {n_docs} AS p"
+        " FROM documents)",
+        f"f0 AS (SELECT doc, 0 AS d FROM pr WHERE doc < {PRIORITY_SEEDS})",
+    ]
+    for r in range(PRIORITY_ROUNDS):
+        ctes.append(f"""a{r} AS (
+            SELECT doc, d FROM (
+                SELECT f.doc, f.d,
+                       row_number() OVER (ORDER BY pr.p DESC) AS rn
+                FROM f{r} f JOIN pr ON pr.doc = f.doc)
+            WHERE rn <= {PRIORITY_SLOTS})""")
+        if r + 1 < PRIORITY_ROUNDS:
+            seen = " UNION ALL ".join(
+                f"SELECT doc FROM a{i}" for i in range(r + 1))
+            ctes.append(f"""f{r + 1} AS (
+            SELECT doc, max(d) AS d FROM (
+                SELECT u.nxt AS doc, a.d + 1 AS d
+                FROM a{r} a, unnest([(a.doc + 1) % {n_docs},
+                                     (a.doc * 7 + 3) % {n_docs}]) u(nxt)
+                WHERE a.d + 1 <= {PRIORITY_DEPTH}
+                UNION ALL
+                SELECT doc, d FROM f{r}
+                WHERE doc NOT IN (SELECT doc FROM a{r}))
+            WHERE doc NOT IN ({seen})
+            GROUP BY doc)""")
+    admitted = " UNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(PRIORITY_ROUNDS))
+    joined = ",\n        ".join(ctes)
+    return (f"WITH {joined}\n"
+            "        SELECT 'http://docs.local/d/' || doc AS url, "
+            "d::INT AS depth\n"
+            f"        FROM ({admitted})")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1400,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": crawl_frontier_sql,
         "crawl_frontier_streaming": crawl_frontier_sql,
         "crawl_frontier_cuckoo": crawl_frontier_sql,
+        "crawl_frontier_priority": _frontier_priority_sql(n_docs),
         "redirect_resolve": redirect_resolve_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,
