@@ -895,6 +895,22 @@ def q_link_rank(spark, sf_dir):
     return link_rank(edges, iters=3)
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Real learned-BPE token accounting over the corpus: merges trained
+    driver-side from the vocabulary aggregate (offline step — the
+    collect is vocabulary-sized), encoding applied as a JVM-side
+    literal-replace chain (map-only, codegen). The oracle RE-TRAINS the
+    same merges independently in DuckDB (one CTE block per merge step:
+    weighted pair counts → argmax with the same tie order → literal
+    replace) and encodes by word-level join — a full cross-engine check
+    of trainer AND encoder."""
+    from osmospark.functions.tokenizer import (
+        BPE_MERGES, bpe_token_counts, train_bpe_df)
+    docs = _documents(spark, sf_dir)
+    merges = train_bpe_df(docs, BPE_MERGES)
+    return bpe_token_counts(docs, merges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -956,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank": q_link_rank,
         "scrub_pii": q_scrub_pii,
         "vocab_stats": q_vocab_stats,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -1052,6 +1069,67 @@ def _link_rank_sql(iters: int = 3, damping: int = 85,
     return ("WITH " + ", ".join(ctes)
             + f" SELECT id AS node_id, u AS rank_u FROM r{iters}"
             + " ORDER BY node_id")
+
+
+_BPE_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
+             r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))")
+
+
+def _bpe_tokenize_sql() -> str:
+    """Independent DuckDB replay of tokenizer.train_bpe + the encoder:
+    v0 = the corpus vocabulary with each word as a paren-delimited
+    char sequence; each merge step k is three CTEs — weighted adjacent
+    pair counts p{k} (overlapping adjacencies, weight = word count),
+    the argmax choice c{k} (count DESC, pair lexicographic — the
+    trainer's exact tie order; '()' when no pairs remain, which never
+    matches), and the literal-replace application v{k+1}. Encoding
+    joins each document's words to the final per-word sequences and
+    counts '(' delimiters — a different route than Spark's doc-level
+    replace chain, same answer. Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs, and each step referencing the previous via two
+    scalar subqueries makes the inlined tree grow ~3× per merge —
+    un-materialized, 24 steps exhaust file handles on the leaf scans."""
+    from osmospark.functions.tokenizer import BPE_MERGES
+    ctes = [f"""v0 AS MATERIALIZED (
+        SELECT u AS word, count(*) AS cnt,
+               regexp_replace(u, '(.)', '(\\1)', 'g') AS seq
+        FROM (SELECT unnest(regexp_split_to_array({_BPE_NORM}, ' ')) AS u
+              FROM documents)
+        WHERE u <> '' GROUP BY u)"""]
+    for k in range(BPE_MERGES):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+        SELECT w.s[i.x] AS a, w.s[i.x + 1] AS b, sum(w.cnt) AS c
+        FROM (SELECT cnt,
+                     regexp_extract_all(seq, '\\(([^)]*)\\)', 1) AS s
+              FROM v{k}) w,
+             unnest(range(1, len(w.s))) AS i(x)
+        GROUP BY 1, 2)""")
+        ctes.append(f"""c{k} AS MATERIALIZED (
+        SELECT '(' || a || ')(' || b || ')' AS pat,
+               '(' || a || b || ')' AS tgt
+        FROM p{k} ORDER BY c DESC, a, b LIMIT 1)""")
+        ctes.append(f"""v{k + 1} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(seq, coalesce((SELECT pat FROM c{k}), '()'),
+                       coalesce((SELECT tgt FROM c{k}), '()')) AS seq
+        FROM v{k})""")
+    ctes.append(f"""enc AS MATERIALIZED (
+        SELECT word, len(seq) - len(replace(seq, '(', '')) AS t
+        FROM v{BPE_MERGES})""")
+    ctes.append(f"""wt AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array({_BPE_NORM}, ' ')) AS u
+        FROM documents)""")
+    ctes.append("""sums AS MATERIALIZED (
+        SELECT wt.doc_id, sum(e.t) AS s
+        FROM wt JOIN enc e ON e.word = wt.u GROUP BY wt.doc_id)""")
+    joined = ",\n        ".join(ctes)
+    return (f"WITH {joined}\n"
+            "        SELECT d.doc_id, coalesce(s.s, 0)::INT"
+            " AS n_bpe_tokens\n"
+            "        FROM documents d LEFT JOIN sums s"
+            " ON s.doc_id = d.doc_id\n"
+            "        ORDER BY d.doc_id")
 
 
 def _frontier_priority_sql(n_docs: str) -> str:
@@ -1934,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_rank": _link_rank_sql(),
         "scrub_pii": _scrub_pii_sql(),
+        "bpe_tokenize": _bpe_tokenize_sql(),
         "vocab_stats": f"""
             SELECT u AS word, count(*) AS count,
                    count(DISTINCT doc_id) AS doc_freq

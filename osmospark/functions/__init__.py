@@ -21,6 +21,12 @@ from .similarity import (
     recall_at_k,
 )
 from .pipeline import cluster_pairs, corpus_pipeline, dup_clusters
+from .tokenizer import (
+    bpe_token_counts,
+    bpe_tokens,
+    train_bpe,
+    train_bpe_df,
+)
 from .textstats import (
     fingerprints,
     lang_id,
@@ -36,6 +42,7 @@ __all__ = [
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
     "ivf_topk", "ivf_topk_pruned", "lsh_topk", "recall_at_k",
     "cluster_pairs", "corpus_pipeline", "dup_clusters",
+    "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",
 ]

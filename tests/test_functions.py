@@ -545,6 +545,48 @@ def test_link_rank_checkpoint_knob_flat_plans_same_ranks(spark):
     assert len(plan_ck) < len(plan_plain) / 2
 
 
+def test_train_bpe_hand_computed():
+    """vocab {'aaab': 2}: weighted pairs (a,a)=4 (both overlapping
+    adjacencies), (a,b)=2 → merge 1 = (a,a), applied left-to-right
+    non-overlapping: a,a,a,b → aa,a,b. Then (aa,a)=2 ties (a,b)=2 and
+    lexicographic order picks ('a','b'); finally (aa,ab)."""
+    from osmospark.functions.tokenizer import train_bpe
+
+    assert train_bpe({"aaab": 2}, 5) == \
+        [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # the classic Sennrich example: 'es' then 'est' dominate
+    m = train_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 2)
+    assert m == [("e", "s"), ("es", "t")]
+    # early stop: single-char vocab has no pairs
+    assert train_bpe({"a": 9}, 4) == []
+
+
+def test_bpe_encode_segmentation_property(spark):
+    """Encoding is segmentation-only: concatenating a doc's tokens
+    reproduces its normalized text with spaces removed, token counts
+    match the token arrays, and merges learned on the corpus actually
+    compress (fewer tokens than characters)."""
+    from osmospark.functions.tokenizer import (
+        bpe_token_counts, bpe_tokens, normalize_for_bpe, train_bpe_df)
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the catalog, The Matter!"),
+         (2, ""), (3, "unseen zebra")],
+        "doc_id long, text string")
+    merges = train_bpe_df(docs, 8)
+    assert len(merges) == 8
+    toks = {r.doc_id: r.tokens for r in bpe_tokens(docs, merges).collect()}
+    counts = {r.doc_id: r.n_bpe_tokens
+              for r in bpe_token_counts(docs, merges).collect()}
+    norm = {r.doc_id: r.n for r in docs.select(
+        "doc_id", normalize_for_bpe(F.col("text")).alias("n")).collect()}
+    for d in toks:
+        assert "".join(toks[d]) == norm[d].replace(" ", "")
+        assert counts[d] == len(toks[d])
+    assert counts[2] == 0
+    assert counts[0] < len(norm[0].replace(" ", ""))  # compresses
+
+
 def test_scrub_pii_planted(spark):
     """Each PII class redacts with its typed token; clean text is
     untouched; counts reflect every hit."""
