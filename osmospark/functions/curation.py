@@ -210,7 +210,8 @@ PACK_DOCS_PER_SHARD = 4096
 
 def pack_sequences(documents: DataFrame, context_len: int = 256,
                    n_shards: int | None = None,
-                   docs_per_shard: int = PACK_DOCS_PER_SHARD) -> DataFrame:
+                   docs_per_shard: int = PACK_DOCS_PER_SHARD,
+                   tokens_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing — the step between curation and
     training: documents (ordered by doc_id within a shard) concatenate
     into one token stream per shard, chunked into fixed ``context_len``
@@ -231,14 +232,20 @@ def pack_sequences(documents: DataFrame, context_len: int = 256,
     corpus size while staying deterministic: shard = doc_id mod
     n_shards, so the oracle mirrors it from its own count(*).
     Documents may span pack boundaries (start_pack < end_pack) exactly
-    like real concat-then-chunk pipelines."""
+    like real concat-then-chunk pipelines.
+
+    ``tokens_col``: name of a precomputed per-document token-count
+    column (e.g. ``tokenizer.bpe_token_counts``' ``n_bpe_tokens``
+    joined onto the corpus) — packing then budgets context windows in
+    LEARNED tokens instead of the default whitespace count."""
     from pyspark.sql import Window
 
     if n_shards is None:
         n_docs = documents.count()
         n_shards = max(PACK_MIN_SHARDS,
                        -(-n_docs // docs_per_shard))  # ceil div
-    toks = F.size(_norm_words(F.col("text")))
+    toks = (F.col(tokens_col).cast("int") if tokens_col
+            else F.size(_norm_words(F.col("text"))))
     shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint")
     w = (Window.partitionBy("shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))

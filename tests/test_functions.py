@@ -545,6 +545,33 @@ def test_link_rank_checkpoint_knob_flat_plans_same_ranks(spark):
     assert len(plan_ck) < len(plan_plain) / 2
 
 
+def test_pack_sequences_with_learned_tokens(spark):
+    """pack_sequences budgets windows in learned BPE tokens when given a
+    precomputed count column: offsets are the running sum of n_bpe_tokens,
+    not whitespace words."""
+    from osmospark.functions.curation import pack_sequences
+    from osmospark.functions.tokenizer import (
+        bpe_token_counts, train_bpe_df)
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i + 1)) for i in range(4)],
+        "doc_id long, text string")
+    merges = train_bpe_df(docs, 6)
+    counted = docs.join(bpe_token_counts(docs, merges), "doc_id")
+    packed = {r.doc_id: r for r in pack_sequences(
+        counted, context_len=16, n_shards=1,
+        tokens_col="n_bpe_tokens").collect()}
+    bpe = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(docs, merges).collect()}
+    ws = {r.doc_id: len(r.text.split()) for r in docs.collect()}
+    assert bpe != ws  # learned counts genuinely differ
+    off = 0
+    for d in range(4):
+        assert packed[d].n_tokens == bpe[d]
+        assert packed[d].offset == off
+        off += bpe[d]
+
+
 def test_train_bpe_hand_computed():
     """vocab {'aaab': 2}: weighted pairs (a,a)=4 (both overlapping
     adjacencies), (a,b)=2 → merge 1 = (a,a), applied left-to-right
