@@ -21,6 +21,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# SPARK_GRAFT_AQE=on runs the identical suite with adaptive execution
+# enabled — the real-cluster default — for the BENCH/BASELINE.md
+# appendix proving the plans don't regress under AQE (default stays
+# off: its per-stage barriers cost ~0.5 s/round on the many-small-job
+# crawl loop at this scale)
+AQE = os.environ.get("SPARK_GRAFT_AQE", "off")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -38,8 +44,10 @@ def _spark(cpus: str):
         # AQE off for the crawl loop: its per-shuffle stage-materialization
         # barriers add ~0.5 s/round of fixed latency to a many-small-jobs
         # iterative workload (measured: 31.7 s -> 28.0 s at local[32]).
-        # At true cluster scale with multi-GB shuffles, re-enable it.
-        .config("spark.sql.adaptive.enabled", "false")
+        # At true cluster scale with multi-GB shuffles, re-enable it —
+        # SPARK_GRAFT_AQE=on runs this suite that way (appendix table).
+        .config("spark.sql.adaptive.enabled",
+                "true" if AQE == "on" else "false")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -195,6 +203,7 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": int(cpus),
+        "aqe": AQE,
         "pages": n_pages,
         "urls_per_sec": round(
             urls_done / max(1e-9, timings["crawl_extract"]
