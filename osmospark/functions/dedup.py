@@ -226,7 +226,15 @@ def simhash_near_duplicates(documents: DataFrame,
     bands = max_hamming + 1
     if bands > bits:
         raise ValueError("max_hamming + 1 bands need at least that many bits")
-    sigs = simhash(documents, bits=bits)
+    # materialize the signatures ONCE: the frame is consumed three times
+    # (banding explode, sig_a join, sig_b join) and the md5-per-token
+    # aggregate is the expensive part of the whole query — unmaterialized,
+    # every consumer recomputes it, and under AQE each broadcast-build
+    # stage materializes separately so the recomputation multiplies
+    # (measured at sf0.1/local[32]: 5.6 s AQE-off / 11.8 s AQE-on before;
+    # ~4.4 s under BOTH after). At corpus scale the signature table is
+    # ~80 bytes/doc — checkpointing it beats re-hashing the full text 3×.
+    sigs = simhash(documents, bits=bits).localCheckpoint(eager=True)
     width = bits // bands
     starts = [b * width for b in range(bands)]
     widths = [width] * (bands - 1) + [bits - starts[-1]]  # last takes slack
