@@ -895,6 +895,55 @@ def q_link_rank(spark, sf_dir):
     return link_rank(edges, iters=3)
 
 
+SPAN_TAIL = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu")  # 12 words -> 3 shared 10-word spans
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. §2.2) over DETERMINISTICALLY
+    planted line structure (the raw word-soup corpus has no punctuation
+    or lines, so every rule would fire vacuously): each doc gets a
+    long terminal-punctuated line (kept), an extra kept line for
+    doc_id%3==0, a short terminal line (dropped: <5 words — and for
+    doc_id%13==5 its period is removed, sinking the page below the
+    3-sentence minimum), an unterminated line, a javascript line
+    (dropped by word rule), and page-killing lorem-ipsum / curly-brace
+    lines for doc_id%7==0 / %11==3. The oracle builds the identical
+    text and applies the identical regexes."""
+    from osmospark.functions.curation import c4_quality_filter
+    docs = _documents(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    w8 = F.concat_ws(" ", F.slice(w, 1, 8))
+    w3 = F.concat_ws(" ", F.slice(w, 1, 3))
+    m = lambda k, r: F.pmod(F.col("doc_id"), F.lit(k)) == r  # noqa: E731
+    aug = F.concat(
+        w8, F.lit(" end."),
+        F.when(m(3, 0), F.concat(F.lit("\n"), w8, F.lit(" more.")))
+         .otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(m(13, 5), F.lit("too short")).otherwise(F.lit("too short.")),
+        F.lit("\n"), w3, F.lit(" no punct"),
+        F.lit("\njavascript is required here yes."),
+        F.when(m(7, 0), F.lit("\nLorem ipsum dolor sit amet."))
+         .otherwise(F.lit("")),
+        F.when(m(11, 3), F.lit("\nbrace { here.")).otherwise(F.lit("")),
+    )
+    return c4_quality_filter(docs.select("doc_id", aug.alias("text")))
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact substring-span dedup stats (Lee et al. 2022 core): docs
+    with doc_id%5==0 share a planted 12-word tail, so each carries 3
+    corpus-duplicated 10-word spans (plus any natural repeats, which
+    the oracle counts identically)."""
+    from osmospark.functions.curation import span_dedup_stats
+    docs = _documents(spark, sf_dir)
+    aug = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                 F.concat(F.col("text"), F.lit(" " + SPAN_TAIL))) \
+        .otherwise(F.col("text"))
+    return span_dedup_stats(docs.select("doc_id", aug.alias("text")))
+
+
 def q_bpe_tokenize(spark, sf_dir):
     """Real learned-BPE token accounting over the corpus: merges trained
     driver-side from the vocabulary aggregate (offline step — the
@@ -973,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "vocab_stats": q_vocab_stats,
         "bpe_tokenize": q_bpe_tokenize,
+        "c4_filters": q_c4_filters,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -2013,6 +2064,71 @@ def oracle_sql() -> dict[str, str]:
         "link_rank": _link_rank_sql(),
         "scrub_pii": _scrub_pii_sql(),
         "bpe_tokenize": _bpe_tokenize_sql(),
+        # c4_filters: the identical planted text (line order must match
+        # q_c4_filters' concat exactly) through the identical regexes
+        "c4_filters": f"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(text, ' ') AS ws
+              FROM documents),
+            aug AS (
+              SELECT doc_id,
+                array_to_string(list_slice(ws, 1, 8), ' ') || ' end.'
+                || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                     array_to_string(list_slice(ws, 1, 8), ' ') || ' more.'
+                   ELSE '' END
+                || chr(10)
+                || CASE WHEN doc_id % 13 = 5 THEN 'too short'
+                   ELSE 'too short.' END
+                || chr(10) || array_to_string(list_slice(ws, 1, 3), ' ')
+                || ' no punct'
+                || chr(10) || 'javascript is required here yes.'
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                     'Lorem ipsum dolor sit amet.' ELSE '' END
+                || CASE WHEN doc_id % 11 = 3 THEN chr(10) ||
+                     'brace {{ here.' ELSE '' END AS text
+              FROM w),
+            st AS (
+              SELECT doc_id,
+                len(list_filter(regexp_split_to_array(text, chr(10)),
+                    ln -> regexp_matches(ln, '[.!?]["”’]?\\s*$')
+                      AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 5
+                      AND NOT regexp_matches(lower(ln),
+                                             '\\bjavascript\\b')))::INT
+                  AS kept_lines,
+                len(regexp_split_to_array(text, chr(10)))::INT
+                  AS total_lines,
+                len(regexp_extract_all(text, '[.!?]'))::INT AS n_sentences,
+                contains(lower(text), 'lorem ipsum') AS lorem,
+                contains(text, '{{') AS brace
+              FROM aug)
+            SELECT doc_id, kept_lines, total_lines, n_sentences,
+                   (n_sentences >= 3 AND NOT lorem AND NOT brace
+                    AND kept_lines > 0) AS keep
+            FROM st
+        """,
+        "span_dedup": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' {SPAN_TAIL}' ELSE '' END AS text
+              FROM documents),
+            ex AS (
+              SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id, unnest({_grams_sql(10)}) AS g
+                    FROM aug)),
+            duph AS (SELECT h FROM ex GROUP BY h HAVING count(*) > 1),
+            fl AS (SELECT doc_id, count(*) AS dup_spans
+                   FROM ex JOIN duph USING (h) GROUP BY doc_id),
+            tot AS (SELECT doc_id, len({_grams_sql(10)}) AS total_spans
+                    FROM aug)
+            SELECT t.doc_id,
+                   coalesce(f.dup_spans, 0)::INT AS dup_spans,
+                   t.total_spans::INT AS total_spans,
+                   round(coalesce(f.dup_spans, 0) / t.total_spans, 6)
+                     AS dup_frac
+            FROM tot t LEFT JOIN fl f USING (doc_id)
+            ORDER BY t.doc_id
+        """,
         "vocab_stats": f"""
             SELECT u AS word, count(*) AS count,
                    count(DISTINCT doc_id) AS doc_freq

@@ -263,6 +263,79 @@ def pack_sequences(documents: DataFrame, context_len: int = 256,
                         F.col("offset") % context_len))
 
 
+def c4_quality_filter(documents: DataFrame,
+                      min_words_per_line: int = 5,
+                      min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning...", §2.2) as map-only expressions:
+
+    - keep only lines ending in terminal punctuation (. ! ? or a
+      closing quote after one) with ≥ ``min_words_per_line`` words,
+      and drop any line containing the word "javascript";
+    - drop the whole page if it has fewer than ``min_sentences``
+      sentences, or contains "lorem ipsum" or a curly brace.
+
+    Output: (doc_id, kept_lines, total_lines, n_sentences, keep) —
+    the gate a pipeline applies before dedup. Everything is per-row
+    array/regexp folds (no explode, no shuffle, pipelines inside the
+    scan); the DuckDB oracle applies the identical regexes (Java∩RE2
+    common syntax, like scrub_pii)."""
+    lines = F.split(F.col("text"), "\n")
+    # terminal punctuation, optionally followed by a closing quote
+    term = r'[.!?]["”’]?\s*$'
+    is_kept = lambda ln: (  # noqa: E731
+        ln.rlike(term)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).rlike(r"\bjavascript\b"))
+    kept = F.size(F.filter(lines, is_kept))
+    n_sent = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[.!?]"), 0))
+    low = F.lower(F.col("text"))
+    page_ok = ((n_sent >= min_sentences)
+               & ~low.contains("lorem ipsum")
+               & ~low.contains("{"))
+    return documents.select(
+        "doc_id",
+        kept.cast("int").alias("kept_lines"),
+        F.size(lines).cast("int").alias("total_lines"),
+        n_sent.cast("int").alias("n_sentences"),
+        (page_ok & (kept > 0)).alias("keep"))
+
+
+def span_dedup_stats(documents: DataFrame, span_words: int = 10
+                     ) -> DataFrame:
+    """Exact substring-span duplication stats — the distributed core of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every ``span_words``-word window is hashed, windows whose
+    hash occurs more than once ANYWHERE in the corpus are duplicated
+    spans, and each document reports how much of it is covered by them.
+
+    Plan shape at 100 TB: windows hash map-side (the text never
+    shuffles — only 8-byte hashes with doc ids), ONE groupBy(hash)
+    count with map-side partials finds corpus-wide repeats, one
+    broadcast-able join back and one partial-agg shuffle on doc_id.
+    Output: (doc_id, dup_spans, total_spans, dup_frac)."""
+    grams = _word_grams(F.col("text"), span_words)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint"))
+    ex = documents.select("doc_id", F.explode(hashes).alias("h"))
+    dup_h = (ex.groupBy("h").agg(F.count("*").alias("n"))
+             .filter(F.col("n") > 1).select("h"))
+    flagged = (ex.join(dup_h, "h")
+               .groupBy("doc_id").agg(F.count("*").alias("dup_spans")))
+    totals = documents.select("doc_id", F.size(grams).alias("total_spans"))
+    return (totals.join(flagged, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_spans", F.lit(0)).cast("int")
+                    .alias("dup_spans"),
+                    F.col("total_spans").cast("int").alias("total_spans"),
+                    F.round(F.coalesce("dup_spans", F.lit(0))
+                            / F.col("total_spans"), 6).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
 def stratified_sample(documents: DataFrame,
                       fractions: dict[str, float],
                       key: str = "lang",

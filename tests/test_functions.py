@@ -572,6 +572,52 @@ def test_pack_sequences_with_learned_tokens(spark):
         off += bpe[d]
 
 
+def test_c4_quality_filter_rules(spark):
+    """Each C4 rule fires on its planted line/page: terminal-punctuation
+    keep, <5-word drop, javascript drop, <3-sentence page drop,
+    lorem-ipsum page drop, curly-brace page drop."""
+    from osmospark.functions.curation import c4_quality_filter
+
+    rows = [
+        (0, "one two three four five six end.\nshort.\nno punct here"),
+        (1, "a good long line with words here.\n"
+            "another good long line stands here!\n"
+            "and a third good line ends here?"),
+        (2, "javascript must be enabled to view this page.\n"
+            "one two three four five six end.\nx.\ny."),
+        (3, "one two three four five six end.\nlorem IPSUM dolor.\nx.\ny."),
+        (4, "one two three four five six end.\ncurly { brace.\nx.\ny."),
+        (5, 'quoted line one two three four five." \nx.\ny.'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_quality_filter(df).collect()}
+    assert (got[0].kept_lines, got[0].n_sentences, bool(got[0].keep)) \
+        == (1, 2, False)                       # only 2 sentences
+    assert (got[1].kept_lines, bool(got[1].keep)) == (3, True)
+    assert got[2].kept_lines == 1 and bool(got[2].keep)  # js line dropped
+    assert not got[3].keep and not got[4].keep  # lorem / brace kill page
+    assert got[5].kept_lines == 1              # terminal punct + quote
+
+
+def test_span_dedup_stats_planted(spark):
+    """Two docs sharing a 12-word run carry exactly 3 duplicated 10-word
+    spans each; a unique doc carries none."""
+    from osmospark.functions.curation import span_dedup_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota " \
+             "kappa lambda mu"
+    rows = [(0, "unique opening words here " + shared),
+            (1, "different other prefix words " + shared),
+            (2, "totally distinct text with no repeats at all beyond "
+                "window width for sure honestly")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup_stats(df).collect()}
+    assert got[0].dup_spans == 3 and got[1].dup_spans == 3
+    assert got[2].dup_spans == 0
+    assert got[0].total_spans == 7   # 16 words -> 7 windows
+    assert abs(got[0].dup_frac - 3 / 7) < 1e-6
+
+
 def test_train_bpe_hand_computed():
     """vocab {'aaab': 2}: weighted pairs (a,a)=4 (both overlapping
     adjacencies), (a,b)=2 → merge 1 = (a,a), applied left-to-right
