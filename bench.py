@@ -249,6 +249,27 @@ def scaling_report() -> None:
     eff_8_32 = round(t32 / (4 * t8), 3) if t8 else None
     pk = null["parse_kernel"]
     os.makedirs("BENCH", exist_ok=True)
+    # preserve report sections this writer does not own (packaged-job
+    # pairs, AQE appendix, seen-backend A/B, ...): everything from the
+    # first "## " header that is neither the null experiment nor the
+    # trailing sf-dir line gets re-appended verbatim after our sections
+    preserved = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        blocks = []
+        cur_keep = False
+        for line in old.splitlines(keepends=True):
+            if line.startswith("## "):
+                cur_keep = not line.startswith(
+                    "## Null experiment (multiprocessing, no Spark)")
+            elif line.startswith("sf dir: ") or line.startswith("# "):
+                cur_keep = False
+            if cur_keep:
+                blocks.append(line)
+        preserved = "".join(blocks)
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH — N→4N scaling evidence\n\n")
         f.write(
@@ -298,6 +319,8 @@ def scaling_report() -> None:
         f.write(f"\nEngine 2→8 efficiency {eff_2_8} vs the kernel's own "
                 f"{pk.get('eff_2_to_8')} ceiling → framework overhead "
                 "cost is the gap between those two numbers.\n")
+        if preserved:
+            f.write("\n" + preserved)
         f.write(f"\nsf dir: {SF_DIR}; pages: "
                 f"{results['32'].get('pages')}.\n")
     print(json.dumps({
