@@ -619,3 +619,37 @@ def test_engine_warns_on_underpartitioned_pages(spark, caplog):
     with caplog.at_level(_logging.WARNING, logger="osmospark.frontier"):
         FrontierEngine(spark, pages)
     assert any("repartition" in r.message for r in caplog.records)
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located joins (the 100-TB repeated-join story): two tables
+    bucketed on the same key with the same bucket count must sort-merge
+    join with ZERO Exchange in the executed plan — the corpus never
+    reshuffles for per-url state joins once bucketed at write. The
+    unbucketed control join shows the 2 exchanges the bucket spec
+    removes."""
+    from pyspark.sql import functions as F
+    from osmospark.tableio import bucketed_join, write_bucketed
+
+    pages = spark.range(10_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.col("id").alias("payload"))
+    state = spark.range(10_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        (F.col("id") % 97).alias("rank"))
+    write_bucketed(pages, "t_pages_b", "url_hash", n_buckets=8)
+    write_bucketed(state, "t_state_b", "url_hash", n_buckets=8)
+    try:
+        joined = bucketed_join(spark, "t_pages_b", "t_state_b",
+                               "url_hash")
+        assert joined.count() == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # control: the same join on the raw frames shuffles both sides
+        ctrl = pages.hint("merge").join(state, "url_hash")
+        ctrl.count()
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert ctrl_plan.count("Exchange hashpartitioning") >= 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_state_b")
