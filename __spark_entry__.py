@@ -960,6 +960,28 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_link_rank_dangling(spark, sf_dir):
+    """Integer PageRank with uniform dangling-mass redistribution over
+    a graph where docs with doc_id%4==0 emit NO edges (planted dangling
+    nodes that still receive links): each iteration adds the dangling
+    rank sum integer-divided by the node count to every inflow — the
+    textbook teleport, bit-exact across engines. Closes the documented
+    drop-dangling simplification with its own oracle."""
+    from osmospark.functions.linkgraph import link_rank
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    srcs = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
+    edges = srcs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    ).union(srcs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n))
+        .alias("dst"),
+    ))
+    return link_rank(edges, iters=3, dangling="redistribute")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1024,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
+        "link_rank_dangling": q_link_rank_dangling,
     }
 
 
@@ -1091,27 +1114,40 @@ def _scrub_pii_sql() -> str:
 
 
 def _link_rank_sql(iters: int = 3, damping: int = 85,
-                   unit: int = 1_000_000) -> str:
+                   unit: int = 1_000_000,
+                   src_filter: str = "",
+                   dangling: bool = False) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     linkgraph.link_rank over the doc_pages arithmetic link graph
     ((id+1)%N and (id*7+3)%N). All-bigint: '//' here and Spark's 'div'
-    agree on the positive operands involved."""
+    agree on the positive operands involved. ``src_filter`` restricts
+    which docs EMIT edges (planting dangling nodes); ``dangling=True``
+    mirrors the redistribute mode: each step adds (dangling rank sum
+    // node count) to every node's inflow before damping."""
     base = unit * (100 - damping) // 100
+    where = f" WHERE {src_filter}" if src_filter else ""
     ctes = [
         "nmax AS (SELECT max(doc_id) + 1 AS n FROM documents)",
         ("edges AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst "
-         "FROM documents, nmax UNION ALL "
+         f"FROM documents, nmax{where} UNION ALL "
          "SELECT doc_id, (doc_id * doc_id + 1) % n "
-         "FROM documents, nmax)"),
+         f"FROM documents, nmax{where})"),
         "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
         ("nodes AS (SELECT DISTINCT src AS id FROM edges "
          "UNION SELECT DISTINCT dst FROM edges)"),
         f"r0 AS (SELECT id, {unit}::BIGINT AS u FROM nodes)",
     ]
     for k in range(1, iters + 1):
+        share = ""
+        if dangling:
+            ctes.append(
+                f"d{k} AS (SELECT coalesce(sum(u), 0) // "
+                f"(SELECT count(*) FROM nodes) AS s FROM r{k - 1} "
+                "WHERE id NOT IN (SELECT src FROM deg))")
+            share = f" + (SELECT s FROM d{k})"
         ctes.append(
             f"r{k} AS (SELECT nd.id, CAST({base} + ({damping} * "
-            f"coalesce(fl.f, 0)) // 100 AS BIGINT) AS u "
+            f"(coalesce(fl.f, 0){share})) // 100 AS BIGINT) AS u "
             f"FROM nodes nd LEFT JOIN ("
             f"SELECT e.dst, sum(r.u // deg.d) AS f "
             f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
@@ -2062,6 +2098,8 @@ def oracle_sql() -> dict[str, str]:
             FROM o
         """,
         "link_rank": _link_rank_sql(),
+        "link_rank_dangling": _link_rank_sql(
+            src_filter="doc_id % 4 <> 0", dangling=True),
         "scrub_pii": _scrub_pii_sql(),
         "bpe_tokenize": _bpe_tokenize_sql(),
         # c4_filters: the identical planted text (line order must match

@@ -30,7 +30,8 @@ DAMPING_PCT = 85
 def link_rank(edges: DataFrame, iters: int = 3,
               damping_pct: int = DAMPING_PCT,
               unit: int = RANK_UNIT,
-              checkpoint_every: int = 5) -> DataFrame:
+              checkpoint_every: int = 5,
+              dangling: str = "drop") -> DataFrame:
     """Integer PageRank over (src, dst) edges.
 
     Output: (node_id, rank_u) — rank in micro-units, ordered by node.
@@ -38,10 +39,16 @@ def link_rank(edges: DataFrame, iters: int = 3,
     all bigint (div truncates; every value is positive so Spark's ``div``
     and DuckDB's ``//`` agree).
 
-    Dangling mass: nodes with no out-links leak their rank each step
-    (the standard drop-dangling simplification) instead of redistributing
-    it uniformly — fine for RELATIVE frontier ordering, which is what the
-    priority queue consumes; absolute rank sums are not conserved.
+    Dangling mass: with ``dangling="drop"`` (default) nodes with no
+    out-links leak their rank each step (the standard simplification) —
+    fine for RELATIVE frontier ordering, which is what the priority
+    queue consumes; absolute rank sums are not conserved. With
+    ``dangling="redistribute"`` each iteration adds the dangling nodes'
+    total rank, integer-divided by the node count, to every node's
+    inflow before damping (the textbook uniform teleport of dangling
+    mass, still all-bigint): one extra 1-row aggregate per iteration
+    (a left-anti sum over the nodes-sized rank frame) cross-joined back
+    — no extra shuffle of the edge table.
 
     ``checkpoint_every``: every k iterations the (nodes-sized) rank frame
     is eagerly checkpointed with Catalyst size stats RESET (the engine's
@@ -59,17 +66,35 @@ def link_rank(edges: DataFrame, iters: int = 3,
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     base = unit * (100 - damping_pct) // 100
     r = nodes.withColumn("rank_u", F.lit(unit).cast("bigint"))
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"unknown dangling mode {dangling!r}")
+    n_nodes = nodes.count() if dangling == "redistribute" else None
     for i in range(iters):
         contrib = (e.join(deg, "src")
                    .join(r.withColumnRenamed("node_id", "src"), "src")
                    .select("dst", F.expr("rank_u div out_deg").alias("c")))
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("flow"))
-        r = (nodes.join(inflow,
-                        nodes["node_id"] == inflow["dst"], "left")
-             .select("node_id",
-                     (F.lit(base) + F.expr(
-                         f"({damping_pct} * coalesce(flow, 0L)) div 100"))
-                     .cast("bigint").alias("rank_u")))
+        if dangling == "redistribute":
+            dang = (r.join(deg.select(F.col("src").alias("node_id")),
+                           "node_id", "left_anti")
+                    .agg(F.coalesce(F.sum("rank_u"),
+                                    F.lit(0).cast("bigint"))
+                         .alias("_dang")))
+            r = (nodes.join(inflow,
+                            nodes["node_id"] == inflow["dst"], "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node_id",
+                         (F.lit(base) + F.expr(
+                             f"({damping_pct} * (coalesce(flow, 0L) + "
+                             f"(_dang div {n_nodes}))) div 100"))
+                         .cast("bigint").alias("rank_u")))
+        else:
+            r = (nodes.join(inflow,
+                            nodes["node_id"] == inflow["dst"], "left")
+                 .select("node_id",
+                         (F.lit(base) + F.expr(
+                             f"({damping_pct} * coalesce(flow, 0L)) div 100"))
+                         .cast("bigint").alias("rank_u")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < iters:
             from ..frontier.engine import _checkpoint_truncated

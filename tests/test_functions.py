@@ -524,6 +524,25 @@ def test_link_rank_integer_exact_on_planted_hub(spark):
     assert r[0] > r[1] > r[2] == r[19]
 
 
+def test_link_rank_dangling_redistribute_hand_computed(spark):
+    """Two leaves -> hub, hub has no out-links (dangling). n=3, unit
+    1e6, damping 85, base 150000. Iter 1: dangling share = 1e6//3 =
+    333333; hub = 150000 + 85·(2e6+333333)//100 = 2133333; leaves =
+    150000 + 85·333333//100 = 433333. Exact integers, no tolerance."""
+    from osmospark.functions.linkgraph import link_rank
+
+    edges = spark.createDataFrame([(1, 0), (2, 0)], "src long, dst long")
+    got = {r.node_id: r.rank_u
+           for r in link_rank(edges, iters=1,
+                              dangling="redistribute").collect()}
+    assert got == {0: 2133333, 1: 433333, 2: 433333}
+    # drop mode leaks the hub's mass instead
+    drop = {r.node_id: r.rank_u
+            for r in link_rank(edges, iters=1).collect()}
+    assert drop == {0: 1850000, 1: 150000, 2: 150000}
+    assert sum(got.values()) > sum(drop.values())  # mass retained
+
+
 def test_link_rank_checkpoint_knob_flat_plans_same_ranks(spark):
     """Deep runs (iters > checkpoint_every) must not grow the logical
     plan per iteration: the stats-reset checkpoint truncates lineage, so
