@@ -982,6 +982,15 @@ def q_link_rank_dangling(spark, sf_dir):
     return link_rank(edges, iters=3, dangling="redistribute")
 
 
+def q_lang_id_model(spark, sf_dir):
+    """Trainable language ID (Cavnar-Trenkle ranked n-gram profiles):
+    the model is learned from the corpus itself and applied in the same
+    plan — all-integer rank arithmetic, so the DuckDB oracle RE-TRAINS
+    the profiles and re-scores every document independently."""
+    from osmospark.functions.langid import lang_id_model
+    return lang_id_model(_documents(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1047,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
         "link_rank_dangling": q_link_rank_dangling,
+        "lang_id_model": q_lang_id_model,
     }
 
 
@@ -2173,5 +2183,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest({_WORDS}) AS u FROM documents)
             GROUP BY u HAVING count(*) >= 2
             ORDER BY count(*) DESC, u
+        """,
+        # lang_id_model: the oracle RE-TRAINS the Cavnar-Trenkle ranked
+        # n-gram profiles and re-scores every document — possible because
+        # the model is all-integer (ranks + out-of-place distances).
+        "lang_id_model": """
+            WITH grams AS MATERIALIZED (
+              SELECT doc_id, lang, unnest(
+                CASE WHEN length(norm) >= 3
+                     THEN list_transform(range(1, length(norm) - 1),
+                                         i -> substring(norm, i, 3))
+                     ELSE [norm] END) AS gram
+              FROM (SELECT doc_id, lang,
+                           ' ' || regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g') || ' '
+                             AS norm
+                    FROM documents)),
+            profiles AS MATERIALIZED (
+              SELECT lang, gram, rnk FROM (
+                SELECT lang, gram, row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY count(*) DESC, gram ASC) AS rnk
+                FROM grams GROUP BY lang, gram)
+              WHERE rnk <= 120),
+            doc_prof AS MATERIALIZED (
+              SELECT doc_id, gram, drank FROM (
+                SELECT doc_id, gram, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY count(*) DESC, gram ASC) AS drank
+                FROM grams GROUP BY doc_id, gram)
+              WHERE drank <= 40),
+            dists AS MATERIALIZED (
+              SELECT dp.doc_id, l.lang,
+                     sum(coalesce(abs(dp.drank - p.rnk), 120)) AS dist
+              FROM doc_prof dp
+              CROSS JOIN (SELECT DISTINCT lang FROM profiles) l
+              LEFT JOIN profiles p
+                ON p.lang = l.lang AND p.gram = dp.gram
+              GROUP BY dp.doc_id, l.lang),
+            pred AS (
+              SELECT doc_id, lang AS pred_lang, CAST(dist AS BIGINT) AS dist
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY dist ASC, lang ASC) AS rn FROM dists)
+              WHERE rn = 1)
+            SELECT d.doc_id, d.lang, p.pred_lang, p.dist
+            FROM documents d JOIN pred p USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -35,6 +35,7 @@ from .textstats import (
     token_counts,
     winnow_fingerprints,
 )
+from .langid import lang_id_model, train_lang_profiles
 
 __all__ = [
     "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
@@ -47,4 +48,5 @@ __all__ = [
     "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",
     "fingerprints", "lang_id", "quality_scores", "token_counts",
     "winnow_fingerprints",
+    "lang_id_model", "train_lang_profiles",
 ]

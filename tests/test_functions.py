@@ -714,3 +714,38 @@ def test_vocab_stats_counts_and_threshold(spark):
     assert rows == {"a": (3, 2), "c": (2, 1)}
     ordered = [r.word for r in vocab_stats(df, min_count=1).collect()]
     assert ordered[0] == "a"      # count-desc, then word-asc
+
+
+def test_lang_id_model_separable_corpus(spark):
+    from osmospark.functions.langid import lang_id_model
+
+    # Two languages with disjoint character inventories: each doc's
+    # profile can only match its own language's trained profile.
+    df = spark.createDataFrame(
+        [(0, "aa", "aaa aca ada aaa aca"),
+         (1, "aa", "ada aaa aaa aca ada"),
+         (2, "bb", "bbb bxb byb bbb bxb"),
+         (3, "bb", "byb bbb bxb byb bbb")],
+        "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in lang_id_model(df).collect()}
+    assert [got[i].pred_lang for i in range(4)] == ["aa", "aa", "bb", "bb"]
+    assert all(got[i].dist >= 0 for i in range(4))
+    # mislabeled doc: b-script text under an 'aa' label still scores
+    # closer to the bb profile (training pollution is 1 doc vs 2)
+    df2 = df.union(spark.createDataFrame(
+        [(4, "aa", "bbb bxb byb")], "doc_id long, lang string, text string"))
+    got2 = {r.doc_id: r for r in lang_id_model(df2).collect()}
+    assert got2[4].lang == "aa" and got2[4].pred_lang == "bb"
+
+
+def test_lang_profiles_rank_deterministic(spark):
+    from osmospark.functions.langid import train_lang_profiles
+
+    df = spark.createDataFrame(
+        [(0, "xx", "ab ab ba")], "doc_id long, lang string, text string")
+    rows = [(r.gram, r.rank) for r in
+            train_lang_profiles(df).orderBy("rank").collect()]
+    # norm = ' ab ab ba ': ' ab' x2, 'ab ' x2, then ties gram-asc
+    assert rows[0] == (" ab", 1) and rows[1] == ("ab ", 2)
+    grams = [g for g, _ in rows]
+    assert grams == sorted(grams[:2]) + sorted(grams[2:])
