@@ -982,6 +982,16 @@ def q_link_rank_dangling(spark, sf_dir):
     return link_rank(edges, iters=3, dangling="redistribute")
 
 
+def q_ivf_kmeans(spark, sf_dir):
+    """Distributed integer k-means codebook (Lloyd's, bigint
+    micro-units) + final cell assignment — the documented offline-
+    k-means upgrade for the IVF index made a tested, oracle-checked
+    code path. The DuckDB oracle re-runs init, both iterations and the
+    final assignment via unrolled materialized CTEs."""
+    from osmospark.functions.similarity import ivf_kmeans_assign
+    return ivf_kmeans_assign(_embeddings(spark, sf_dir), cells=8, iters=2)
+
+
 def q_lang_id_model(spark, sf_dir):
     """Trainable language ID (Cavnar-Trenkle ranked n-gram profiles):
     the model is learned from the corpus itself and applied in the same
@@ -1057,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "link_rank_dangling": q_link_rank_dangling,
         "lang_id_model": q_lang_id_model,
+        "ivf_kmeans": q_ivf_kmeans,
     }
 
 
@@ -1166,6 +1177,54 @@ def _link_rank_sql(iters: int = 3, damping: int = 85,
     return ("WITH " + ", ".join(ctes)
             + f" SELECT id AS node_id, u AS rank_u FROM r{iters}"
             + " ORDER BY node_id")
+
+
+def _ivf_kmeans_sql(cells: int = 8, iters: int = 2,
+                    scale: int = 1_000_000) -> str:
+    """Independent DuckDB replay of similarity.kmeans_codebook +
+    ivf_kmeans_assign: quantize to bigint micro-units, init from the
+    ``cells`` lowest vec_ids, then per iteration one assignment block
+    (squared-L2 argmin, ties → lowest cell) and one centroid-update
+    block (per-dimension integer sums with truncating division; empty
+    cells keep the previous centroid via coalesce). All-integer, so the
+    unrolled materialized CTEs are bit-identical to the Spark run."""
+    sq = ("list_sum(list_transform(range(1, len(q.qv) + 1), "
+          "i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))")
+    ctes = [f"""q AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+               v -> CAST(round(v * {scale}) AS BIGINT)) AS qv
+        FROM embeddings)""",
+            """dims AS MATERIALIZED (
+        SELECT unnest(range(1, (SELECT len(qv) FROM q LIMIT 1) + 1)) AS i)""",
+            f"""c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               qv AS c
+        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {cells}))"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+        SELECT vec_id, qv, cell FROM (
+          SELECT t.*, row_number() OVER (PARTITION BY t.vec_id
+                       ORDER BY t.d ASC, t.cell ASC) AS rn
+          FROM (SELECT q.vec_id, q.qv, c.cell, {sq} AS d
+                FROM q CROSS JOIN c{k - 1} c) t)
+        WHERE rn = 1)""")
+        ctes.append(f"""u{k} AS MATERIALIZED (
+        SELECT cell, list(dv ORDER BY i) AS c FROM (
+          SELECT a.cell, d.i AS i,
+                 CAST(sum(a.qv[d.i]) // count(*) AS BIGINT) AS dv
+          FROM a{k} a CROSS JOIN dims d GROUP BY a.cell, d.i)
+        GROUP BY cell)""")
+        ctes.append(f"""c{k} AS MATERIALIZED (
+        SELECT o.cell, coalesce(u.c, o.c) AS c
+        FROM c{k - 1} o LEFT JOIN u{k} u USING (cell))""")
+    return ("WITH " + ", ".join(ctes) + f"""
+        SELECT vec_id, cell FROM (
+          SELECT t.vec_id, t.cell,
+                 row_number() OVER (PARTITION BY t.vec_id
+                      ORDER BY t.d ASC, t.cell ASC) AS rn
+          FROM (SELECT q.vec_id, c.cell, {sq} AS d
+                FROM q CROSS JOIN c{iters} c) t)
+        WHERE rn = 1 ORDER BY vec_id""")
 
 
 _BPE_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
@@ -2112,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
             src_filter="doc_id % 4 <> 0", dangling=True),
         "scrub_pii": _scrub_pii_sql(),
         "bpe_tokenize": _bpe_tokenize_sql(),
+        "ivf_kmeans": _ivf_kmeans_sql(),
         # c4_filters: the identical planted text (line order must match
         # q_c4_filters' concat exactly) through the identical regexes
         "c4_filters": f"""

@@ -15,8 +15,10 @@ from .similarity import (
     brute_force_topk,
     embedding_near_duplicates,
     ivf_build,
+    ivf_kmeans_assign,
     ivf_topk,
     ivf_topk_pruned,
+    kmeans_codebook,
     lsh_topk,
     recall_at_k,
 )
@@ -42,7 +44,8 @@ __all__ = [
     "near_duplicates", "ngram_jaccard", "simhash",
     "simhash_near_duplicates",
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
-    "ivf_topk", "ivf_topk_pruned", "lsh_topk", "recall_at_k",
+    "ivf_kmeans_assign", "ivf_topk", "ivf_topk_pruned", "kmeans_codebook",
+    "lsh_topk", "recall_at_k",
     "c4_quality_filter", "span_dedup_stats",
     "cluster_pairs", "corpus_pipeline", "dup_clusters",
     "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",

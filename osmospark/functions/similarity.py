@@ -380,6 +380,96 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int],
             .orderBy("query_id", "rank"))
 
 
+KMEANS_SCALE = 1_000_000
+
+
+def _lit_bigvec(c):
+    return F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the semantics SQL
+    engines (Spark, DuckDB) give for integer `/`, unlike Python's
+    floor `//`; pinned here so driver arithmetic and the oracle agree
+    on negative sums."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def kmeans_codebook(embeddings: DataFrame, cells: int = 8,
+                    iters: int = 2, scale: int = KMEANS_SCALE) -> list:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    documented upgrade over the sampled codebook, in BIGINT micro-units
+    so every step is bit-exact across engines (float k-means differs in
+    the last ulps with summation order; integer sums commute exactly).
+
+    - quantize: qv[i] = round(embedding[i] · scale) as bigint (map-only);
+    - init: the ``cells`` lowest vec_ids (deterministic, no RNG);
+    - per iteration: assignment is a MAP-ONLY literal-codebook squared-L2
+      projection (argmin = first index of the array min, ties → lowest
+      cell), then ONE groupBy(cell) with 64 map-side partial integer
+      sums; the driver receives ``cells`` rows and emits the next
+      codebook with truncating integer division. Empty cells keep their
+      previous centroid.
+
+    Driver traffic per iteration is cells × (dim + 1) integers — the
+    same broadcast-sized codebook a real serving tier holds. At 100 TB
+    the per-iteration cost is one corpus scan + one cells-sized shuffle.
+    The DuckDB oracle re-runs every iteration via unrolled materialized
+    CTEs (the BPE-oracle pattern)."""
+    e = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda v: F.round(v * scale).cast("bigint")).alias("qv"))
+    init = e.orderBy("vec_id").limit(cells).collect()
+    codebook = [list(r["qv"]) for r in init]
+    dim = len(codebook[0])
+    for _ in range(iters):
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("qv"), _lit_bigvec(c),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+            for c in codebook])
+        assigned = (e.withColumn("_d", dists)
+                    .withColumn("cell", (F.array_position(
+                        "_d", F.array_min("_d")) - 1).cast("int")))
+        stats = (assigned.groupBy("cell")
+                 .agg(F.count("*").alias("n"),
+                      *[F.sum(F.col("qv")[i]).alias(f"s{i}")
+                        for i in range(dim)])
+                 .collect())
+        nxt = list(codebook)
+        for r in stats:
+            nxt[r["cell"]] = [_trunc_div(int(r[f"s{i}"]), int(r["n"]))
+                              for i in range(dim)]
+        codebook = nxt
+    return codebook
+
+
+def ivf_kmeans_assign(embeddings: DataFrame, cells: int = 8,
+                      iters: int = 2,
+                      scale: int = KMEANS_SCALE) -> DataFrame:
+    """Assign every vector to its k-means cell under the trained
+    codebook — the (vec_id, cell) table an ``ivf_build``-style
+    partitioned write would key on. Map-only literal projection, no
+    shuffle; output integers only."""
+    codebook = kmeans_codebook(embeddings, cells, iters, scale)
+    e = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda v: F.round(v * scale).cast("bigint")).alias("qv"))
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col("qv"), _lit_bigvec(c),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        for c in codebook])
+    return (e.withColumn("_d", dists)
+            .select("vec_id", (F.array_position("_d", F.array_min("_d")) - 1)
+                    .cast("int").alias("cell"))
+            .orderBy("vec_id"))
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs the ANN result recovered."""
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}

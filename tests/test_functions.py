@@ -749,3 +749,34 @@ def test_lang_profiles_rank_deterministic(spark):
     assert rows[0] == (" ab", 1) and rows[1] == ("ab ", 2)
     grams = [g for g, _ in rows]
     assert grams == sorted(grams[:2]) + sorted(grams[2:])
+
+
+def test_kmeans_codebook_separates_planted_clusters(spark):
+    from osmospark.functions.similarity import (
+        ivf_kmeans_assign, kmeans_codebook)
+
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(0, 8, 2)]
+    rows += [(i, [0.0, 1.0 + 0.01 * i]) for i in range(1, 8, 2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # init = two lowest vec_ids: 0 (cluster A), 1 (cluster B)
+    got = {r.vec_id: r.cell
+           for r in ivf_kmeans_assign(emb, cells=2, iters=2).collect()}
+    assert all(got[i] == 0 for i in range(0, 8, 2))
+    assert all(got[i] == 1 for i in range(1, 8, 2))
+    cb = kmeans_codebook(emb, cells=2, iters=2)
+    # centroid 0 ~ mean of cluster A x-coords in micro-units
+    assert abs(cb[0][0] - 1_030_000) < 20_000 and cb[0][1] == 0
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    from osmospark.functions.similarity import kmeans_codebook
+
+    # vec 2 duplicates vec 0, so init cell 2 == cell 0 and every
+    # tie breaks to the LOWEST cell: cell 2 never receives members
+    # and must keep its initial centroid.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]),
+         (3, [0.9, 0.1]), (4, [0.1, 0.9])],
+        "vec_id long, embedding array<float>")
+    cb = kmeans_codebook(emb, cells=3, iters=2)
+    assert cb[2] == [1_000_000, 0]
