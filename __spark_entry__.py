@@ -982,6 +982,24 @@ def q_link_rank_dangling(spark, sf_dir):
     return link_rank(edges, iters=3, dangling="redistribute")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-delta dedup: a new batch (planted recrawl-shaped
+    perturbations — every 5th doc re-ingested minus its last word under
+    a fresh id) checked against the existing corpus WITHOUT re-pairing
+    the base: base band entries stream once against the broadcast delta
+    bands. Oracle mirrors the split, the perturbation, the base-side
+    skew cap and the exact-Jaccard verify."""
+    from osmospark.functions.dedup import incremental_near_duplicates
+    docs = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    delta = (docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.array_join(F.slice(ws, F.lit(1), F.size(ws) - 1), " ")
+                     .alias("text")))
+    return incremental_near_duplicates(docs, delta, threshold=0.5)
+
+
 def q_ivf_kmeans(spark, sf_dir):
     """Distributed integer k-means codebook (Lloyd's, bigint
     micro-units) + final cell assignment — the documented offline-
@@ -1068,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank_dangling": q_link_rank_dangling,
         "lang_id_model": q_lang_id_model,
         "ivf_kmeans": q_ivf_kmeans,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -1381,6 +1400,53 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(len(list_intersect(x.shd, y.shd))::DOUBLE
                     / len(list_distinct(x.shd || y.shd)), 6) >= 0.5
         ORDER BY doc_a, doc_b
+    """
+
+    # incremental dedup: planted delta (every 5th doc minus its last
+    # word, re-id'd) vs the full base; base-side skew cap mirrored
+    _sh_hs = _HS_SQL.replace('sh,', f'({_shingle_sql()}),')
+    _melt = lambda src: " UNION ALL ".join(  # noqa: E731
+        f"SELECT doc_id, {b} AS band, band_{b} AS band_key FROM {src}"
+        for b in range(LSH_BANDS))
+    _inc_jac = ("round(len(list_intersect(x.shd, y.shd))::DOUBLE"
+                " / len(list_distinct(x.shd || y.shd)), 6)")
+    dedup_incremental_sql = f"""
+        WITH delta_src AS MATERIALIZED (
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(list_slice(ws, 1, len(ws) - 1), ' ')
+                     AS text
+            FROM (SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws
+                  FROM documents WHERE doc_id % 5 = 0)),
+        sh_b AS MATERIALIZED (
+            SELECT doc_id, list_distinct({_shingle_sql()}) AS shd,
+                   {_sh_hs} AS hs
+            FROM documents),
+        sh_d AS MATERIALIZED (
+            SELECT doc_id, list_distinct({_shingle_sql()}) AS shd,
+                   {_sh_hs} AS hs
+            FROM delta_src),
+        bands_b AS (SELECT doc_id, {", ".join(band_exprs)} FROM sh_b),
+        bands_d AS (SELECT doc_id, {", ".join(band_exprs)} FROM sh_d),
+        melted_b AS ({_melt('bands_b')}),
+        melted_d AS ({_melt('bands_d')}),
+        oversized AS (
+            SELECT band, band_key FROM melted_b
+            GROUP BY band, band_key HAVING count(*) > {MAX_BAND_BUCKET}),
+        kept_b AS (
+            SELECT m.* FROM melted_b m
+            WHERE NOT EXISTS (SELECT 1 FROM oversized o
+                              WHERE o.band = m.band
+                                AND o.band_key = m.band_key)),
+        cand AS (
+            SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+            FROM melted_d d JOIN kept_b b
+              ON d.band = b.band AND d.band_key = b.band_key)
+        SELECT c.delta_id, c.base_id, {_inc_jac} AS jaccard
+        FROM cand c
+        JOIN sh_b x ON x.doc_id = c.base_id
+        JOIN sh_d y ON y.doc_id = c.delta_id
+        WHERE {_inc_jac} >= 0.5
+        ORDER BY delta_id, base_id
     """
 
     # simhash (64-bit): each token hashes once to two 60-bit bigints
@@ -2028,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents))
         """,
         "near_duplicates": near_dup_sql,
+        "dedup_incremental": dedup_incremental_sql,
         "simhash": simhash_sql,
         "ann_topk": ann_sql,
         "winnow_fingerprints": f"""

@@ -4,6 +4,7 @@ or Arrow-batched pandas UDFs — no row-at-a-time Python."""
 
 from .dedup import (
     exact_duplicates,
+    incremental_near_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
     near_duplicates,
@@ -40,7 +41,8 @@ from .textstats import (
 from .langid import lang_id_model, train_lang_profiles
 
 __all__ = [
-    "exact_duplicates", "lsh_candidate_pairs", "minhash_signatures",
+    "exact_duplicates", "incremental_near_duplicates",
+    "lsh_candidate_pairs", "minhash_signatures",
     "near_duplicates", "ngram_jaccard", "simhash",
     "simhash_near_duplicates",
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",

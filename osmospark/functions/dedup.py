@@ -101,10 +101,16 @@ def lsh_candidate_pairs(documents: DataFrame,
     whenever no bucket exceeds the cap; pass ``max_bucket_size=None`` to
     disable."""
     sigs = minhash_signatures(documents, n_hashes)
+    exploded = _band_entries(sigs, n_hashes, bands)
+    return _banded_pairs(exploded, max_bucket_size, what="LSH")
+
+
+def _band_entries(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key) rows from a signature frame. ONE
+    projection computes every band key (a per-band union would make
+    Catalyst re-evaluate the whole minhash MD5 pipeline once per band and
+    once per self-join side — ~2×bands recomputations), then explode."""
     rows = n_hashes // bands
-    # ONE projection computes every band key (a per-band union would make
-    # Catalyst re-evaluate the whole minhash MD5 pipeline once per band and
-    # once per self-join side — ~2×bands recomputations), then explode.
     entries = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -112,9 +118,8 @@ def lsh_candidate_pairs(documents: DataFrame,
                                for r in range(rows)]).alias("band_key"))
         for b in range(bands)
     ])
-    exploded = (sigs.select("doc_id", F.explode(entries).alias("e"))
-                .select("doc_id", "e.band", "e.band_key"))
-    return _banded_pairs(exploded, max_bucket_size, what="LSH")
+    return (sigs.select("doc_id", F.explode(entries).alias("e"))
+            .select("doc_id", "e.band", "e.band_key"))
 
 
 def _banded_pairs(exploded: DataFrame,
@@ -203,6 +208,75 @@ def near_duplicates(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     return (ngram_jaccard(documents, pairs)
             .filter(F.col("jaccard") >= threshold)
             .orderBy("doc_a", "doc_b"))
+
+
+def incremental_near_duplicates(base: DataFrame, delta: DataFrame,
+                                threshold: float = 0.5,
+                                n_hashes: int = N_MINHASH,
+                                bands: int = LSH_BANDS,
+                                max_bucket_size: int | None =
+                                MAX_BAND_BUCKET) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING corpus —
+    the daily-delta shape at 100 TB. The base corpus is NEVER
+    self-joined or re-paired: candidate generation is ONE streaming pass
+    over the base's banded signature entries (exactly the table a
+    production pipeline keeps persisted between ingests) against the
+    BROADCAST delta bands (delta ≪ base), and the exact-Jaccard verify
+    streams base shingles once against the broadcast candidates + delta
+    shingles. Re-running the full ``near_duplicates`` self-join over
+    base+delta would cost O((B+D)²/buckets); this costs O(B) scans with
+    no base shuffle.
+
+    Same anti-skew cap as ``_banded_pairs``, applied to BASE buckets (a
+    boilerplate bucket of b docs would emit b candidates per matching
+    delta doc): over-cap buckets are dropped via a broadcast LEFT ANTI
+    whose sizing aggregate is keys-only, and the drop is logged.
+
+    Output: (delta_id, base_id, jaccard) with jaccard ≥ threshold."""
+    base_ex = _band_entries(minhash_signatures(base, n_hashes),
+                            n_hashes, bands).persist()
+    delta_ex = _band_entries(minhash_signatures(delta, n_hashes),
+                             n_hashes, bands)
+    joinable = base_ex
+    hot = None
+    if max_bucket_size is not None:
+        hot = (base_ex.groupBy("band", "band_key").count()
+               .filter(F.col("count") > max_bucket_size)
+               .select("band", "band_key")
+               .persist())
+        joinable = base_ex.join(F.broadcast(hot),
+                                ["band", "band_key"], "left_anti")
+    cand = (joinable.join(
+        F.broadcast(delta_ex.withColumnRenamed("doc_id", "delta_id")),
+        ["band", "band_key"])
+        .select("delta_id", F.col("doc_id").alias("base_id"))
+        .distinct()
+        .localCheckpoint(eager=True))
+    if hot is not None:
+        n_dropped = hot.count()     # cache hit — populated by cand's job
+        if n_dropped:
+            log.warning(
+                "incremental LSH: dropped %d base band buckets over the "
+                "%d-member cap", n_dropped, max_bucket_size)
+        hot.unpersist()
+    base_ex.unpersist()
+
+    bsh = base.select(F.col("doc_id").alias("base_id"),
+                      F.array_distinct(_shingles(F.col("text")))
+                      .alias("sh_b"))
+    dsh = delta.select(F.col("doc_id").alias("delta_id"),
+                       F.array_distinct(_shingles(F.col("text")))
+                       .alias("sh_d"))
+    return (bsh.join(F.broadcast(cand), "base_id")
+            .join(F.broadcast(dsh), "delta_id")
+            .select("delta_id", "base_id",
+                    F.round(
+                        F.size(F.array_intersect("sh_b", "sh_d"))
+                        .cast("double")
+                        / F.size(F.array_union("sh_b", "sh_d")), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("delta_id", "base_id"))
 
 
 def simhash_near_duplicates(documents: DataFrame,

@@ -780,3 +780,23 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
         "vec_id long, embedding array<float>")
     cb = kmeans_codebook(emb, cells=3, iters=2)
     assert cb[2] == [1_000_000, 0]
+
+
+def test_incremental_dedup_finds_planted_recrawls(spark):
+    from osmospark.functions.dedup import incremental_near_duplicates
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    delta = (base.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.array_join(F.slice(ws, F.lit(1), F.size(ws) - 1),
+                                  " ").alias("text")))
+    got = incremental_near_duplicates(base, delta, threshold=0.5).collect()
+    pairs = {(r.delta_id, r.base_id) for r in got}
+    # every perturbed recrawl must rediscover its source document
+    srcs = [r.doc_id for r in base.filter("doc_id % 5 = 0")
+            .select("doc_id").collect()]
+    missing = [s for s in srcs if (s + 1000000, s) not in pairs]
+    assert not missing, f"{len(missing)} planted recrawls missed"
+    assert all(r.jaccard >= 0.5 for r in got)
