@@ -982,6 +982,19 @@ def q_link_rank_dangling(spark, sf_dir):
     return link_rank(edges, iters=3, dangling="redistribute")
 
 
+def q_span_removal(spark, sf_dir):
+    """Lee et al. span REMOVAL over the same planted structure as
+    q_span_dedup (every 5th doc carries an identical 12-word tail →
+    3 shared 10-word spans): the canonical (lowest doc_id, pos)
+    occurrence keeps its words, every other occurrence is cut."""
+    from osmospark.functions.curation import span_dedup_remove
+    docs = _documents(spark, sf_dir)
+    aug = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                 F.concat(F.col("text"), F.lit(" " + SPAN_TAIL))) \
+        .otherwise(F.col("text"))
+    return span_dedup_remove(docs.select("doc_id", aug.alias("text")))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Daily-delta dedup: a new batch (planted recrawl-shaped
     perturbations — every 5th doc re-ingested minus its last word under
@@ -1087,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_model": q_lang_id_model,
         "ivf_kmeans": q_ivf_kmeans,
         "dedup_incremental": q_dedup_incremental,
+        "span_removal": q_span_removal,
     }
 
 
@@ -2303,6 +2317,53 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_frac
             FROM tot t LEFT JOIN fl f USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        # span_removal: same planted tails as span_dedup; the canonical
+        # (lowest doc_id, pos) occurrence of a repeated 10-word window
+        # survives, every other occurrence's positions are cut
+        "span_removal": f"""
+            WITH aug AS MATERIALIZED (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN ' {SPAN_TAIL}' ELSE '' END AS text
+              FROM documents),
+            w AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws,
+                     {_grams_sql(10)} AS gs
+              FROM aug),
+            dims AS MATERIALIZED (
+              SELECT unnest(range(1, (SELECT max(len(gs)) FROM w) + 1))
+                AS i),
+            occ AS MATERIALIZED (
+              SELECT doc_id, d.i - 1 AS pos,
+                     ('0x' || substr(md5(gs[d.i]), 1, 15))::BIGINT AS h
+              FROM w CROSS JOIN dims d WHERE d.i <= len(gs)),
+            bad AS MATERIALIZED (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY h) AS cnt,
+                       row_number() OVER (PARTITION BY h
+                           ORDER BY doc_id, pos) AS rn
+                FROM occ)
+              WHERE cnt > 1 AND rn > 1),
+            cov AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(flatten(list(range(pos, pos + 10))))
+                       AS cv
+              FROM bad GROUP BY doc_id),
+            fin AS (
+              SELECT w.doc_id, len(w.ws) AS nw,
+                     list_filter(list_transform(range(1, len(w.ws) + 1),
+                       i -> CASE WHEN NOT list_contains(
+                                     coalesce(c.cv, []), i - 1)
+                                 THEN w.ws[i] END),
+                       x -> x IS NOT NULL) AS kept
+              FROM w LEFT JOIN cov c USING (doc_id))
+            SELECT doc_id, CAST(nw AS INT) AS n_words,
+                   CAST(nw - len(kept) AS INT) AS n_removed,
+                   -- DuckDB's array_to_string([]) is NULL, Spark's is ''
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text
+            FROM fin ORDER BY doc_id
         """,
         "vocab_stats": f"""
             SELECT u AS word, count(*) AS count,

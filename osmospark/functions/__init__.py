@@ -23,7 +23,7 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
-from .curation import c4_quality_filter, span_dedup_stats
+from .curation import c4_quality_filter, span_dedup_remove, span_dedup_stats
 from .pipeline import cluster_pairs, corpus_pipeline, dup_clusters
 from .tokenizer import (
     bpe_token_counts,
@@ -48,7 +48,7 @@ __all__ = [
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
     "ivf_kmeans_assign", "ivf_topk", "ivf_topk_pruned", "kmeans_codebook",
     "lsh_topk", "recall_at_k",
-    "c4_quality_filter", "span_dedup_stats",
+    "c4_quality_filter", "span_dedup_remove", "span_dedup_stats",
     "cluster_pairs", "corpus_pipeline", "dup_clusters",
     "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",
     "fingerprints", "lang_id", "quality_scores", "token_counts",

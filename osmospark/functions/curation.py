@@ -336,6 +336,67 @@ def span_dedup_stats(documents: DataFrame, span_words: int = 10
             .orderBy("doc_id"))
 
 
+def span_dedup_remove(documents: DataFrame, span_words: int = 10
+                      ) -> DataFrame:
+    """Exact substring-span REMOVAL — the action ``span_dedup_stats``
+    only measures (Lee et al. 2022 remove one of every pair of
+    duplicated spans; this keeps the globally-first occurrence):
+
+    - every ``span_words``-word window is hashed (8-byte ints);
+    - an occurrence is removed iff its hash occurs more than once
+      corpus-wide AND it is not the canonical (lowest doc_id, then
+      lowest position) occurrence;
+    - a removed window covers its ``span_words`` word positions; the
+      cleaned text is the remaining words joined by single spaces
+      (text is normalized — lowercased, whitespace-collapsed — which
+      is the form dedup operates on anyway).
+
+    Plan shape at 100 TB: window hashes are computed map-side and ONE
+    window over h (count + row_number by (doc_id, pos)) finds both
+    repeats and canonicals in a single hash-keyed shuffle of (h,
+    doc_id, pos) tuples — document text never enters it. Covered
+    positions aggregate per doc (integers only), and the single place
+    text moves is the final doc_id equi-join back to the corpus — one
+    repartition of the corpus, the unavoidable re-association cost
+    (the suffix-array formulation pays a full sort instead).
+
+    Output: (doc_id, n_words, n_removed, clean_text)."""
+    from pyspark.sql import Window as W
+
+    grams = _word_grams(F.col("text"), span_words)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint"))
+    occ = documents.select(
+        "doc_id", F.posexplode(hashes).alias("pos", "h"))
+    wh = W.partitionBy("h")
+    who = W.partitionBy("h").orderBy("doc_id", "pos")
+    bad = (occ.withColumn("cnt", F.count("*").over(wh))
+           .withColumn("rn", F.row_number().over(who))
+           .filter((F.col("cnt") > 1) & (F.col("rn") > 1)))
+    cov = (bad.select("doc_id",
+                      F.sequence(F.col("pos"),
+                                 F.col("pos") + span_words - 1).alias("sp"))
+           .groupBy("doc_id")
+           .agg(F.array_distinct(F.flatten(F.collect_list("sp")))
+                .alias("cv")))
+    ws = _norm_words(F.col("text"))
+    cv = F.coalesce(F.col("cv"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size(ws) - 1),
+                    lambda i: F.when(~F.array_contains(cv, i),
+                                     F.element_at(ws, i + 1))),
+        lambda x: x.isNotNull())
+    return (documents.join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.size(ws).cast("int").alias("n_words"),
+                    (F.size(ws) - F.size(kept)).cast("int")
+                    .alias("n_removed"),
+                    F.array_join(kept, " ").alias("clean_text"))
+            .orderBy("doc_id"))
+
+
 def stratified_sample(documents: DataFrame,
                       fractions: dict[str, float],
                       key: str = "lang",

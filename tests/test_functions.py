@@ -800,3 +800,21 @@ def test_incremental_dedup_finds_planted_recrawls(spark):
     missing = [s for s in srcs if (s + 1000000, s) not in pairs]
     assert not missing, f"{len(missing)} planted recrawls missed"
     assert all(r.jaccard >= 0.5 for r in got)
+
+
+def test_span_removal_keeps_canonical_occurrence(spark):
+    from osmospark.functions.curation import span_dedup_remove
+
+    base = "a b c d e f g h i j k"           # 11 words, 2 10-word windows
+    df = spark.createDataFrame(
+        [(0, base),                           # canonical — untouched
+         (1, base),                           # full duplicate — emptied
+         (2, "totally different words here"),  # unique — untouched
+         (3, "a b c d e f g h i j z y x")],   # shares window 0 only
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup_remove(df).collect()}
+    assert got[0].clean_text == base and got[0].n_removed == 0
+    assert got[1].clean_text == "" and got[1].n_removed == 11
+    assert got[2].n_removed == 0
+    # doc 3: window at pos 0 duplicates doc 0 -> words 0..9 cut
+    assert got[3].clean_text == "z y x" and got[3].n_removed == 10
