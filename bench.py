@@ -169,14 +169,29 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     emb.count()
 
     from osmospark.functions import (
-        brute_force_topk, ivf_build, ivf_topk, ivf_topk_pruned, lsh_topk,
-        near_duplicates, quality_scores, simhash_near_duplicates,
-        token_counts,
+        brute_force_topk, incremental_near_duplicates, ivf_build, ivf_topk,
+        ivf_topk_pruned, lsh_topk, near_duplicates, quality_scores,
+        simhash_near_duplicates, span_dedup_remove, token_counts,
     )
 
     timed("dedup_minhash", lambda: _count(near_duplicates(docs, 0.5)))
     timed("dedup_simhash", lambda: _count(
         simhash_near_duplicates(docs, max_hamming=3)))
+
+    # daily-delta ingest: 20% of the corpus re-arrives perturbed and is
+    # deduped against the base WITHOUT re-pairing the base
+    def incr_bench():
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ws = F.split(norm, " ")
+        delta = (docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.array_join(F.slice(ws, F.lit(1),
+                                              F.size(ws) - 1), " ")
+                         .alias("text")))
+        return _count(incremental_near_duplicates(docs, delta, 0.5))
+
+    timed("dedup_incremental", incr_bench)
+    timed("span_removal", lambda: _count(span_dedup_remove(docs)))
     timed("text_stats", lambda: _count(
         token_counts(docs).join(quality_scores(docs), "doc_id")))
     timed("ann_brute", lambda: _count(
