@@ -982,6 +982,38 @@ def q_link_rank_dangling(spark, sf_dir):
     return link_rank(edges, iters=3, dangling="redistribute")
 
 
+def _planted_delta(docs):
+    """Recrawl-shaped delta: every 5th doc minus its last word, re-id'd
+    (+1e6) — shared by the batch and streaming incremental-dedup rows."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    return (docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.array_join(F.slice(ws, F.lit(1), F.size(ws) - 1), " ")
+                    .alias("text")))
+
+
+def q_dedup_incremental_streaming(spark, sf_dir):
+    """The SAME daily-delta dedup as q_dedup_incremental, but run as a
+    resumable Structured-Streaming ingest: the planted delta lands as
+    TWO parquet files, maxFilesPerTrigger=1 forces two micro-batches,
+    and the appended outputs must union to the batch answer (per-delta-
+    doc independence makes the equivalence exact) — so this row shares
+    the batch oracle at full strength."""
+    import os
+    import tempfile
+    from osmospark.streaming import streaming_incremental_dedup
+    wd = tempfile.mkdtemp(prefix="osmospark_stream_dedup_")
+    landing = os.path.join(wd, "landing")
+    out = os.path.join(wd, "out")
+    ckpt = os.path.join(wd, "ckpt")
+    docs = _documents(spark, sf_dir)
+    _planted_delta(docs).repartition(2).write.parquet(landing)
+    streaming_incremental_dedup(spark, docs, landing, out, ckpt,
+                                threshold=0.5, max_files_per_trigger=1)
+    return spark.read.parquet(out).orderBy("delta_id", "base_id")
+
+
 def q_span_removal(spark, sf_dir):
     """Lee et al. span REMOVAL over the same planted structure as
     q_span_dedup (every 5th doc carries an identical 12-word tail →
@@ -1004,13 +1036,8 @@ def q_dedup_incremental(spark, sf_dir):
     skew cap and the exact-Jaccard verify."""
     from osmospark.functions.dedup import incremental_near_duplicates
     docs = _documents(spark, sf_dir)
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    ws = F.split(norm, " ")
-    delta = (docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
-             .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                     F.array_join(F.slice(ws, F.lit(1), F.size(ws) - 1), " ")
-                     .alias("text")))
-    return incremental_near_duplicates(docs, delta, threshold=0.5)
+    return incremental_near_duplicates(docs, _planted_delta(docs),
+                                       threshold=0.5)
 
 
 def q_ivf_kmeans(spark, sf_dir):
@@ -1100,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_model": q_lang_id_model,
         "ivf_kmeans": q_ivf_kmeans,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_streaming": q_dedup_incremental_streaming,
         "span_removal": q_span_removal,
     }
 
@@ -2109,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_duplicates": near_dup_sql,
         "dedup_incremental": dedup_incremental_sql,
+        "dedup_incremental_streaming": dedup_incremental_sql,
         "simhash": simhash_sql,
         "ann_topk": ann_sql,
         "winnow_fingerprints": f"""

@@ -181,3 +181,41 @@ def run_to_memory(stream_df: DataFrame, name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_incremental_dedup(spark: SparkSession, base: DataFrame,
+                                landing_dir: str, out_dir: str,
+                                checkpoint_dir: str,
+                                threshold: float = 0.5,
+                                max_files_per_trigger: int | None = None,
+                                ) -> None:
+    """The daily-ingest dedup pipeline as a RESUMABLE streaming job:
+    delta batches land as parquet files (at cluster scale: the object-
+    store prefix an ingest service writes to); every micro-batch runs
+    ``dedup.incremental_near_duplicates`` against the static base corpus
+    and APPENDS (delta_id, base_id, jaccard) to the output table.
+
+    The checkpoint persists the file-source progress log, so each landed
+    file is processed exactly once ACROSS RESTARTS — kill the job, land
+    more files, rerun with the same checkpoint: already-deduped batches
+    are not re-emitted (tested). ``max_files_per_trigger`` bounds one
+    micro-batch's delta size — the backpressure knob that keeps the
+    broadcast delta side broadcast-SIZED no matter how many files queue
+    up during an outage.
+
+    Plan per micro-batch is exactly the batch operator's: the base is
+    never self-joined, never shuffled; only delta bands + candidates
+    move. ``availableNow`` drains everything pending, then stops."""
+    reader = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", max_files_per_trigger or 1000))
+    stream = reader.parquet(landing_dir)
+    from ..functions.dedup import incremental_near_duplicates
+
+    def route(bdf: DataFrame, _batch_id: int) -> None:
+        out = incremental_near_duplicates(base, bdf, threshold)
+        out.write.mode("append").parquet(out_dir)
+
+    q = (stream.writeStream.foreachBatch(route)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

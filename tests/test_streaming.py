@@ -194,3 +194,43 @@ def test_stateful_bloom_dedup_matches_exact_across_batches(spark, pages_dir):
     want = {r.url for r in bout.filter(F.col("row_kind") == "cont")
             .select("url").distinct().collect()}
     assert set(got) == want and len(want) > 5
+
+
+def test_streaming_incremental_dedup_resumes_exactly_once(
+        spark, tmp_path_factory):
+    """Land batch A, drain; land batch B, rerun with the SAME checkpoint:
+    the appended output must equal the one-shot batch answer over A∪B —
+    batch A is not re-emitted (file-source progress log) and batch B is
+    fully processed."""
+    from pyspark.sql import functions as F
+
+    from osmospark.functions.dedup import incremental_near_duplicates
+    from osmospark.streaming import streaming_incremental_dedup
+
+    wd = tmp_path_factory.mktemp("stream_dedup")
+    landing, out, ckpt = (str(wd / d) for d in ("landing", "out", "ckpt"))
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    delta = (base.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.array_join(F.slice(ws, F.lit(1), F.size(ws) - 1),
+                                  " ").alias("text")))
+    d_a = delta.filter("doc_id % 2 = 0")
+    d_b = delta.filter("doc_id % 2 = 1")
+
+    d_a.coalesce(1).write.parquet(landing)
+    streaming_incremental_dedup(spark, base, landing, out, ckpt, 0.5)
+    n_after_a = spark.read.parquet(out).count()
+
+    d_b.coalesce(1).write.mode("append").parquet(landing)
+    streaming_incremental_dedup(spark, base, landing, out, ckpt, 0.5)
+
+    got = sorted((r.delta_id, r.base_id, r.jaccard)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r.delta_id, r.base_id, r.jaccard)
+                  for r in incremental_near_duplicates(
+                      base, delta, 0.5).collect())
+    assert got == want
+    assert 0 < n_after_a < len(got)
