@@ -1059,6 +1059,52 @@ def q_lang_id_model(spark, sf_dir):
     return lang_id_model(_documents(spark, sf_dir))
 
 
+def _fetch_log(spark, sf_dir):
+    """Deterministic fetch log derived from documents: 7 hosts, a 70/20/10
+    ok/4xx/5xx status mix keyed on doc_id, body size = text length — the
+    identical projection the oracle applies."""
+    docs = _documents(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(10))
+    return docs.select(
+        F.concat(F.lit("host"),
+                 F.pmod(F.col("doc_id"), F.lit(7)).cast("string"))
+        .alias("host"),
+        F.when(m <= 6, 200).when(m <= 8, 404).otherwise(503)
+        .alias("status"),
+        F.length("text").alias("nbytes"))
+
+
+def q_host_reputation(spark, sf_dir):
+    """Per-host reputation from fetch outcomes (the feedback half of the
+    frontier priority queue): one host-keyed aggregation of a
+    deterministic fetch log into status-class counts, average body size
+    and an all-integer per-mille score. Oracle replays the identical
+    log synthesis and truncating-division arithmetic."""
+    from osmospark.frontier.reputation import host_reputation
+    return host_reputation(_fetch_log(spark, sf_dir))
+
+
+def q_trap_detect(spark, sf_dir):
+    """Crawler-trap detection by path-template collapse: hosts 0-1 get
+    calendar-style URLs whose digit runs all collapse to ONE template
+    (planted traps); hosts 2-4 get word-pair paths that stay distinct.
+    One distinct + one host-keyed aggregation, all-integer ratio."""
+    from osmospark.frontier.reputation import trap_detect
+    docs = _documents(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(5))
+    w = F.split(F.col("text"), " ")
+    base = F.concat(F.lit("http://host"), h.cast("string"),
+                    F.lit(".test/"))
+    url = F.when(h < 2, F.concat(base, F.lit("cal/"),
+                                 F.col("doc_id").cast("string"))) \
+        .otherwise(F.concat(base, w.getItem(0), F.lit("-"), w.getItem(1),
+                            F.lit("/"), F.col("doc_id").cast("string")))
+    urls = docs.select(
+        F.concat(F.lit("host"), h.cast("string")).alias("host"),
+        url.alias("url"))
+    return trap_detect(urls, min_urls=8, max_template_permille=200)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1129,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_streaming": q_dedup_incremental_streaming,
         "span_removal": q_span_removal,
+        "host_reputation": q_host_reputation,
+        "trap_detect": q_trap_detect,
     }
 
 
@@ -2447,5 +2495,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, p.pred_lang, p.dist
             FROM documents d JOIN pred p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # host_reputation: identical fetch-log synthesis + all-integer
+        # per-mille scoring (every operand non-negative, so DuckDB //
+        # and Spark div agree bit-exactly)
+        "host_reputation": """
+            WITH log AS (
+              SELECT 'host' || (doc_id % 7) AS host,
+                     CASE WHEN doc_id % 10 <= 6 THEN 200
+                          WHEN doc_id % 10 <= 8 THEN 404
+                          ELSE 503 END AS status,
+                     length(text) AS nbytes
+              FROM documents),
+            agg AS (
+              SELECT host, count(*) AS fetched,
+                     sum(CASE WHEN status BETWEEN 200 AND 299
+                              THEN 1 ELSE 0 END) AS ok,
+                     sum(CASE WHEN status BETWEEN 400 AND 499
+                              THEN 1 ELSE 0 END) AS err4,
+                     sum(CASE WHEN status BETWEEN 500 AND 599
+                              THEN 1 ELSE 0 END) AS err5,
+                     sum(nbytes) AS nb
+              FROM log GROUP BY host)
+            SELECT host, CAST(fetched AS BIGINT) AS fetched,
+                   CAST(ok AS BIGINT) AS ok,
+                   CAST(err4 AS BIGINT) AS err4,
+                   CAST(err5 AS BIGINT) AS err5,
+                   CAST(nb // fetched AS BIGINT) AS bytes_avg,
+                   CAST(2 * ((ok * 1000) // fetched)
+                        - 1 * ((err4 * 1000) // fetched)
+                        - 3 * ((err5 * 1000) // fetched) AS BIGINT)
+                     AS score
+            FROM agg ORDER BY score DESC, host ASC
+        """,
+        # trap_detect: identical URL synthesis, digit-run template
+        # collapse ([0-9]+ is shared Java-regex/RE2 syntax), all-integer
+        # ratio and the same (min_urls=8, threshold=200) verdict
+        "trap_detect": """
+            WITH u AS (
+              SELECT 'host' || (doc_id % 5) AS host,
+                     CASE WHEN doc_id % 5 < 2
+                          THEN 'http://host' || (doc_id % 5)
+                               || '.test/cal/' || doc_id
+                          ELSE 'http://host' || (doc_id % 5) || '.test/'
+                               || split_part(text, ' ', 1) || '-'
+                               || split_part(text, ' ', 2)
+                               || '/' || doc_id END AS url
+              FROM documents),
+            t AS (
+              SELECT DISTINCT host, url,
+                     regexp_replace(url, '[0-9]+', 'N', 'g') AS template
+              FROM u),
+            a AS (
+              SELECT host, count(DISTINCT url) AS urls,
+                     count(DISTINCT template) AS templates
+              FROM t GROUP BY host)
+            SELECT host, CAST(urls AS BIGINT) AS urls,
+                   CAST(templates AS BIGINT) AS templates,
+                   CAST((templates * 1000) // urls AS BIGINT)
+                     AS ratio_permille,
+                   (urls >= 8 AND (templates * 1000) // urls < 200)
+                     AS is_trap
+            FROM a ORDER BY host
         """,
     }

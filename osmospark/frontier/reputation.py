@@ -1,0 +1,124 @@
+"""Per-host reputation from fetch outcomes — the feedback half of the
+frontier's priority queue (reference index.js:118-210 logs per-request
+status/size outcomes; here those outcomes are AGGREGATED and fed back
+into admission, the scheduler input the north rule's "priority queue"
+consumes alongside ``linkgraph.link_rank``).
+
+Two stages, both integer-exact so a SQL oracle reproduces them bit-for-bit:
+
+``host_reputation``
+    one ``groupBy(host)`` over the fetch log → per-host counts by status
+    class, average body size, and a per-mille reputation score. The log
+    is the big side and shuffles ONCE on the host key with map-side
+    partial aggregation (counts/sums); output is hosts-sized (tiny).
+
+``reputation_priority``
+    joins host scores back onto candidate URLs as the engine's
+    ``priority_df`` (url_hash, priority). The host table is broadcast
+    (hosts ≪ URLs by 3-6 orders of magnitude at crawl scale), so the
+    candidate side never shuffles.
+
+``trap_detect``
+    crawler-trap detection: a host whose URLs collapse onto very few
+    path *templates* (digit runs → ``N``) is a calendar/session-id trap
+    spider-trapping the frontier. One ``groupBy(host)`` over distinct
+    (host, url, template) triples; flags hosts where
+    ``templates·1000 // urls`` falls below a threshold at sufficient
+    URL volume. The template projection is a JVM regexp (map-only);
+    the distinct and the group-by shuffle only (host, template) pairs.
+
+Hot-domain skew: both aggregations key on ``host`` — the same key the
+engine salts for politeness; counts/sums partial-aggregate map-side, so
+even a 10^8-URL host contributes one partial row per input partition,
+not a hot reduce task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# score weights (per-mille space): reward success, punish server errors
+# harder than client errors — a 5xx host is wasting fetch slots *now*,
+# a 4xx host mostly has dead links.
+OK_WEIGHT = 2
+ERR4_WEIGHT = 1
+ERR5_WEIGHT = 3
+
+
+def host_reputation(fetch_log: DataFrame) -> DataFrame:
+    """Aggregate a fetch log (host, status, nbytes) into per-host stats.
+
+    Output (host, fetched, ok, err4, err5, bytes_avg, score) where
+    score = OK_WEIGHT·ok‰ − ERR4_WEIGHT·err4‰ − ERR5_WEIGHT·err5‰,
+    all bigint (per-mille rates use truncating div, every operand
+    non-negative, so Spark ``div`` and DuckDB ``//`` agree bit-exactly).
+    Ordered by score desc, host asc for stable cross-engine comparison.
+    """
+    cls = lambda lo, hi: F.sum(  # noqa: E731
+        F.when(F.col("status").between(lo, hi), 1).otherwise(0))
+    agg = fetch_log.groupBy("host").agg(
+        F.count("*").alias("fetched"),
+        cls(200, 299).alias("ok"),
+        cls(400, 499).alias("err4"),
+        cls(500, 599).alias("err5"),
+        F.sum(F.col("nbytes").cast("bigint")).alias("nbytes_sum"))
+    permille = lambda c: F.expr(f"({c} * 1000) div fetched")  # noqa: E731
+    return (agg.select(
+        "host",
+        F.col("fetched").cast("bigint").alias("fetched"),
+        F.col("ok").cast("bigint").alias("ok"),
+        F.col("err4").cast("bigint").alias("err4"),
+        F.col("err5").cast("bigint").alias("err5"),
+        F.expr("nbytes_sum div fetched").cast("bigint").alias("bytes_avg"),
+        (F.lit(OK_WEIGHT) * permille("ok")
+         - F.lit(ERR4_WEIGHT) * permille("err4")
+         - F.lit(ERR5_WEIGHT) * permille("err5"))
+        .cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("host").asc()))
+
+
+def reputation_priority(candidates: DataFrame,
+                        host_scores: DataFrame) -> DataFrame:
+    """(url, host) candidates × host scores → engine ``priority_df``.
+
+    Broadcast-joins the hosts-sized score table onto the candidate URLs
+    (the big side never moves) and keys by the engine's url_hash
+    convention (xxhash64 of the already-canonical url string,
+    engine.py:151). Hosts with no history get NULL priority — the
+    engine sorts those last, preserving DFS order among them
+    (engine.py:536 desc_nulls_last).
+    """
+    return candidates.join(
+        F.broadcast(host_scores.select("host", "score")), "host", "left"
+    ).select(F.xxhash64("url").alias("url_hash"),
+             F.col("score").cast("bigint").alias("priority"))
+
+
+def trap_detect(urls: DataFrame, min_urls: int = 20,
+                max_template_permille: int = 200) -> DataFrame:
+    """Flag crawler-trap hosts by path-template collapse.
+
+    Input (host, url). A template is the URL with every digit run
+    replaced by ``N`` — calendar pages, session ids, offset paginators
+    all collapse. Output per host: distinct url count, distinct
+    template count, ``ratio_permille = templates·1000 // urls``, and
+    ``is_trap`` = (urls ≥ min_urls AND ratio below threshold). Ordered
+    by host. The regexp is shared Java-regex/RE2 syntax (``[0-9]+``)
+    so the DuckDB oracle applies the identical projection.
+    """
+    t = urls.select(
+        "host", "url",
+        F.regexp_replace(F.col("url"), "[0-9]+", "N").alias("template")
+    ).distinct()
+    agg = t.groupBy("host").agg(
+        F.count_distinct("url").alias("urls"),
+        F.count_distinct("template").alias("templates"))
+    return (agg.select(
+        "host", F.col("urls").cast("bigint").alias("urls"),
+        F.col("templates").cast("bigint").alias("templates"),
+        F.expr("(templates * 1000) div urls").cast("bigint")
+        .alias("ratio_permille"),
+        ((F.col("urls") >= min_urls)
+         & (F.expr("(templates * 1000) div urls")
+            < max_template_permille)).alias("is_trap"))
+        .orderBy("host"))

@@ -1,0 +1,118 @@
+"""Per-host reputation + crawler-trap detection (frontier/reputation.py).
+
+Unit tests on planted data (hand-computed scores / templates) plus the
+engine-integration test: reputation_priority's output drives FrontierEngine
+admission exactly like link_rank's priority_df (the reference's per-request
+status/size log, index.js:118-210, fed back into scheduling).
+"""
+
+from pyspark.sql import functions as F
+
+from osmospark.frontier.reputation import (
+    host_reputation, reputation_priority, trap_detect)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "host string, status int, nbytes long")
+
+
+def test_host_reputation_hand_computed(spark):
+    # hostA: 3 ok, 1 err4  -> ok 750‰, err4 250‰: 2*750 - 1*250 = 1250
+    # hostB: 1 ok, 1 err5  -> 2*500 - 3*500 = -500
+    rows = [("hostA", 200, 100), ("hostA", 201, 200), ("hostA", 299, 300),
+            ("hostA", 404, 50), ("hostB", 200, 10), ("hostB", 500, 30)]
+    out = host_reputation(_log(spark, rows)).collect()
+    assert [r.host for r in out] == ["hostA", "hostB"]  # score desc
+    a, b = out
+    assert (a.fetched, a.ok, a.err4, a.err5) == (4, 3, 1, 0)
+    assert a.bytes_avg == 650 // 4 and a.score == 1250
+    assert (b.fetched, b.ok, b.err5) == (2, 1, 1)
+    assert b.bytes_avg == 20 and b.score == -500
+
+
+def test_host_reputation_ignores_unclassified_statuses(spark):
+    # 3xx counts toward fetched + bytes but none of the rate classes
+    rows = [("h", 301, 100), ("h", 200, 300)]
+    r = host_reputation(_log(spark, rows)).collect()[0]
+    assert (r.fetched, r.ok, r.err4, r.err5) == (2, 1, 0, 0)
+    assert r.bytes_avg == 200 and r.score == 2 * 500
+
+
+def test_reputation_priority_broadcast_join_and_nulls(spark):
+    from osmospark.urlnorm import xxhash64_py
+
+    scores = host_reputation(_log(spark, [
+        ("good.test", 200, 10), ("bad.test", 500, 10)]))
+    cands = spark.createDataFrame(
+        [("good.test", "http://good.test/a"),
+         ("bad.test", "http://bad.test/a"),
+         ("new.test", "http://new.test/a")], "host string, url string")
+    out = {r.url_hash: r.priority
+           for r in reputation_priority(cands, scores).collect()}
+    assert out[xxhash64_py(b"http://good.test/a")] == 2000
+    assert out[xxhash64_py(b"http://bad.test/a")] == -3000
+    assert out[xxhash64_py(b"http://new.test/a")] is None  # no history
+
+
+def test_reputation_priority_plan_broadcasts_host_side(spark):
+    scores = host_reputation(_log(spark, [("h.test", 200, 1)]))
+    cands = spark.createDataFrame([("h.test", "http://h.test/")],
+                                  "host string, url string")
+    plan = reputation_priority(cands, scores)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_trap_detect_planted(spark):
+    # trap.test: 10 urls, one digit-collapsed template -> ratio 100
+    # ok.test: 10 urls, 10 word templates -> ratio 1000
+    # tiny.test: 2 urls, 1 template -> ratio 500 but under min_urls
+    rows = ([("trap.test", f"http://trap.test/cal/2024/{i}")
+             for i in range(10)]
+            + [("ok.test", f"http://ok.test/page-{'abcdefghij'[i]}")
+               for i in range(10)]
+            + [("tiny.test", f"http://tiny.test/x/{i}") for i in range(2)])
+    out = {r.host: r for r in trap_detect(
+        spark.createDataFrame(rows, "host string, url string"),
+        min_urls=8, max_template_permille=200).collect()}
+    t, ok, tiny = out["trap.test"], out["ok.test"], out["tiny.test"]
+    assert (t.urls, t.templates, t.ratio_permille, t.is_trap) == \
+        (10, 1, 100, True)
+    assert (ok.urls, ok.templates, ok.ratio_permille, ok.is_trap) == \
+        (10, 10, 1000, False)
+    assert (tiny.urls, tiny.templates, tiny.is_trap) == (2, 1, False)
+
+
+def test_trap_detect_dedups_repeated_urls(spark):
+    # the same URL seen 100 times is ONE url (frontier re-offers)
+    rows = [("h.test", "http://h.test/a/1")] * 100 + \
+        [("h.test", f"http://h.test/b/{i}") for i in range(3)]
+    r = trap_detect(spark.createDataFrame(
+        rows, "host string, url string"), min_urls=2).collect()[0]
+    assert r.urls == 4 and r.templates == 2
+
+
+def test_reputation_feeds_engine_admission(spark):
+    """End-to-end feedback loop: a fetch log scores one host's seed above
+    the DFS winner; with one politeness slot the engine must fetch the
+    reputation-ranked URL first (same contract as the link_rank test)."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 60, n_hosts=1, weight=1).cache()
+    pages.count()
+    seeds = [f"http://host0000.test/p/{i}" for i in (3, 5, 7)]
+
+    # seed 7's host is the only scored one... all seeds share one host,
+    # so score the URL level instead: give only seed 7 a host match by
+    # synthesizing per-URL pseudo-hosts for the priority join.
+    cands = spark.createDataFrame([(u, u) for u in seeds],
+                                  "host string, url string")
+    log = _log(spark, [(seeds[2], 200, 10)])  # only /p/7 has history
+    prio = reputation_priority(cands, host_reputation(log))
+
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=1, priority_df=prio)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=1, max_rounds=1)
+    assert {r.url for r in rec.select("url").collect()} == {seeds[2]}
