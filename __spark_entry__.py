@@ -1105,6 +1105,23 @@ def q_trap_detect(spark, sf_dir):
     return trap_detect(urls, min_urls=8, max_template_permille=200)
 
 
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-5 terms by all-integer tf-idf (per-mille inverse
+    document frequency, word-ascending tie-break): tf aggregation +
+    broadcast vocab-sized df join + per-doc top-k window."""
+    from osmospark.functions.textstats import tfidf_topterms
+    return tfidf_topterms(_documents(spark, sf_dir), k=5)
+
+
+def q_lm_score(spark, sf_dir):
+    """Self-trained unigram-LM fluency gate in integer space: token
+    surprisal = bit length of inverse corpus frequency (bin() prints
+    minimal binary identically in Spark and DuckDB), per-doc total and
+    per-mille average bits."""
+    from osmospark.functions.textstats import lm_score
+    return lm_score(_documents(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1177,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": q_span_removal,
         "host_reputation": q_host_reputation,
         "trap_detect": q_trap_detect,
+        "tfidf_topterms": q_tfidf_topterms,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2557,5 +2576,54 @@ def oracle_sql() -> dict[str, str]:
                    (urls >= 8 AND (templates * 1000) // urls < 200)
                      AS is_trap
             FROM a ORDER BY host
+        """,
+        # tfidf_topterms: identical whitespace tokenization, per-mille
+        # integer idf, word-ascending tie-break inside the top-k window
+        "tfidf_topterms": f"""
+            WITH ex AS MATERIALIZED (
+              SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf
+                   FROM ex GROUP BY doc_id, w),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df
+                    FROM ex GROUP BY w),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                     tf.tf * ((n.n_docs * 1000) // dfq.df) AS score_milli
+              FROM tf JOIN dfq USING (w) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_milli DESC, w ASC) AS rank
+              FROM scored)
+            SELECT doc_id, w AS word, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score_milli AS BIGINT) AS score_milli,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
+        """,
+        # lm_score: re-trains the unigram table and recomputes the
+        # bit-length surprisals (bin() prints minimal binary in both
+        # engines; all operands positive, // == div)
+        "lm_score": f"""
+            WITH ex AS MATERIALIZED (
+              SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            cnt AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+            tot AS (SELECT count(*) AS total FROM ex),
+            bits AS (
+              SELECT w, CAST(length(bin((tot.total * 1024) // cnt.cnt))
+                             AS BIGINT) AS bits
+              FROM cnt CROSS JOIN tot),
+            per_doc AS (
+              SELECT ex.doc_id, count(*) AS n_tokens,
+                     sum(b.bits) AS total_bits
+              FROM ex JOIN bits b USING (w)
+              GROUP BY ex.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(total_bits AS BIGINT) AS total_bits,
+                   CAST((total_bits * 1000) // n_tokens AS BIGINT)
+                     AS avg_bits_milli
+            FROM per_doc ORDER BY doc_id
         """,
     }

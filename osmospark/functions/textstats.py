@@ -119,3 +119,84 @@ def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
         F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))
         .alias("fingerprint"),
     )
+
+
+def tfidf_topterms(documents: DataFrame, k: int = 5,
+                   idf_scale: int = 1000) -> DataFrame:
+    """Per-document top-``k`` terms by integer tf-idf — the keyword /
+    topic-tag extractor of a curation pipeline (route documents by
+    salient terms, build per-domain term profiles).
+
+    All-integer so a SQL oracle is bit-exact: idf is the per-mille
+    inverse document frequency ``(n_docs·idf_scale) div df`` (the
+    standard log-idf is float; truncating-div inverse frequency
+    preserves the same ordering on any fixed corpus) and
+    ``score_milli = tf · idf_milli``. Ties break on the word
+    ascending, so top-k is deterministic.
+
+    Scale shape: explode → ONE (doc_id, word) aggregation for tf
+    (map-side partials); df is a vocab-sized word aggregation joined
+    back BROADCAST (the tf side never shuffles for it); n_docs is a
+    broadcast scalar. The only other shuffle is the per-doc top-k
+    window keyed on doc_id — partitions by document, no hot keys.
+    """
+    from pyspark.sql import Window
+
+    ex = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    tf = ex.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = ex.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = documents.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "w")
+              .crossJoin(F.broadcast(n))
+              .withColumn("idf_milli",
+                          F.expr(f"(n_docs * {idf_scale}) div df"))
+              .withColumn("score_milli", F.expr("tf * idf_milli")))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("w").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", F.col("w").alias("word"),
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    F.col("score_milli").cast("bigint").alias("score_milli"),
+                    F.col("rank").cast("bigint").alias("rank"))
+            .orderBy("doc_id", "rank"))
+
+
+def lm_score(documents: DataFrame, scale: int = 1024) -> DataFrame:
+    """Self-trained unigram-LM fluency score (the CCNet-style
+    perplexity gate in integer space): a token's surprisal is
+    approximated by the BIT LENGTH of its inverse corpus frequency,
+    ``length(bin((total_tokens·scale) div cnt(w)))`` ≈
+    log2(total/cnt) + log2(scale) — monotone in true unigram
+    surprisal and bit-exact across engines (Spark ``bin`` and DuckDB
+    ``bin`` both print minimal binary). A document full of rare
+    tokens scores high bits (gibberish / boilerplate-soup candidates),
+    common fluent text scores low.
+
+    Output per doc: n_tokens, total_bits, and
+    ``avg_bits_milli = (total_bits·1000) div n_tokens``.
+
+    Scale shape: the unigram table is vocab-sized → built with one
+    word-keyed aggregation (map-side partials) and joined back
+    BROADCAST; the token stream never shuffles for the model. One
+    final groupBy(doc_id) with partial sums. Total tokens is a
+    broadcast scalar.
+    """
+    ex = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    cnt = ex.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = ex.agg(F.count("*").alias("total"))
+    bits = (cnt.crossJoin(F.broadcast(tot))
+            .select("w", F.length(
+                F.bin(F.expr(f"(total * {scale}) div cnt")))
+                .cast("bigint").alias("bits")))
+    return (ex.join(F.broadcast(bits), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum("bits").cast("bigint").alias("total_bits"))
+            .select("doc_id", "n_tokens", "total_bits",
+                    F.expr("(total_bits * 1000) div n_tokens")
+                    .cast("bigint").alias("avg_bits_milli"))
+            .orderBy("doc_id"))

@@ -818,3 +818,56 @@ def test_span_removal_keeps_canonical_occurrence(spark):
     assert got[2].n_removed == 0
     # doc 3: window at pos 0 duplicates doc 0 -> words 0..9 cut
     assert got[3].clean_text == "z y x" and got[3].n_removed == 10
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    from osmospark.functions.textstats import tfidf_topterms
+
+    # 3 docs: "rare" appears only in doc 0 (df=1, idf=3000);
+    # "common" in all (df=3, idf=1000); doc 0 has common twice.
+    df = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common x"), (2, "common y")],
+        "doc_id long, text string")
+    got = tfidf_topterms(df, k=2).collect()
+    d0 = [(r.word, r.tf, r.df, r.score_milli, r.rank)
+          for r in got if r.doc_id == 0]
+    # rare: 1*3000 > common: 2*1000
+    assert d0 == [("rare", 1, 1, 3000, 1), ("common", 2, 3, 2000, 2)]
+    d1 = [(r.word, r.score_milli) for r in got if r.doc_id == 1]
+    assert d1 == [("x", 3000), ("common", 1000)]
+
+
+def test_tfidf_tie_breaks_on_word(spark):
+    from osmospark.functions.textstats import tfidf_topterms
+
+    df = spark.createDataFrame([(0, "b a"), (1, "z")],
+                               "doc_id long, text string")
+    got = [(r.word, r.rank) for r in tfidf_topterms(df, k=2).collect()
+           if r.doc_id == 0]
+    assert got == [("a", 1), ("b", 2)]  # equal scores -> word asc
+
+
+def test_lm_score_rare_tokens_score_higher(spark):
+    from osmospark.functions.textstats import lm_score
+
+    # doc 0 = all common tokens, doc 1 = all singletons
+    df = spark.createDataFrame(
+        [(0, "w w w w w w w w"), (1, "q1 q2 q3 q4")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_score(df).collect()}
+    # total=12; w: cnt=8 -> (12*1024)//8=1536 -> 11 bits
+    # qN: cnt=1 -> 12288 -> 14 bits
+    assert got[0].n_tokens == 8 and got[0].total_bits == 8 * 11
+    assert got[0].avg_bits_milli == 11000
+    assert got[1].total_bits == 4 * 14 and got[1].avg_bits_milli == 14000
+    assert got[1].avg_bits_milli > got[0].avg_bits_milli
+
+
+def test_tfidf_and_lm_broadcast_vocab_side(spark):
+    from osmospark.functions.textstats import tfidf_topterms, lm_score
+
+    df = spark.createDataFrame([(0, "a b"), (1, "b c")],
+                               "doc_id long, text string")
+    for out in (tfidf_topterms(df), lm_score(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:500]
