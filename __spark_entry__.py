@@ -1122,6 +1122,48 @@ def q_lm_score(spark, sf_dir):
     return lm_score(_documents(spark, sf_dir))
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Adaptive recrawl scheduling over a deterministic fetch history:
+    each doc becomes a URL with 2-4 fetches at arithmetic timestamps;
+    even docs never change content, odd docs change every fetch — so
+    change rates, staleness ages and recrawl scores are all hand-
+    derivable. One url-keyed shuffle (window + reused-partitioning
+    aggregation); oracle replays the identical lag/agg arithmetic."""
+    from osmospark.frontier.recrawl import recrawl_priority
+    docs = _documents(spark, sf_dir)
+    hist = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0),
+                             F.pmod(F.col("doc_id"), F.lit(3)) + 1))
+        .alias("i"))
+    hist = hist.select(
+        F.concat(F.lit("http://h"),
+                 F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                 F.lit(".test/p/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        (F.lit(1_000_000) + F.col("doc_id") * 100
+         + F.col("i") * (F.lit(500) + F.pmod(F.col("doc_id"), F.lit(50))))
+        .cast("bigint").alias("fetch_ts_s"),
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit("-"),
+                 F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(0))
+                 .otherwise(F.col("i")).cast("string"))
+        .alias("content_hash"))
+    return recrawl_priority(hist, now_s=2_000_000)
+
+
+def q_allocate_budget(spark, sf_dir):
+    """Reputation-weighted fetch-slot apportionment: the host_reputation
+    scores (shifted non-negative; min possible score is -3000) drive a
+    Hamilton largest-remainder split of 1000 slots that sums exactly —
+    the oracle replays scoring + apportionment end to end."""
+    from osmospark.frontier.reputation import (allocate_budget,
+                                               host_reputation)
+    rep = host_reputation(_fetch_log(spark, sf_dir))
+    weights = rep.select(
+        "host", (F.col("score") + 3000).cast("bigint").alias("weight"))
+    return allocate_budget(weights, total_slots=1000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1196,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect": q_trap_detect,
         "tfidf_topterms": q_tfidf_topterms,
         "lm_score": q_lm_score,
+        "recrawl_priority": q_recrawl_priority,
+        "allocate_budget": q_allocate_budget,
     }
 
 
@@ -2625,5 +2669,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST((total_bits * 1000) // n_tokens AS BIGINT)
                      AS avg_bits_milli
             FROM per_doc ORDER BY doc_id
+        """,
+        # recrawl_priority: identical history synthesis, then the same
+        # lag-in-fetch-order transition count and integer rate/score
+        # arithmetic (all operands non-negative)
+        "recrawl_priority": """
+            WITH hist AS MATERIALIZED (
+              SELECT 'http://h' || (doc_id % 7) || '.test/p/' || doc_id
+                       AS url,
+                     1000000 + doc_id * 100
+                       + i * (500 + doc_id % 50) AS fetch_ts_s,
+                     'h' || doc_id || '-'
+                       || (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE i END)
+                       AS content_hash
+              FROM (SELECT doc_id,
+                           unnest(range(0, 2 + doc_id % 3)) AS i
+                    FROM documents)),
+            marked AS (
+              SELECT url, fetch_ts_s,
+                     CASE WHEN lag(content_hash) OVER (
+                            PARTITION BY url
+                            ORDER BY fetch_ts_s, content_hash) IS NULL
+                          THEN 0
+                          WHEN content_hash = lag(content_hash) OVER (
+                            PARTITION BY url
+                            ORDER BY fetch_ts_s, content_hash)
+                          THEN 0 ELSE 1 END AS changed
+              FROM hist),
+            agg AS (
+              SELECT url, count(*) AS n_fetches, sum(changed) AS n_changes,
+                     min(fetch_ts_s) AS first_s, max(fetch_ts_s) AS last_s
+              FROM marked GROUP BY url)
+            SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+                   CAST(n_changes AS BIGINT) AS n_changes,
+                   CAST(greatest(last_s - first_s, 1) AS BIGINT) AS span_s,
+                   CAST(2000000 - last_s AS BIGINT) AS age_s,
+                   CAST((n_changes * 1000000)
+                        // greatest(last_s - first_s, 1) AS BIGINT)
+                     AS change_rate_ppm,
+                   CAST(((n_changes * 1000000)
+                         // greatest(last_s - first_s, 1)
+                         * (2000000 - last_s)) // 1000000 AS BIGINT)
+                     AS recrawl_score
+            FROM agg ORDER BY recrawl_score DESC, url ASC
+        """,
+        # allocate_budget: host_reputation scoring replayed, shifted
+        # non-negative, then Hamilton largest-remainder apportionment
+        # of 1000 slots (ties -> host asc; sums exactly by construction)
+        "allocate_budget": """
+            WITH log AS (
+              SELECT 'host' || (doc_id % 7) AS host,
+                     CASE WHEN doc_id % 10 <= 6 THEN 200
+                          WHEN doc_id % 10 <= 8 THEN 404
+                          ELSE 503 END AS status
+              FROM documents),
+            rep AS (
+              SELECT host, count(*) AS fetched,
+                     sum(CASE WHEN status BETWEEN 200 AND 299
+                              THEN 1 ELSE 0 END) AS ok,
+                     sum(CASE WHEN status BETWEEN 400 AND 499
+                              THEN 1 ELSE 0 END) AS err4,
+                     sum(CASE WHEN status BETWEEN 500 AND 599
+                              THEN 1 ELSE 0 END) AS err5
+              FROM log GROUP BY host),
+            w AS (
+              SELECT host,
+                     2 * ((ok * 1000) // fetched)
+                       - 1 * ((err4 * 1000) // fetched)
+                       - 3 * ((err5 * 1000) // fetched) + 3000 AS weight
+              FROM rep),
+            t AS (SELECT sum(weight) AS w_raw, count(*) AS n_hosts FROM w),
+            s AS (
+              SELECT host, weight,
+                     (1000 * (CASE WHEN w_raw = 0 THEN 1
+                                   ELSE weight END))
+                       // (CASE WHEN w_raw = 0 THEN n_hosts
+                                ELSE w_raw END) AS base,
+                     (1000 * (CASE WHEN w_raw = 0 THEN 1
+                                   ELSE weight END))
+                       % (CASE WHEN w_raw = 0 THEN n_hosts
+                               ELSE w_raw END) AS rem
+              FROM w CROSS JOIN t),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC)
+                       AS rk,
+                     sum(base) OVER () AS sb
+              FROM s)
+            SELECT host, CAST(weight AS BIGINT) AS weight,
+                   CAST(base + CASE WHEN rk <= 1000 - sb
+                                    THEN 1 ELSE 0 END AS BIGINT) AS slots
+            FROM r ORDER BY host
         """,
     }

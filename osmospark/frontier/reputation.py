@@ -122,3 +122,46 @@ def trap_detect(urls: DataFrame, min_urls: int = 20,
          & (F.expr("(templates * 1000) div urls")
             < max_template_permille)).alias("is_trap"))
         .orderBy("host"))
+
+
+def allocate_budget(host_weights: DataFrame, total_slots: int) -> DataFrame:
+    """Apportion a fixed per-round fetch budget across hosts by integer
+    weight — Hamilton's largest-remainder method, so the allocation is
+    all-integer, sums EXACTLY to ``total_slots``, and a SQL oracle
+    reproduces it bit-for-bit.
+
+    Input (host, weight:bigint >= 0), e.g. ``host_reputation`` scores
+    shifted non-negative. base_i = (total*w_i) div W; the leftover
+    slots (= sum of remainders / W, always < n_hosts) go to the largest
+    remainders, ties -> host asc. An all-zero weight table falls back
+    to uniform weight 1 (round-robin), keeping the exact-sum guarantee.
+
+    Scale note: the ranking window is a single global sort over the
+    HOSTS table — which is tiny by definition (10^6-ish hosts vs
+    10^10 URLs); the per-URL side never enters this job. W is a
+    broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    tot = host_weights.agg(
+        F.sum("weight").cast("bigint").alias("w_raw"),
+        F.count("*").cast("bigint").alias("n_hosts"))
+    scored = host_weights.crossJoin(F.broadcast(tot)).select(
+        "host", F.col("weight").cast("bigint").alias("weight"),
+        F.expr("CASE WHEN w_raw = 0 THEN 1 ELSE weight END").alias("w"),
+        F.expr("CASE WHEN w_raw = 0 THEN n_hosts ELSE w_raw END")
+        .alias("w_sum")
+    ).select(
+        "host", "weight",
+        F.expr(f"({total_slots} * w) div w_sum").alias("base"),
+        F.expr(f"({total_slots} * w) % w_sum").alias("rem"))
+    leftover = F.lit(total_slots) - F.sum("base").over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(),
+                                     F.col("host").asc()))
+    return (scored
+            .withColumn("extra", (rank <= leftover).cast("bigint"))
+            .select("host", "weight",
+                    (F.col("base") + F.col("extra")).cast("bigint")
+                    .alias("slots"))
+            .orderBy("host"))

@@ -116,3 +116,90 @@ def test_reputation_feeds_engine_admission(spark):
     rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
                            max_depth=1, max_rounds=1)
     assert {r.url for r in rec.select("url").collect()} == {seeds[2]}
+
+
+# ---- recrawl scheduling ---------------------------------------------------
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, fetch_ts_s long, content_hash string")
+
+
+def test_recrawl_priority_counts_real_transitions(spark):
+    from osmospark.frontier.recrawl import recrawl_priority
+
+    # A -> B -> A: 2 transitions (distinct-hash counting would say 1)
+    rows = [("u", 100, "A"), ("u", 200, "B"), ("u", 300, "A")]
+    r = recrawl_priority(_hist(spark, rows), now_s=500).collect()[0]
+    assert (r.n_fetches, r.n_changes, r.span_s, r.age_s) == (3, 2, 200, 200)
+    assert r.change_rate_ppm == (2 * 1_000_000) // 200  # 10000
+    assert r.recrawl_score == (10000 * 200) // 1_000_000  # 2
+
+
+def test_recrawl_priority_stable_and_cold_urls(spark):
+    from osmospark.frontier.recrawl import recrawl_priority
+
+    rows = [("stable", 100, "X"), ("stable", 400, "X"),   # never changed
+            ("cold", 300, "Y"),                           # single fetch
+            ("hot", 100, "a"), ("hot", 200, "b"), ("hot", 300, "c")]
+    got = {r.url: r for r in recrawl_priority(
+        _hist(spark, rows), now_s=1000).collect()}
+    assert got["stable"].n_changes == 0 and got["stable"].recrawl_score == 0
+    assert got["cold"].n_fetches == 1 and got["cold"].span_s == 1
+    assert got["cold"].change_rate_ppm == 0  # can't have changed
+    assert got["hot"].n_changes == 2
+    assert got["hot"].recrawl_score > got["stable"].recrawl_score
+    # ordering: hot first (score desc), then ties url asc
+    ordered = [r.url for r in recrawl_priority(
+        _hist(spark, rows), now_s=1000).collect()]
+    assert ordered == ["hot", "cold", "stable"]
+
+
+def test_recrawl_priority_single_exchange(spark):
+    from osmospark.frontier.recrawl import recrawl_priority
+
+    out = recrawl_priority(_hist(spark, [("u", 1, "A")]), now_s=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # window + groupBy share HashPartitioning(url): ONE url-keyed
+    # exchange; the only other allowed exchange is the final sort's range
+    import re
+    hashx = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hashx == 1, plan[:800]
+
+
+# ---- budget apportionment -------------------------------------------------
+
+def _weights(spark, rows):
+    return spark.createDataFrame(rows, "host string, weight long")
+
+
+def test_allocate_budget_hand_computed(spark):
+    from osmospark.frontier.reputation import allocate_budget
+
+    # W=6, total=10: bases 3,1,0 + remainders 2,4,0 -> leftover 6? no:
+    # base: a=(10*2)//6=3 rem 2; b=(10*1)//6=1 rem 4; c=(10*3)//6=5 rem 0
+    # sum base 9, leftover 1 -> largest rem is b
+    out = {r.host: r.slots for r in allocate_budget(
+        _weights(spark, [("a", 2), ("b", 1), ("c", 3)]), 10).collect()}
+    assert out == {"a": 3, "b": 2, "c": 5}
+    assert sum(out.values()) == 10
+
+
+def test_allocate_budget_exact_sum_property(spark):
+    from osmospark.frontier.reputation import allocate_budget
+
+    rows = [(f"h{i}", (i * 37) % 11) for i in range(23)]
+    for total in (7, 100, 1001):
+        got = allocate_budget(_weights(spark, rows), total).collect()
+        assert sum(r.slots for r in got) == total
+        assert all(r.slots >= 0 for r in got)
+
+
+def test_allocate_budget_zero_weights_round_robin(spark):
+    from osmospark.frontier.reputation import allocate_budget
+
+    rows = [("a", 0), ("b", 0), ("c", 0)]
+    out = {r.host: r.slots for r in allocate_budget(
+        _weights(spark, rows), 7).collect()}
+    # uniform fallback: 7 = 2+2+2 plus 1 extra to lowest host
+    assert out == {"a": 3, "b": 2, "c": 2}
