@@ -465,6 +465,75 @@ def q_crawl_frontier_priority(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+# per-host budgets for crawl_frontier_budget: host = doc % 3; h2 is
+# STARVED (0 slots — its frontier rows defer forever, proving budget
+# starvation relationally), h0/h1 split asymmetrically
+BUDGET_SLOTS = {0: 4, 1: 2, 2: 0}
+
+
+def doc_pages_multihost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_pages spread over 3 hosts (host = doc_id % 3) with ABSOLUTE
+    hrefs (a link's host is the target doc's, not the page's) — the
+    shape per-host budget admission needs to bind per host."""
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def _u(doc_col):
+        return F.concat(F.lit("http://h"),
+                        F.pmod(doc_col, F.lit(3)).cast("string"),
+                        F.lit(".docs.local/d/"), doc_col.cast("string"))
+
+    l1 = F.pmod(F.col("doc_id") + 1, F.lit(n))
+    l2 = F.pmod(F.col("doc_id") * 7 + 3, F.lit(n))
+    html = F.concat(
+        F.lit("<head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><div class="content">'), F.col("text"),
+        F.lit('</div><ul><li><a href="'), _u(l1),
+        F.lit('"></a></li><li><a href="'), _u(l2),
+        F.lit('"></a></li></ul></body>'))
+    return docs.select(
+        _u(F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+
+
+def q_crawl_frontier_budget(spark, sf_dir):
+    """Per-host budget-capped admission proven RELATIONALLY: the doc
+    graph spread over 3 hosts (doc % 3), a unique planted priority
+    bijection (doc·13+7 mod n, so no DFS tie-break is reached), and
+    allocate_budget-shaped slot caps {h0: 4, h1: 2, h2: 0} — h2 is
+    STARVED: its frontier rows defer every round and never appear.
+    Which urls are visited and at what depth depends entirely on the
+    per-host top-slots windows; the oracle replays 3 unrolled
+    admission/defer/discover rounds with PARTITION BY host windows."""
+    import math as _math
+    from osmospark.frontier import FrontierEngine
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    assert _math.gcd(13, n) == 1
+    url = F.concat(F.lit("http://h"),
+                   F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+                   F.lit(".docs.local/d/"), F.col("doc_id").cast("string"))
+    pr = docs.select(
+        F.xxhash64(url).alias("url_hash"),
+        F.pmod(F.col("doc_id") * 13 + 7, F.lit(n)).cast("bigint")
+        .alias("priority"))
+    budget = spark.createDataFrame(
+        [(f"h{h}.docs.local", s) for h, s in BUDGET_SLOTS.items()],
+        "host string, slots int")
+    engine = FrontierEngine(
+        spark, doc_pages_multihost(spark, sf_dir), dedup=True,
+        politeness=True, concurrency=PRIORITY_SLOTS, priority_df=pr,
+        host_budget_df=budget)
+    seeds = [f"http://h{i % 3}.docs.local/d/{i}"
+             for i in range(PRIORITY_SEEDS)]
+    records, _ = engine.run_crawl(
+        seeds, "li > a", extract_spec=None, max_depth=PRIORITY_DEPTH,
+        max_rounds=PRIORITY_ROUNDS)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Distributed redirect closure (reference index.js:226-231 redirect
     hop log, needle follow-limit + loop failure, test/get.js:85-106):
@@ -1176,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_streaming": q_crawl_frontier_streaming,
         "crawl_frontier_cuckoo": q_crawl_frontier_cuckoo,
         "crawl_frontier_priority": q_crawl_frontier_priority,
+        "crawl_frontier_budget": q_crawl_frontier_budget,
         "redirect_resolve": q_redirect_resolve,
         "nested_set_follow": q_nested_set_follow,
         "paginate_chain": q_paginate_chain,
@@ -1499,6 +1569,50 @@ def _frontier_priority_sql(n_docs: str) -> str:
     return (f"WITH {joined}\n"
             "        SELECT 'http://docs.local/d/' || doc AS url, "
             "d::INT AS depth\n"
+            f"        FROM ({admitted})")
+
+
+def _frontier_budget_sql(n_docs: str) -> str:
+    """_frontier_priority_sql with PER-HOST admission windows: host =
+    doc % 3, a{r} = rows with row_number() OVER (PARTITION BY host
+    ORDER BY p DESC) within the host's BUDGET_SLOTS cap (h2's 0 slots
+    admit nothing, ever — starvation). Defer/discover rounds are
+    identical to the priority replay."""
+    slots_case = ("CASE h WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 0 END")
+    assert BUDGET_SLOTS == {0: 4, 1: 2, 2: 0}  # keep CASE in sync
+    ctes = [
+        f"pr AS (SELECT doc_id AS doc, (doc_id * 13 + 7) % {n_docs} AS p,"
+        " doc_id % 3 AS h FROM documents)",
+        f"f0 AS (SELECT doc, 0 AS d FROM pr WHERE doc < {PRIORITY_SEEDS})",
+    ]
+    for r in range(PRIORITY_ROUNDS):
+        ctes.append(f"""a{r} AS (
+            SELECT doc, d FROM (
+                SELECT f.doc, f.d, pr.h,
+                       row_number() OVER (PARTITION BY pr.h
+                                          ORDER BY pr.p DESC) AS rn
+                FROM f{r} f JOIN pr ON pr.doc = f.doc)
+            WHERE rn <= {slots_case})""")
+        if r + 1 < PRIORITY_ROUNDS:
+            seen = " UNION ALL ".join(
+                f"SELECT doc FROM a{i}" for i in range(r + 1))
+            ctes.append(f"""f{r + 1} AS (
+            SELECT doc, max(d) AS d FROM (
+                SELECT u.nxt AS doc, a.d + 1 AS d
+                FROM a{r} a, unnest([(a.doc + 1) % {n_docs},
+                                     (a.doc * 7 + 3) % {n_docs}]) u(nxt)
+                WHERE a.d + 1 <= {PRIORITY_DEPTH}
+                UNION ALL
+                SELECT doc, d FROM f{r}
+                WHERE doc NOT IN (SELECT doc FROM a{r}))
+            WHERE doc NOT IN ({seen})
+            GROUP BY doc)""")
+    admitted = " UNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(PRIORITY_ROUNDS))
+    joined = ",\n        ".join(ctes)
+    return (f"WITH {joined}\n"
+            "        SELECT 'http://h' || (doc % 3) || '.docs.local/d/'"
+            " || doc AS url, d::INT AS depth\n"
             f"        FROM ({admitted})")
 
 
@@ -1939,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_streaming": crawl_frontier_sql,
         "crawl_frontier_cuckoo": crawl_frontier_sql,
         "crawl_frontier_priority": _frontier_priority_sql(n_docs),
+        "crawl_frontier_budget": _frontier_budget_sql(n_docs),
         "redirect_resolve": redirect_resolve_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,

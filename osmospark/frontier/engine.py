@@ -129,6 +129,7 @@ class FrontierEngine:
         follow_redirects: bool = True,
         max_redirects: int = 5,
         priority_df: DataFrame | None = None,
+        host_budget_df: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -255,6 +256,17 @@ class FrontierEngine:
                                F.col("priority").cast("bigint")
                                .alias("priority"))
             if priority_df is not None else None)
+        # optional per-host fetch-slot budgets (host, slots) — e.g.
+        # reputation.allocate_budget output. A budget CAPS the host's
+        # politeness slots for every round (least with the crawl-delay
+        # slots); slots=0 starves a host without dropping its frontier
+        # rows (they defer like any over-slot row). Hosts absent from
+        # the table keep the default. Hosts-sized → broadcast join.
+        self.host_budget_df = (
+            host_budget_df.select("host",
+                                  F.col("slots").cast("int")
+                                  .alias("_budget"))
+            if host_budget_df is not None else None)
 
     def pause(self) -> None:
         """Request a pause at the next round boundary (resume via
@@ -523,6 +535,14 @@ class FrontierEngine:
             ).drop("_cd")
         else:
             frontier = frontier.withColumn("_slots", F.lit(slots))
+        if self.host_budget_df is not None:
+            frontier = (frontier
+                        .join(F.broadcast(self.host_budget_df),
+                              "host", "left")
+                        .withColumn("_slots", F.coalesce(
+                            F.least(F.col("_slots"), F.col("_budget")),
+                            F.col("_slots")))
+                        .drop("_budget"))
         order = [F.col("depth").desc(),
                  F.col("sort_index").asc_nulls_last(),
                  F.col("url").asc()]

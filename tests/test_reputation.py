@@ -203,3 +203,52 @@ def test_allocate_budget_zero_weights_round_robin(spark):
         _weights(spark, rows), 7).collect()}
     # uniform fallback: 7 = 2+2+2 plus 1 extra to lowest host
     assert out == {"a": 3, "b": 2, "c": 2}
+
+
+def test_host_budget_caps_per_round_admission(spark):
+    """allocate_budget -> engine: with budgets (h0: 1 slot, h1: 2 slots)
+    and 3 seeds per host, round 1 fetches exactly the budgeted counts in
+    DFS order; a starved (slots=0) host fetches nothing but keeps its
+    frontier rows deferred, not dropped."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 120, n_hosts=4, weight=1).cache()
+    pages.count()
+    hosts = [f"host{i:04d}.test" for i in range(3)]
+    seeds = [f"http://{h}/p/{i}" for h in hosts for i in (3, 5, 7)]
+    budget = spark.createDataFrame(
+        [(hosts[0], 1), (hosts[1], 2), (hosts[2], 0)],
+        "host string, slots int")
+
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=5, host_budget_df=budget)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=1, max_rounds=1)
+    got = sorted(r.url for r in rec.select("url").collect())
+    assert got == sorted([f"http://{hosts[0]}/p/3",
+                          f"http://{hosts[1]}/p/3",
+                          f"http://{hosts[1]}/p/5"])
+
+
+def test_host_budget_at_or_above_concurrency_is_identity(spark):
+    """Budgets >= the politeness concurrency must not change the crawl
+    at all (least() semantics: budget only CAPS)."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 60, n_hosts=2, weight=1).cache()
+    pages.count()
+    seeds = [f"http://host{i:04d}.test/p/3" for i in range(2)]
+
+    def urls(budget):
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=2, host_budget_df=budget)
+        rec, _ = eng.run_crawl(seeds, "li > a", extract_spec=None,
+                               max_depth=2, max_rounds=3)
+        return sorted(r.url for r in rec.select("url").collect())
+
+    big = spark.createDataFrame(
+        [(f"host{i:04d}.test", 99) for i in range(2)],
+        "host string, slots int")
+    assert urls(big) == urls(None)
