@@ -158,6 +158,46 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     timed("crawl_robots", robots_bench)
 
+    # q3c: recrawl scheduling over a 3-fetch history of EVERY corpus URL
+    # (750k history rows at sf0.1): one url-keyed window+agg shuffle
+    def recrawl_bench():
+        from osmospark.frontier.recrawl import recrawl_priority
+        h = F.pmod(F.xxhash64("url"), F.lit(997))
+        hist = (pages.select("url", h.alias("_h"))
+                .select("url", "_h",
+                        F.explode(F.sequence(F.lit(0), F.lit(2)))
+                        .alias("i"))
+                .select("url",
+                        (F.lit(1_000_000) + F.col("_h")
+                         + F.col("i") * 3600).alias("fetch_ts_s"),
+                        F.when(F.pmod(F.col("_h"), F.lit(3)) == 0,
+                               F.lit("stable"))
+                        .otherwise(F.concat_ws("-", "url",
+                                               F.col("i").cast("string")))
+                        .alias("content_hash")))
+        return _count(recrawl_priority(hist, now_s=1_100_000))
+
+    timed("recrawl_priority", recrawl_bench)
+
+    # q3d: the full frontier feedback loop at corpus scale — fetch-log →
+    # per-host reputation → Hamilton budget apportionment (one host-keyed
+    # agg over 250k rows + hosts-sized windows)
+    def feedback_bench():
+        from osmospark.frontier.reputation import (allocate_budget,
+                                                   host_reputation)
+        h = F.pmod(F.xxhash64("url"), F.lit(100))
+        log = pages.select(
+            F.regexp_extract("url", r"//([^/]+)/", 1).alias("host"),
+            F.when(h < 70, 200).when(h < 90, 404).otherwise(503)
+            .alias("status"),
+            F.length("html").alias("nbytes"))
+        rep = host_reputation(log)
+        return _count(allocate_budget(
+            rep.select("host", (F.col("score") + 3000).alias("weight")),
+            total_slots=10_000))
+
+    timed("frontier_feedback", feedback_bench)
+
     # parquet at small sf reads as 1-2 splits — repartition so the text /
     # vector pipelines actually parallelize (at 100 TB the scan itself
     # yields thousands of splits and this is a no-op concern)
