@@ -1233,6 +1233,35 @@ def q_allocate_budget(spark, sf_dir):
     return allocate_budget(weights, total_slots=1000)
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation per link target over the doc link graph
+    ((id+1)%N and (id·7+3)%N), anchors drawn deterministically from the
+    source text (word 1+id%3 on edge 1, word 2 on edge 2 — the 31-word
+    vocab makes anchors collide so top-anchor ranking is non-trivial).
+    One (dst, anchor) aggregation + per-dst window; oracle replays the
+    identical synthesis and tie-breaks."""
+    from osmospark.functions.linkgraph import anchor_texts
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    host = F.concat(F.lit("h"),
+                    F.pmod(F.col("doc_id"), F.lit(5)).cast("string"))
+    e1 = docs.select(
+        host.alias("src_host"),
+        F.concat(F.lit("http://d/"),
+                 F.pmod(F.col("doc_id") + 1, F.lit(n)).cast("string"))
+        .alias("dst_url"),
+        F.element_at(w, F.pmod(F.col("doc_id"), F.lit(3)).cast("int") + 1)
+        .alias("anchor"))
+    e2 = docs.select(
+        host.alias("src_host"),
+        F.concat(F.lit("http://d/"),
+                 F.pmod(F.col("doc_id") * 7 + 3, F.lit(n)).cast("string"))
+        .alias("dst_url"),
+        F.element_at(w, F.lit(2)).alias("anchor"))
+    return anchor_texts(e1.unionByName(e2))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1310,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "recrawl_priority": q_recrawl_priority,
         "allocate_budget": q_allocate_budget,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -2874,5 +2904,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= 1000 - sb
                                     THEN 1 ELSE 0 END AS BIGINT) AS slots
             FROM r ORDER BY host
+        """,
+        # anchor_texts: identical edge/anchor synthesis, then the same
+        # (dst, anchor) counting, per-dst top-1 window (count desc,
+        # anchor asc) and two-phase distinct linking hosts
+        "anchor_texts": f"""
+            WITH nmax AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e AS MATERIALIZED (
+              SELECT 'h' || (doc_id % 5) AS src_host,
+                     'http://d/' || ((doc_id + 1) % n) AS dst_url,
+                     ({_WORDS})[1 + doc_id % 3] AS anchor
+              FROM documents, nmax
+              UNION ALL
+              SELECT 'h' || (doc_id % 5),
+                     'http://d/' || ((doc_id * 7 + 3) % n),
+                     ({_WORDS})[2]
+              FROM documents, nmax),
+            pa AS (SELECT dst_url, anchor, count(*) AS cnt
+                   FROM e GROUP BY dst_url, anchor),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY dst_url
+                       ORDER BY cnt DESC, anchor ASC) AS rn,
+                     sum(cnt) OVER (PARTITION BY dst_url) AS total,
+                     count(*) OVER (PARTITION BY dst_url) AS n_anchors
+              FROM pa),
+            h AS (SELECT dst_url, count(*) AS n_src_hosts
+                  FROM (SELECT DISTINCT dst_url, src_host FROM e)
+                  GROUP BY dst_url)
+            SELECT dst_url, CAST(total AS BIGINT) AS n_links,
+                   CAST(n_anchors AS BIGINT) AS n_anchors,
+                   CAST(n_src_hosts AS BIGINT) AS n_src_hosts,
+                   anchor AS top_anchor,
+                   CAST(cnt AS BIGINT) AS top_anchor_cnt
+            FROM r JOIN h USING (dst_url) WHERE rn = 1
+            ORDER BY dst_url
         """,
     }

@@ -100,3 +100,48 @@ def link_rank(edges: DataFrame, iters: int = 3,
             from ..frontier.engine import _checkpoint_truncated
             r = _checkpoint_truncated(r)
     return r.orderBy("node_id")
+
+
+def anchor_texts(edges: DataFrame) -> DataFrame:
+    """Aggregate anchor text per link TARGET — the web-scale signal
+    search and LLM-pretraining pipelines mine from a crawl's link
+    graph (anchors describe the target better than the target's own
+    boilerplate; cf. the anchor-text columns of Common Crawl's
+    columnar index). Input (src_host, dst_url, anchor).
+
+    Output per dst_url: total in-links, distinct anchor strings,
+    distinct linking hosts, the most-frequent anchor (ties → anchor
+    asc) and its count. Ordered by dst_url.
+
+    Scale shape: one groupBy(dst_url, anchor) with map-side partial
+    counts (the anchor strings collapse BEFORE the per-target window,
+    so a 10^6-in-link target with one repeated anchor is one row);
+    the per-dst window and total ride the same (dst_url) partitioning
+    — Catalyst plans the (dst,anchor)→(dst) pair without a second
+    full-width exchange of raw links. Distinct linking hosts is the
+    standard two-phase distinct on (dst_url, src_host) pairs.
+    """
+    from pyspark.sql import Window
+
+    per_anchor = edges.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc())
+    ranked = (per_anchor
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_total",
+                          F.sum("cnt").over(Window.partitionBy("dst_url")))
+              .withColumn("_n_anchors",
+                          F.count("*").over(Window.partitionBy("dst_url")))
+              .filter(F.col("_rn") == 1))
+    hosts = (edges.select("dst_url", "src_host").distinct()
+             .groupBy("dst_url")
+             .agg(F.count("*").alias("n_src_hosts")))
+    return (ranked.join(hosts, "dst_url")
+            .select("dst_url",
+                    F.col("_total").cast("bigint").alias("n_links"),
+                    F.col("_n_anchors").cast("bigint").alias("n_anchors"),
+                    F.col("n_src_hosts").cast("bigint").alias("n_src_hosts"),
+                    F.col("anchor").alias("top_anchor"),
+                    F.col("cnt").cast("bigint").alias("top_anchor_cnt"))
+            .orderBy("dst_url"))

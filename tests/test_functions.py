@@ -871,3 +871,41 @@ def test_tfidf_and_lm_broadcast_vocab_side(spark):
     for out in (tfidf_topterms(df), lm_score(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan[:500]
+
+
+def test_anchor_texts_hand_computed(spark):
+    from osmospark.functions.linkgraph import anchor_texts
+
+    rows = [("a.test", "http://t/1", "click"),
+            ("b.test", "http://t/1", "click"),
+            ("b.test", "http://t/1", "here"),
+            ("a.test", "http://t/2", "zz"),
+            ("a.test", "http://t/2", "aa")]  # tie: cnt 1 each -> aa wins
+    got = {r.dst_url: r for r in anchor_texts(
+        spark.createDataFrame(
+            rows, "src_host string, dst_url string, anchor string")
+    ).collect()}
+    t1 = got["http://t/1"]
+    assert (t1.n_links, t1.n_anchors, t1.n_src_hosts) == (3, 2, 2)
+    assert (t1.top_anchor, t1.top_anchor_cnt) == ("click", 2)
+    t2 = got["http://t/2"]
+    assert (t2.top_anchor, t2.top_anchor_cnt) == ("aa", 1)
+    assert t2.n_src_hosts == 1
+
+
+def test_anchor_texts_collapses_before_window(spark):
+    """A hot target with one repeated anchor must reach the per-dst
+    window as ONE row (the groupBy collapses map-side) — assert the
+    window input is the (dst, anchor) aggregate, not raw links."""
+    from osmospark.functions.linkgraph import anchor_texts
+
+    rows = [("h.test", "http://hot/", "x")] * 1000
+    df = spark.createDataFrame(
+        rows, "src_host string, dst_url string, anchor string")
+    out = anchor_texts(df)
+    r = out.collect()[0]
+    assert (r.n_links, r.n_anchors, r.top_anchor_cnt) == (1000, 1, 1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the aggregate must appear below the window in the plan tree
+    assert plan.index("HashAggregate") > plan.index("Window") or \
+        "partial_count" in plan.lower()
