@@ -1262,6 +1262,24 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_texts(e1.unionByName(e2))
 
 
+def q_hits(spark, sf_dir):
+    """Integer HITS hubs/authorities over the arithmetic link graph
+    ((id+1)%N ring + non-bijective (id²+1)%N so in-degrees spread);
+    max-normalized bigint half-iterations — the oracle re-runs both
+    iterations via unrolled CTEs with the same scalar-max division."""
+    from osmospark.functions.linkgraph import hits
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    ).union(docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n))
+        .alias("dst")))
+    return hits(edges, iters=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1340,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "allocate_budget": q_allocate_budget,
         "anchor_texts": q_anchor_texts,
+        "hits": q_hits,
     }
 
 
@@ -1600,6 +1619,43 @@ def _frontier_priority_sql(n_docs: str) -> str:
             "        SELECT 'http://docs.local/d/' || doc AS url, "
             "d::INT AS depth\n"
             f"        FROM ({admitted})")
+
+
+def _hits_sql(iters: int = 2, unit: int = 1_000_000) -> str:
+    """Unrolled integer-HITS CTE chain: per iteration an in-link sum of
+    hubs (max-normalized) then an out-link sum of authorities
+    (max-normalized), mirroring linkgraph.hits bit-for-bit (every
+    operand non-negative, scalar max via subquery)."""
+    ctes = [
+        "nmax AS (SELECT max(doc_id) + 1 AS n FROM documents)",
+        ("edges AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst "
+         "FROM documents, nmax UNION ALL "
+         "SELECT doc_id, (doc_id * doc_id + 1) % n "
+         "FROM documents, nmax)"),
+        ("nodes AS (SELECT DISTINCT src AS id FROM edges "
+         "UNION SELECT DISTINCT dst FROM edges)"),
+        f"h0 AS (SELECT id, {unit}::BIGINT AS h FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ar{k} AS (SELECT e.dst AS id, sum(h.h) AS raw "
+            f"FROM edges e JOIN h{k - 1} h ON h.id = e.src "
+            "GROUP BY e.dst)")
+        ctes.append(
+            f"a{k} AS (SELECT nd.id, CAST((coalesce(r.raw, 0) * {unit}) "
+            f"// (SELECT greatest(max(raw), 1) FROM ar{k}) AS BIGINT) "
+            f"AS a FROM nodes nd LEFT JOIN ar{k} r ON r.id = nd.id)")
+        ctes.append(
+            f"hr{k} AS (SELECT e.src AS id, sum(a.a) AS raw "
+            f"FROM edges e JOIN a{k} a ON a.id = e.dst GROUP BY e.src)")
+        ctes.append(
+            f"h{k} AS (SELECT nd.id, CAST((coalesce(r.raw, 0) * {unit}) "
+            f"// (SELECT greatest(max(raw), 1) FROM hr{k}) AS BIGINT) "
+            f"AS h FROM nodes nd LEFT JOIN hr{k} r ON r.id = nd.id)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT h.id AS node_id, h.h AS hub_u, a.a AS auth_u"
+            f" FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
+            " ORDER BY node_id")
 
 
 def _frontier_budget_sql(n_docs: str) -> str:
@@ -2940,4 +2996,5 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN h USING (dst_url) WHERE rn = 1
             ORDER BY dst_url
         """,
+        "hits": _hits_sql(),
     }

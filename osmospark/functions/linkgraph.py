@@ -145,3 +145,57 @@ def anchor_texts(edges: DataFrame) -> DataFrame:
                     F.col("anchor").alias("top_anchor"),
                     F.col("cnt").cast("bigint").alias("top_anchor_cnt"))
             .orderBy("dst_url"))
+
+
+def hits(edges: DataFrame, iters: int = 2, unit: int = RANK_UNIT,
+         checkpoint_every: int = 5) -> DataFrame:
+    """Integer HITS (Kleinberg 1999) over (src, dst) edges — hubs and
+    authorities for frontier prioritization: authorities are the pages
+    worth fetching, hubs the pages worth re-parsing for links.
+    PageRank's companion, same all-bigint discipline.
+
+    Per half-iteration the standard normalization (L2 in the float
+    formulation) becomes max-normalization in integer space:
+    ``x := (x·unit) div max(x)`` — scale-invariant for ranking, keeps
+    every value in [0, unit], and a SQL oracle reproduces it
+    bit-for-bit (all operands non-negative). Nodes with no in-links
+    get authority 0; no out-links, hub 0.
+
+    Scale shape per iteration: two edge-keyed join+aggregate passes
+    (edges ⋈ hubs on src → groupBy(dst); edges ⋈ auths on dst →
+    groupBy(src)) — the edge table shuffles on its natural keys, rank
+    frames are nodes-sized, and the max is a 1-row broadcast scalar.
+    ``checkpoint_every`` flattens lineage as in ``link_rank``.
+    """
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id"))).distinct())
+    hub = nodes.select("id", F.lit(unit).cast("bigint").alias("h"))
+    auth = nodes.select("id", F.lit(0).cast("bigint").alias("a"))
+
+    def _norm(raw: DataFrame, key: str, col: str, out: str) -> DataFrame:
+        mx = raw.agg(F.greatest(F.max(col), F.lit(1)).alias("_m"))
+        return (nodes.join(raw.withColumnRenamed(key, "id"), "id", "left")
+                .crossJoin(F.broadcast(mx))
+                .select("id", F.expr(
+                    f"(coalesce({col}, 0L) * {unit}) div _m")
+                    .cast("bigint").alias(out)))
+
+    for i in range(iters):
+        a_raw = (e.join(hub.withColumnRenamed("id", "src"), "src")
+                 .groupBy("dst").agg(F.sum("h").alias("_raw")))
+        auth = _norm(a_raw, "dst", "_raw", "a")
+        h_raw = (e.join(auth.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("a").alias("_raw")))
+        hub = _norm(h_raw, "src", "_raw", "h")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            from ..frontier.engine import _checkpoint_truncated
+            hub = _checkpoint_truncated(hub)
+            auth = _checkpoint_truncated(auth)
+    return (hub.join(auth, "id")
+            .select(F.col("id").alias("node_id"),
+                    F.col("h").alias("hub_u"),
+                    F.col("a").alias("auth_u"))
+            .orderBy("node_id"))

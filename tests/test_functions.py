@@ -909,3 +909,44 @@ def test_anchor_texts_collapses_before_window(spark):
     # the aggregate must appear below the window in the plan tree
     assert plan.index("HashAggregate") > plan.index("Window") or \
         "partial_count" in plan.lower()
+
+
+def test_hits_hand_computed_star(spark):
+    """Star graph: hubs 1,2,3 -> authority 0. After iteration 1 the
+    center has ALL the authority (unit), spokes have hub unit, and the
+    center's hub / spokes' authority are 0 (no out/in links)."""
+    from osmospark.functions.linkgraph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    got = {r.node_id: r for r in hits(edges, iters=1).collect()}
+    assert got[0].auth_u == 1_000_000 and got[0].hub_u == 0
+    for s in (1, 2, 3):
+        assert got[s].hub_u == 1_000_000 and got[s].auth_u == 0
+
+
+def test_hits_distinguishes_hub_quality(spark):
+    """Two hubs: h1 links to both authorities, h2 to one — after 2
+    iterations h1's hub score must exceed h2's; the doubly-linked
+    authority must outrank the singly-linked one."""
+    from osmospark.functions.linkgraph import hits
+
+    edges = spark.createDataFrame(
+        [(10, 0), (10, 1), (20, 0)], "src long, dst long")
+    got = {r.node_id: r for r in hits(edges, iters=2).collect()}
+    assert got[10].hub_u > got[20].hub_u
+    assert got[0].auth_u == 1_000_000  # max-normalized top authority
+    assert got[0].auth_u > got[1].auth_u
+
+
+def test_hits_checkpoint_invariant(spark):
+    from osmospark.functions.linkgraph import hits
+
+    edges = spark.createDataFrame(
+        [(i, (i * i + 1) % 7) for i in range(7)]
+        + [(i, (i + 1) % 7) for i in range(7)], "src long, dst long")
+    plain = [tuple(r) for r in hits(edges, iters=4,
+                                    checkpoint_every=0).collect()]
+    ck = [tuple(r) for r in hits(edges, iters=4,
+                                 checkpoint_every=2).collect()]
+    assert plain == ck
