@@ -1280,6 +1280,34 @@ def q_hits(spark, sf_dir):
     return hits(edges, iters=2)
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC ingestion round-trip: each doc becomes a synthesized WARC
+    response record (varied WARC-Date seconds, status mix, content-type
+    mix), parsed back by pure-JVM expressions into the input_hint pages
+    shape. The oracle rebuilds the identical record STRINGS and re-parses
+    them with position-based splits and the same regexes — an honest
+    independent replay of the parse, not of the synthesis alone."""
+    from osmospark.warc import make_warc_record, warc_records
+    docs = _documents(spark, sf_dir)
+    body = F.concat(
+        F.lit("<head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><div>"), F.col("text"),
+        F.lit("</div></body>"))
+    m = F.pmod(F.col("doc_id"), F.lit(10))
+    rec = docs.select(make_warc_record(
+        F.concat(F.lit(f"{DOC_HOST}/d/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("2026-01-01T00:00:0"), m.cast("string"),
+                 F.lit("Z")),
+        F.when(m <= 6, "200").when(m <= 8, "404").otherwise("503"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+               F.lit("text/plain")).otherwise(F.lit("text/html")),
+        body).alias("value"))
+    return (warc_records(rec)
+            .select("url", "warc_ts", "status", "content_type",
+                    F.decode("html", "UTF-8").alias("body"), "text")
+            .orderBy("url"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1359,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allocate_budget": q_allocate_budget,
         "anchor_texts": q_anchor_texts,
         "hits": q_hits,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2997,4 +3026,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY dst_url
         """,
         "hits": _hits_sql(),
+        # warc_ingest: rebuild the identical record strings, then
+        # re-parse with position-based splits + the same regexes
+        "warc_ingest": f"""
+            WITH rec AS MATERIALIZED (
+              SELECT 'WARC-Type: response' || e'\\r\\n'
+                  || 'WARC-Target-URI: http://docs.local/d/' || doc_id
+                  || e'\\r\\n' || 'WARC-Date: 2026-01-01T00:00:0'
+                  || (doc_id % 10) || 'Z'
+                  || e'\\r\\n\\r\\n' || 'HTTP/1.1 '
+                  || (CASE WHEN doc_id % 10 <= 6 THEN '200'
+                           WHEN doc_id % 10 <= 8 THEN '404'
+                           ELSE '503' END)
+                  || ' X' || e'\\r\\n' || 'Content-Type: '
+                  || (CASE WHEN doc_id % 4 = 0 THEN 'text/plain'
+                           ELSE 'text/html' END)
+                  || e'\\r\\n\\r\\n'
+                  || '<head><title>doc ' || doc_id
+                  || '</title></head><body><div>' || text
+                  || '</div></body>' AS v
+              FROM documents),
+            sp AS (
+              SELECT v, strpos(v, e'\\r\\n\\r\\n') AS p1 FROM rec),
+            sp2 AS (
+              SELECT substring(v, 1, p1 - 1) AS warc_hdr,
+                     substring(v, p1 + 4) AS rest
+              FROM sp),
+            sp3 AS (
+              SELECT warc_hdr,
+                     substring(rest, 1, strpos(rest, e'\\r\\n\\r\\n') - 1)
+                       AS http_hdr,
+                     regexp_replace(
+                       substring(rest, strpos(rest, e'\\r\\n\\r\\n') + 4),
+                       '(\\r\\n)+$', '') AS body
+              FROM sp2)
+            SELECT regexp_extract(warc_hdr,
+                     'WARC-Target-URI: (\\S+)', 1) AS url,
+                   strptime(regexp_extract(warc_hdr,
+                     'WARC-Date: (\\S+)', 1),
+                     '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+                   CAST(regexp_extract(http_hdr,
+                     '^HTTP/1\\.[01] ([0-9]{{3}})', 1) AS INT) AS status,
+                   regexp_extract(http_hdr,
+                     'Content-Type: ([^\\r\\n;]+)', 1) AS content_type,
+                   body,
+                   trim(regexp_replace(regexp_replace(body,
+                     '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+            FROM sp3
+            WHERE regexp_extract(warc_hdr,
+                  'WARC-Target-URI: (\\S+)', 1) <> ''
+            ORDER BY url
+        """,
     }
