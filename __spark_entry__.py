@@ -1308,6 +1308,72 @@ def q_warc_ingest(spark, sf_dir):
             .orderBy("url"))
 
 
+def _sitemap_xml(docs):
+    """Synthesize one sitemap XML per doc: index docs (doc_id%10==0)
+    list two child sitemaps; urlset docs carry 3 <url> entries whose
+    lastmod/changefreq/priority vary with (doc_id+j); for doc_id%7==0
+    entry j=2 omits lastmod and priority (optional-field parse)."""
+    d = F.col("doc_id")
+
+    def entry(j):
+        loc = F.concat(F.lit("<url><loc>http://site"),
+                       F.pmod(d, F.lit(5)).cast("string"),
+                       F.lit("/p/"), (d * 3 + j).cast("string"),
+                       F.lit("</loc>"))
+        lastmod = F.concat(
+            F.lit("<lastmod>2026-01-"),
+            F.lpad((F.pmod(d + j, F.lit(28)) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))
+        cf = (F.when(F.pmod(d + j, F.lit(3)) == 0, "daily")
+              .when(F.pmod(d + j, F.lit(3)) == 1, "weekly")
+              .otherwise("monthly"))
+        prio = F.concat(F.lit("<priority>0."),
+                        F.pmod(d + j, F.lit(10)).cast("string"),
+                        F.lit("</priority>"))
+        omit = (F.pmod(d, F.lit(7)) == 0) & F.lit(j == 2)
+        return F.concat(
+            loc, F.when(omit, "").otherwise(lastmod),
+            F.lit("<changefreq>"), cf, F.lit("</changefreq>"),
+            F.when(omit, "").otherwise(prio), F.lit("</url>"))
+
+    urlset = F.concat(F.lit('<urlset xmlns="x">'), entry(0), entry(1),
+                      entry(2), F.lit("</urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://s/"),
+        (d + 1).cast("string"),
+        F.lit("</loc></sitemap><sitemap><loc>http://s/"),
+        (d + 2).cast("string"),
+        F.lit("</loc></sitemap></sitemapindex>"))
+    return docs.select(
+        F.concat(F.lit("http://s/"), d.cast("string")).alias("url"),
+        F.when(F.pmod(d, F.lit(10)) == 0, index).otherwise(urlset)
+        .alias("xml"))
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Flat urlset parse: every doc's synthesized sitemap through the
+    JVM-regexp field extraction (optional lastmod/priority exercised).
+    The oracle builds the identical XML strings and RE-PARSES them
+    with DuckDB regexp functions — parse parity, not synthesis echo."""
+    from osmospark.sitemap import sitemap_entries
+    xmls = _sitemap_xml(_documents(spark, sf_dir)) \
+        .filter(~F.col("xml").startswith("<sitemapindex"))
+    return (sitemap_entries(xmls, col="xml", url_col="url")
+            .orderBy("sitemap_url", "loc"))
+
+
+def q_sitemap_resolve(spark, sf_dir):
+    """Sitemap-index resolution: seeds {s/0, s/10, s/20, s/30, s/40}
+    are INDEX sitemaps whose children (d+1, d+2) are urlsets, plus one
+    direct urlset seed s/3 — one bounded join hop per level against
+    the sitemap corpus, entries carrying their ROOT for lineage. The
+    oracle replays the reachable set relationally."""
+    from osmospark.sitemap import resolve_sitemaps
+    xmls = _sitemap_xml(_documents(spark, sf_dir))
+    seeds = [f"http://s/{i}" for i in (0, 10, 20, 30, 40)] + ["http://s/3"]
+    return resolve_sitemaps(xmls, seeds, max_depth=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1388,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "hits": q_hits,
         "warc_ingest": q_warc_ingest,
+        "sitemap_ingest": q_sitemap_ingest,
+        "sitemap_resolve": q_sitemap_resolve,
     }
 
 
@@ -1685,6 +1753,27 @@ def _hits_sql(iters: int = 2, unit: int = 1_000_000) -> str:
             + f" SELECT h.id AS node_id, h.h AS hub_u, a.a AS auth_u"
             f" FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
             " ORDER BY node_id")
+
+
+def _sitemap_urlset_sql(d: str = "doc_id") -> str:
+    """SQL expression rebuilding _sitemap_xml's urlset string for doc
+    ``d`` — shared by the sitemap oracles so the synthesis matches the
+    Spark build character-for-character."""
+    def entry(j):
+        omit = f"{d} % 7 = 0 AND {j} = 2"
+        return (
+            f"'<url><loc>http://site' || ({d} % 5) || '/p/' || "
+            f"({d} * 3 + {j}) || '</loc>' || "
+            f"(CASE WHEN {omit} THEN '' ELSE '<lastmod>2026-01-' || "
+            f"lpad(CAST(({d} + {j}) % 28 + 1 AS VARCHAR), 2, '0') || "
+            f"'</lastmod>' END) || '<changefreq>' || "
+            f"(CASE ({d} + {j}) % 3 WHEN 0 THEN 'daily' "
+            f"WHEN 1 THEN 'weekly' ELSE 'monthly' END) || "
+            f"'</changefreq>' || "
+            f"(CASE WHEN {omit} THEN '' ELSE '<priority>0.' || "
+            f"(({d} + {j}) % 10) || '</priority>' END) || '</url>'")
+    return ("'<urlset xmlns=\"x\">' || " + entry(0) + " || " + entry(1)
+            + " || " + entry(2) + " || '</urlset>'")
 
 
 def _frontier_budget_sql(n_docs: str) -> str:
@@ -3076,5 +3165,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_extract(warc_hdr,
                   'WARC-Target-URI: (\\S+)', 1) <> ''
             ORDER BY url
+        """,
+        # sitemap_ingest: rebuild the identical urlset XML, then
+        # RE-PARSE it with DuckDB regexp functions (parse parity)
+        "sitemap_ingest": f"""
+            WITH xml AS MATERIALIZED (
+              SELECT 'http://s/' || doc_id AS sitemap_url,
+                     {_sitemap_urlset_sql()} AS x
+              FROM documents WHERE doc_id % 10 <> 0),
+            b AS (
+              SELECT sitemap_url,
+                     unnest(regexp_extract_all(x, '<url>(.*?)</url>', 1))
+                       AS blk
+              FROM xml)
+            SELECT sitemap_url,
+                   regexp_extract(blk, '<loc>([^<]*)</loc>', 1) AS loc,
+                   CAST(nullif(regexp_extract(blk,
+                     '<lastmod>([^<]*)</lastmod>', 1), '') AS DATE)
+                     AS lastmod,
+                   nullif(regexp_extract(blk,
+                     '<changefreq>([^<]*)</changefreq>', 1), '')
+                     AS changefreq,
+                   CAST(CAST(nullif(regexp_extract(blk,
+                     '<priority>([^<]*)</priority>', 1), '')
+                     AS DECIMAL(4,3)) * 1000 AS BIGINT) AS priority_milli
+            FROM b
+            WHERE regexp_extract(blk, '<loc>([^<]*)</loc>', 1) <> ''
+            ORDER BY sitemap_url, loc
+        """,
+        # sitemap_resolve: relational replay of the reachable set —
+        # index seeds fan to children (d+1, d+2), the direct urlset
+        # seed emits its own entries, fields from the shared synthesis
+        "sitemap_resolve": """
+            WITH roots(rr) AS (VALUES (0), (10), (20), (30), (40)),
+            pairs AS (
+              SELECT 'http://s/' || rr AS root, rr + k AS d
+              FROM roots, unnest([1, 2]) t(k)
+              UNION ALL
+              SELECT 'http://s/3', 3),
+            ent AS (
+              SELECT p.root, 'http://s/' || p.d AS sitemap_url,
+                     dd.doc_id AS d, u.j
+              FROM pairs p JOIN documents dd ON dd.doc_id = p.d,
+                   unnest([0, 1, 2]) u(j))
+            SELECT root, sitemap_url,
+                   'http://site' || (d % 5) || '/p/' || (d * 3 + j)
+                     AS loc,
+                   CASE WHEN d % 7 = 0 AND j = 2 THEN NULL
+                        ELSE CAST('2026-01-' || lpad(
+                          CAST((d + j) % 28 + 1 AS VARCHAR), 2, '0')
+                          AS DATE) END AS lastmod,
+                   CASE (d + j) % 3 WHEN 0 THEN 'daily'
+                        WHEN 1 THEN 'weekly' ELSE 'monthly' END
+                     AS changefreq,
+                   CAST(CASE WHEN d % 7 = 0 AND j = 2 THEN NULL
+                        ELSE ((d + j) % 10) * 100 END AS BIGINT)
+                     AS priority_milli
+            FROM ent ORDER BY root, loc
         """,
     }

@@ -1,0 +1,84 @@
+"""Sitemap ingestion (osmospark/sitemap.py): urlset/index parsing,
+bounded index resolution, and the frontier tie-ins (priority_df units,
+lastmod vs recrawl)."""
+
+from pyspark.sql import functions as F
+
+from osmospark.sitemap import (resolve_sitemaps, sitemap_entries,
+                               sitemap_index_entries)
+
+URLSET = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          '<url><loc>http://a.test/1</loc><lastmod>2026-03-04</lastmod>'
+          '<changefreq>daily</changefreq><priority>0.8</priority></url>'
+          '<url><loc>http://a.test/2</loc></url>'
+          '<url><priority>0.5</priority></url>'  # no loc -> dropped
+          '</urlset>')
+INDEX = ('<sitemapindex><sitemap><loc>http://s.test/child1.xml</loc>'
+         '</sitemap><sitemap><loc>http://s.test/child2.xml</loc>'
+         '</sitemap></sitemapindex>')
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, xml string")
+
+
+def test_urlset_fields_and_optionals(spark):
+    got = sitemap_entries(_df(spark, [("http://s.test/m.xml", URLSET)])) \
+        .orderBy("loc").collect()
+    assert len(got) == 2  # loc-less entry dropped
+    e1, e2 = got
+    assert e1.loc == "http://a.test/1"
+    assert str(e1.lastmod) == "2026-03-04"
+    assert e1.changefreq == "daily" and e1.priority_milli == 800
+    assert e2.loc == "http://a.test/2"
+    assert e2.lastmod is None and e2.changefreq is None \
+        and e2.priority_milli is None
+
+
+def test_index_entries(spark):
+    got = sitemap_index_entries(
+        _df(spark, [("http://s.test/i.xml", INDEX)])).collect()
+    assert sorted(r.child_loc for r in got) == [
+        "http://s.test/child1.xml", "http://s.test/child2.xml"]
+    # urlset docs yield no index rows and vice versa
+    assert sitemap_index_entries(
+        _df(spark, [("u", URLSET)])).count() == 0
+    assert sitemap_entries(_df(spark, [("i", INDEX)])).count() == 0
+
+
+def test_resolve_index_hop_with_lineage(spark):
+    corpus = _df(spark, [
+        ("http://s.test/i.xml", INDEX),
+        ("http://s.test/child1.xml", URLSET.replace("a.test", "c1.test")),
+        ("http://s.test/child2.xml", URLSET.replace("a.test", "c2.test")),
+        ("http://other.test/m.xml", URLSET.replace("a.test", "o.test")),
+    ])
+    got = resolve_sitemaps(corpus,
+                           ["http://s.test/i.xml",
+                            "http://other.test/m.xml"],
+                           max_depth=1).collect()
+    by_root = {}
+    for r in got:
+        by_root.setdefault(r.root, set()).add(r.loc)
+    assert by_root["http://s.test/i.xml"] == {
+        "http://c1.test/1", "http://c1.test/2",
+        "http://c2.test/1", "http://c2.test/2"}
+    assert by_root["http://other.test/m.xml"] == {
+        "http://o.test/1", "http://o.test/2"}
+
+
+def test_resolve_depth_cap_stops_nested_indexes(spark):
+    # index -> index -> urlset needs depth 2; depth 1 must NOT reach it
+    deep = ('<sitemapindex><sitemap><loc>http://s.test/i2.xml</loc>'
+            '</sitemap></sitemapindex>')
+    corpus = _df(spark, [
+        ("http://s.test/i1.xml", deep),
+        ("http://s.test/i2.xml", INDEX.replace("child", "leaf")),
+        ("http://s.test/leaf1.xml", URLSET),
+        ("http://s.test/leaf2.xml", URLSET.replace("a.test", "b.test")),
+    ])
+    shallow = resolve_sitemaps(corpus, ["http://s.test/i1.xml"],
+                               max_depth=1).count()
+    full = resolve_sitemaps(corpus, ["http://s.test/i1.xml"],
+                            max_depth=2).count()
+    assert shallow == 0 and full == 4
