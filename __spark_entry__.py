@@ -1374,6 +1374,29 @@ def q_sitemap_resolve(spark, sf_dir):
     return resolve_sitemaps(xmls, seeds, max_depth=1)
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive mining from a synthesized robots corpus —
+    RFC 9309 §2.3 semantics exercised: case-insensitive field name,
+    leading whitespace, multiple directives per host with ordinals,
+    hosts without directives absent. Map-only JVM regexp."""
+    from osmospark.frontier.politeness import robots_sitemaps
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(F.pmod(d, F.lit(2)) == 0,
+               F.concat(F.lit("Sitemap: http://h"), d.cast("string"),
+                        F.lit("/s1.xml\n"))).otherwise(""),
+        F.lit("Crawl-delay: 1\n"),
+        F.when(F.pmod(d, F.lit(3)) == 0,
+               F.concat(F.lit("  sitemap:http://h"), d.cast("string"),
+                        F.lit("/s2.xml\n"))).otherwise(""))
+    robots = docs.select(
+        F.concat(F.lit("h"), d.cast("string")).alias("host"),
+        txt.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1456,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "sitemap_ingest": q_sitemap_ingest,
         "sitemap_resolve": q_sitemap_resolve,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -3222,5 +3246,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ((d + j) % 10) * 100 END AS BIGINT)
                      AS priority_milli
             FROM ent ORDER BY root, loc
+        """,
+        # robots_sitemaps: identical robots synthesis, directives
+        # re-mined with the same (?im)-flagged regexp
+        "robots_sitemaps": """
+            WITH robots AS (
+              SELECT 'h' || doc_id AS host,
+                     'User-agent: *' || chr(10)
+                       || 'Disallow: /private' || chr(10)
+                       || (CASE WHEN doc_id % 2 = 0
+                            THEN 'Sitemap: http://h' || doc_id
+                                 || '/s1.xml' || chr(10) ELSE '' END)
+                       || 'Crawl-delay: 1' || chr(10)
+                       || (CASE WHEN doc_id % 3 = 0
+                            THEN '  sitemap:http://h' || doc_id
+                                 || '/s2.xml' || chr(10) ELSE '' END)
+                       AS robots_txt
+              FROM documents),
+            m AS (
+              SELECT host,
+                     unnest(regexp_extract_all(robots_txt,
+                       '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)) AS sitemap,
+                     generate_subscripts(regexp_extract_all(robots_txt,
+                       '(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1), 1) - 1
+                       AS ordinal
+              FROM robots)
+            SELECT host, CAST(ordinal AS BIGINT) AS ordinal, sitemap
+            FROM m ORDER BY host, ordinal
         """,
     }

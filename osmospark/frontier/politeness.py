@@ -156,3 +156,22 @@ def host_slots(crawl_delay: float | None,
     if not crawl_delay or crawl_delay <= 0:
         return concurrency
     return max(1, min(concurrency * 100, int(round_seconds / crawl_delay)))
+
+
+def robots_sitemaps(robots_texts: DataFrame) -> DataFrame:
+    """Mine ``Sitemap:`` directives from a robots corpus — the discovery
+    hand-off into ``osmospark.sitemap.resolve_sitemaps``. RFC 9309 §2.3:
+    the directive is agent-group-INDEPENDENT (valid anywhere in the
+    file, any number of times) and case-insensitive in the field name.
+
+    Map-only JVM regexp over (host, robots_txt): one row per directive,
+    order preserved per host via the match ordinal. No Python.
+    """
+    ms = F.regexp_extract_all(
+        F.col("robots_txt"),
+        F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"), F.lit(1))
+    return (robots_texts
+            .select("host", F.posexplode(ms).alias("ordinal", "sitemap"))
+            .select("host", F.col("ordinal").cast("bigint").alias("ordinal"),
+                    "sitemap")
+            .orderBy("host", "ordinal"))

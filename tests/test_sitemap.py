@@ -82,3 +82,37 @@ def test_resolve_depth_cap_stops_nested_indexes(spark):
     full = resolve_sitemaps(corpus, ["http://s.test/i1.xml"],
                             max_depth=2).count()
     assert shallow == 0 and full == 4
+
+
+def test_robots_sitemap_directives(spark):
+    from osmospark.frontier.politeness import robots_sitemaps
+
+    txt = ("User-agent: googlebot\nDisallow: /x\n"
+           "SITEMAP: http://a.test/one.xml\n"
+           "User-agent: *\nAllow: /\n"
+           "\tsitemap:\thttp://a.test/two.xml\n"
+           "NotASitemap: http://a.test/no.xml\n")
+    got = robots_sitemaps(spark.createDataFrame(
+        [("a.test", txt), ("b.test", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string")).collect()
+    # agent-group-independent, case-insensitive, order-preserving;
+    # hostless b.test absent
+    assert [(r.host, r.ordinal, r.sitemap) for r in got] == [
+        ("a.test", 0, "http://a.test/one.xml"),
+        ("a.test", 1, "http://a.test/two.xml")]
+
+
+def test_robots_to_sitemap_to_frontier_pipeline(spark):
+    """The full discovery chain: robots -> Sitemap: directive ->
+    resolve -> urlset entries become frontier seed candidates."""
+    from osmospark.frontier.politeness import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nSitemap: http://a.test/m.xml\n")],
+        "host string, robots_txt string")
+    corpus = spark.createDataFrame(
+        [("http://a.test/m.xml", URLSET)], "url string, xml string")
+    seeds = [r.sitemap for r in robots_sitemaps(robots).collect()]
+    entries = resolve_sitemaps(corpus, seeds, max_depth=1)
+    assert sorted(r.loc for r in entries.collect()) == [
+        "http://a.test/1", "http://a.test/2"]
