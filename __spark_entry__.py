@@ -1397,6 +1397,33 @@ def q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(robots)
 
 
+def q_url_features(spark, sf_dir):
+    """Pre-fetch URL classification over 5 planted shapes (asset image,
+    query params, deep path, PHPSESSID with an md5 hex id, bare root)
+    — extension/asset/session/digit-density features the frontier
+    applies before spending fetch slots. Map-only; oracle runs the
+    identical regexp grammar."""
+    from osmospark.urlnorm import url_features
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    h = F.concat(F.lit("h"), F.pmod(d, F.lit(7)).cast("string"),
+                 F.lit(".test"))
+    ds = d.cast("string")
+    m = F.pmod(d, F.lit(5))
+    url = (F.when(m == 0, F.concat(F.lit("http://img."), h, F.lit("/a/b/"
+                                   ), F.lit("photo"), ds, F.lit(".jpg")))
+           .when(m == 1, F.concat(F.lit("https://"), h, F.lit("/p/q?id="),
+                                  ds, F.lit("&ref=x")))
+           .when(m == 2, F.concat(F.lit("http://"), h, F.lit("/post/"),
+                                  ds, F.lit("/comments")))
+           .when(m == 3, F.concat(F.lit("http://"), h,
+                                  F.lit("/index.php?PHPSESSID="),
+                                  F.md5(ds), F.lit("&p="), ds))
+           .otherwise(F.concat(F.lit("http://"), h, F.lit("/"))))
+    return (url_features(docs.select(url.alias("url")))
+            .orderBy("url"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1480,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "sitemap_resolve": q_sitemap_resolve,
         "robots_sitemaps": q_robots_sitemaps,
+        "url_features": q_url_features,
     }
 
 
@@ -3273,5 +3301,52 @@ def oracle_sql() -> dict[str, str]:
               FROM robots)
             SELECT host, CAST(ordinal AS BIGINT) AS ordinal, sitemap
             FROM m ORDER BY host, ordinal
+        """,
+        # url_features: identical URL synthesis + the same regexp
+        # grammar (no parse_url on either side, by design)
+        "url_features": """
+            WITH u AS MATERIALIZED (
+              SELECT CASE doc_id % 5
+                WHEN 0 THEN 'http://img.h' || (doc_id % 7)
+                  || '.test/a/b/photo' || doc_id || '.jpg'
+                WHEN 1 THEN 'https://h' || (doc_id % 7)
+                  || '.test/p/q?id=' || doc_id || '&ref=x'
+                WHEN 2 THEN 'http://h' || (doc_id % 7)
+                  || '.test/post/' || doc_id || '/comments'
+                WHEN 3 THEN 'http://h' || (doc_id % 7)
+                  || '.test/index.php?PHPSESSID='
+                  || md5(CAST(doc_id AS VARCHAR)) || '&p=' || doc_id
+                ELSE 'http://h' || (doc_id % 7) || '.test/' END AS url
+              FROM documents),
+            f AS (
+              SELECT url,
+                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
+                     regexp_extract(url,
+                       '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u)
+            SELECT url, host,
+                   CAST(length(path) - length(replace(path, '/', ''))
+                        AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN query = '' THEN 0
+                        ELSE length(query)
+                             - length(replace(query, '&', '')) + 1 END
+                        AS BIGINT) AS n_params,
+                   lower(regexp_extract(path,
+                     '\\.([a-zA-Z0-9]{1,5})$', 1)) AS ext,
+                   lower(regexp_extract(path,
+                     '\\.([a-zA-Z0-9]{1,5})$', 1)) IN
+                     ('jpg','jpeg','png','gif','webp','bmp','ico','svg',
+                      'mp3','mp4','avi','mov','pdf','zip','gz','tar',
+                      'css','js','woff','woff2','ttf','exe','dmg')
+                     AS is_asset,
+                   regexp_matches(url,
+                     '(?i)[?&](sessionid|sid|phpsessid|jsessionid)=')
+                     AS has_session,
+                   CAST(length(url) AS BIGINT) AS url_len,
+                   CAST(((length(url) - length(regexp_replace(url,
+                     '[0-9]', '', 'g'))) * 1000) // length(url)
+                     AS BIGINT) AS digit_permille
+            FROM f ORDER BY url
         """,
     }

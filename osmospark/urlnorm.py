@@ -144,3 +144,49 @@ def xxhash64_py(data: bytes, seed: int = 42) -> int:
 
 def url_hash(url: str) -> int:
     return xxhash64_py(canonicalize(url).encode("utf-8"))
+
+
+# pre-fetch filtering signals: extensions a crawler skips without
+# spending a fetch slot (media/static assets), and the session-id
+# field names that mark infinite URL spaces
+ASSET_EXTS = ["jpg", "jpeg", "png", "gif", "webp", "bmp", "ico", "svg",
+              "mp3", "mp4", "avi", "mov", "pdf", "zip", "gz", "tar",
+              "css", "js", "woff", "woff2", "ttf", "exe", "dmg"]
+_SESSION_RX = r"(?i)[?&](sessionid|sid|phpsessid|jsessionid)="
+
+
+def url_features(urls, col: str = "url"):
+    """Per-URL admission-filter features, all JVM expressions (the
+    signals a frontier applies BEFORE spending a fetch slot: skip
+    binary assets, deprioritize session-id and digit-soup URLs).
+
+    Output (url, host, path_depth, n_params, ext, is_asset,
+    has_session, url_len, digit_permille). Everything is
+    regexp/length arithmetic shared verbatim by the DuckDB oracle —
+    parse_url is avoided on purpose so both engines run the same
+    grammar. Map-only; Catalyst prunes to the url column.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(col)
+    path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([a-zA-Z0-9]{1,5})$", 1))
+    digits_removed = F.regexp_replace(u, "[0-9]", "")
+    return urls.select(
+        u.alias("url"),
+        F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"),
+        (F.length(path)
+         - F.length(F.regexp_replace(path, "/", "")))
+        .cast("bigint").alias("path_depth"),
+        F.when(query == "", 0).otherwise(
+            F.length(query)
+            - F.length(F.regexp_replace(query, "&", "")) + 1)
+        .cast("bigint").alias("n_params"),
+        ext.alias("ext"),
+        ext.isin(ASSET_EXTS).alias("is_asset"),
+        (u.rlike(_SESSION_RX)).alias("has_session"),
+        F.length(u).cast("bigint").alias("url_len"),
+        F.expr(f"((length({col}) - length(regexp_replace({col}, "
+               f"'[0-9]', ''))) * 1000) div length({col})")
+        .cast("bigint").alias("digit_permille"))

@@ -252,3 +252,27 @@ def test_host_budget_at_or_above_concurrency_is_identity(spark):
         [(f"host{i:04d}.test", 99) for i in range(2)],
         "host string, slots int")
     assert urls(big) == urls(None)
+
+
+def test_url_features_hand_computed(spark):
+    from osmospark.urlnorm import url_features
+
+    urls = spark.createDataFrame(
+        [("http://a.test/img/x.JPG",),
+         ("https://b.test/p?a=1&b=2&c=3",),
+         ("http://c.test/page?JSESSIONID=deadbeef",),
+         ("http://d.test/",),
+         ("http://123.test/v2/7/9",)], "url string")
+    got = {r.url: r for r in url_features(urls).collect()}
+    j = got["http://a.test/img/x.JPG"]
+    assert (j.ext, j.is_asset, j.path_depth, j.n_params) == \
+        ("jpg", True, 2, 0)
+    q = got["https://b.test/p?a=1&b=2&c=3"]
+    assert (q.n_params, q.is_asset, q.has_session) == (3, False, False)
+    s = got["http://c.test/page?JSESSIONID=deadbeef"]
+    assert s.has_session is True
+    root = got["http://d.test/"]
+    assert (root.path_depth, root.ext) == (1, "")
+    d = got["http://123.test/v2/7/9"]
+    # digits: 1,2,3,2,7,9 = 6 of 22 chars -> 272 permille
+    assert d.url_len == 22 and d.digit_permille == (6 * 1000) // 22
