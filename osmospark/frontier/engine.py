@@ -130,6 +130,7 @@ class FrontierEngine:
         max_redirects: int = 5,
         priority_df: DataFrame | None = None,
         host_budget_df: DataFrame | None = None,
+        url_predicate: str | None = None,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -267,6 +268,13 @@ class FrontierEngine:
                                   F.col("slots").cast("int")
                                   .alias("_budget"))
             if host_budget_df is not None else None)
+        # optional pre-fetch URL filter: a SQL boolean over column
+        # ``url`` (e.g. urlnorm.default_url_predicate() — skip asset
+        # extensions / session-id URLs). Applied to seeds and to every
+        # round's DISCOVERED links before they enter the frontier, so
+        # filtered URLs never consume seen-state, fetch slots, or
+        # frontier checkpoints. Map-only expression, zero extra jobs.
+        self.url_predicate = url_predicate
 
     def pause(self) -> None:
         """Request a pause at the next round boundary (resume via
@@ -1000,6 +1008,8 @@ class FrontierEngine:
                 from ..urlnorm import url_host
                 s["host"] = url_host(s["url"])
             frontier = self._frontier_df(seeds)
+            if self.url_predicate is not None:
+                frontier = frontier.filter(F.expr(self.url_predicate))
 
         records: DataFrame | None = None
         round_no = start_round
@@ -1110,9 +1120,11 @@ class FrontierEngine:
                                "fetched", "parsed", "errors"))
 
                 conts = out.filter(F.col("row_kind") == "cont") \
-                           .filter(F.col("depth") <= max_depth) \
-                           .withColumn("url_hash", F.xxhash64("url")) \
-                           .select(*_FRONTIER_COLS)
+                           .filter(F.col("depth") <= max_depth)
+                if self.url_predicate is not None:
+                    conts = conts.filter(F.expr(self.url_predicate))
+                conts = conts.withColumn("url_hash", F.xxhash64("url")) \
+                             .select(*_FRONTIER_COLS)
                 if deferred is not None:
                     conts = conts.unionByName(deferred.select(*_FRONTIER_COLS))
 

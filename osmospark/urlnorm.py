@@ -190,3 +190,12 @@ def url_features(urls, col: str = "url"):
         F.expr(f"((length({col}) - length(regexp_replace({col}, "
                f"'[0-9]', ''))) * 1000) div length({col})")
         .cast("bigint").alias("digit_permille"))
+
+
+def default_url_predicate() -> str:
+    """SQL boolean (column ``url``) for FrontierEngine(url_predicate=):
+    skip binary-asset extensions and session-id URLs before they
+    consume frontier state or fetch slots."""
+    exts = "|".join(ASSET_EXTS)
+    return (f"NOT (lower(url) rlike '\\\\.({exts})([?#].*)?$' "
+            f"OR url rlike '{_SESSION_RX}')")

@@ -87,3 +87,51 @@ def test_warc_pages_feed_engine_crawl(spark):
         max_depth=4, max_rounds=5)
     urls = sorted(r.url for r in rec.select("url").collect())
     assert urls == [f"http://w.test/p/{i}" for i in range(4)]
+
+
+def test_url_predicate_filters_discovered_links(spark):
+    """Asset/session links never enter the frontier: a page linking to
+    a .jpg, a PHPSESSID URL and a normal page must only crawl the
+    page; without the predicate all three fetch-join (the jpg/session
+    urls simply miss the corpus)."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.urlnorm import default_url_predicate
+
+    html = ('<body><a href="/img/x.jpg">i</a>'
+            '<a href="/p?PHPSESSID=abc">s</a>'
+            '<a href="/next">n</a></body>')
+    pages = spark.createDataFrame(
+        [("http://u.test/", html.encode(), "x"),
+         ("http://u.test/next", b"<body>end</body>", "y"),
+         ("http://u.test/img/x.jpg", b"binary-ish", "z")],
+        "url string, html binary, text string")
+
+    def crawl(pred):
+        eng = FrontierEngine(spark, pages, dedup=True,
+                             url_predicate=pred)
+        rec, _ = eng.run_crawl(["http://u.test/"], "a",
+                               extract_spec={"t": "body"},
+                               max_depth=2, max_rounds=3)
+        return sorted(r.url for r in rec.select("url").collect())
+
+    assert crawl(default_url_predicate()) == [
+        "http://u.test/", "http://u.test/next"]
+    # without the filter the jpg IS fetched (it exists in the corpus)
+    assert "http://u.test/img/x.jpg" in crawl(None)
+
+
+def test_url_predicate_filters_seeds(spark):
+    from osmospark.frontier import FrontierEngine
+    from osmospark.urlnorm import default_url_predicate
+
+    pages = spark.createDataFrame(
+        [("http://u.test/a.pdf", b"<body>x</body>", "x"),
+         ("http://u.test/ok", b"<body>y</body>", "y")],
+        "url string, html binary, text string")
+    eng = FrontierEngine(spark, pages, dedup=True,
+                         url_predicate=default_url_predicate())
+    rec, _ = eng.run_crawl(
+        ["http://u.test/a.pdf", "http://u.test/ok"], "a",
+        extract_spec={"t": "body"}, max_depth=0, max_rounds=1)
+    assert [r.url for r in rec.select("url").collect()] == \
+        ["http://u.test/ok"]
