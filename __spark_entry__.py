@@ -1424,6 +1424,18 @@ def q_url_features(spark, sf_dir):
             .orderBy("url"))
 
 
+def q_quality_deciles(spark, sf_dir):
+    """Exact quantile binning at corpus scale: lm_score's integer
+    fluency score through the histogram → broadcast-CDF → rank-exact
+    bucket pattern (the corpus never globally sorts). Oracle re-derives
+    the scores and replays the same CDF arithmetic."""
+    from osmospark.functions.curation import score_deciles
+    from osmospark.functions.textstats import lm_score
+    sc = lm_score(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("avg_bits_milli").alias("score"))
+    return score_deciles(sc, score_col="score", n_buckets=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1508,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_resolve": q_sitemap_resolve,
         "robots_sitemaps": q_robots_sitemaps,
         "url_features": q_url_features,
+        "quality_deciles": q_quality_deciles,
     }
 
 
@@ -3040,6 +3053,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST((total_bits * 1000) // n_tokens AS BIGINT)
                      AS avg_bits_milli
             FROM per_doc ORDER BY doc_id
+        """,
+        # quality_deciles: lm_score's avg_bits_milli re-derived, then
+        # the same histogram -> CDF -> rank-exact bucket arithmetic
+        "quality_deciles": f"""
+            WITH ex AS MATERIALIZED (
+              SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            cnt AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+            tot AS (SELECT count(*) AS total FROM ex),
+            bits AS (
+              SELECT w, CAST(length(bin((tot.total * 1024) // cnt.cnt))
+                             AS BIGINT) AS bits
+              FROM cnt CROSS JOIN tot),
+            sc AS MATERIALIZED (
+              SELECT ex.doc_id,
+                     (sum(b.bits) * 1000) // count(*) AS score
+              FROM ex JOIN bits b USING (w)
+              GROUP BY ex.doc_id),
+            hist AS (SELECT score, count(*) AS n FROM sc GROUP BY score),
+            cdf AS (
+              SELECT score,
+                     coalesce(sum(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS lt,
+                     sum(n) OVER () AS tot
+              FROM hist)
+            SELECT sc.doc_id, CAST(sc.score AS BIGINT) AS score,
+                   CAST(least(9, (cdf.lt * 10) // cdf.tot) AS BIGINT)
+                     AS bucket
+            FROM sc JOIN cdf USING (score) ORDER BY sc.doc_id
         """,
         # recrawl_priority: identical history synthesis, then the same
         # lag-in-fetch-order transition count and integer rate/score

@@ -415,3 +415,34 @@ def stratified_sample(documents: DataFrame,
     return (documents
             .filter(bucket < (rate * SAMPLE_MOD).cast("bigint"))
             .select("doc_id", F.col(key).alias("stratum")))
+
+
+def score_deciles(scored: DataFrame, score_col: str = "score",
+                  n_buckets: int = 10,
+                  id_col: str = "doc_id") -> DataFrame:
+    """EXACT quantile binning at scale (curriculum buckets / quality
+    tiers): instead of a global sort or single-partition ntile over the
+    corpus — the naive plan that dies at 100 TB — build the integer
+    score HISTOGRAM (one aggregation, map-side partials; cardinality is
+    bounded by the score's unit, e.g. ≤ ~10^5 distinct milli-scores),
+    turn it into a CDF with a window over that tiny table, and
+    broadcast the CDF back onto the corpus. bucket = least(B-1,
+    (rows_below·B) div total): rank-exact, ties share a bucket, the
+    corpus itself never shuffles.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    hist = scored.groupBy(score_col).agg(F.count("*").alias("_n"))
+    w = (Window.orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = hist.select(
+        score_col,
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_lt"),
+        F.sum("_n").over(Window.partitionBy()).alias("_tot"))
+    return (scored.join(F.broadcast(cdf), score_col)
+            .select(id_col, s.cast("bigint").alias(score_col),
+                    F.least(F.lit(n_buckets - 1),
+                            F.expr(f"(_lt * {n_buckets}) div _tot"))
+                    .cast("bigint").alias("bucket"))
+            .orderBy(id_col))

@@ -950,3 +950,39 @@ def test_hits_checkpoint_invariant(spark):
     ck = [tuple(r) for r in hits(edges, iters=4,
                                  checkpoint_every=2).collect()]
     assert plain == ck
+
+
+def test_score_deciles_rank_exact_with_ties(spark):
+    from osmospark.functions.curation import score_deciles
+
+    # 10 docs, scores 0..4 twice: each score = 2 rows -> buckets by
+    # rows-below: score s has lt=2s -> bucket (2s*5)//10 = s (5 buckets)
+    rows = [(i, i % 5) for i in range(10)]
+    got = {r.doc_id: r.bucket for r in score_deciles(
+        spark.createDataFrame(rows, "doc_id long, score long"),
+        n_buckets=5).collect()}
+    for i, s in rows:
+        assert got[i] == s
+    # ties must share a bucket even when they straddle a boundary
+    rows = [(i, 7) for i in range(9)] + [(9, 99)]
+    got = {r.doc_id: r.bucket for r in score_deciles(
+        spark.createDataFrame(rows, "doc_id long, score long"),
+        n_buckets=10).collect()}
+    assert all(got[i] == 0 for i in range(9))  # lt=0 for all ties
+    assert got[9] == 9  # lt=9 -> (9*10)//10 = 9
+
+
+def test_score_deciles_corpus_never_sorts_globally(spark):
+    """The corpus side must join a BROADCAST CDF — no global sort or
+    single-partition window over the big side."""
+    from osmospark.functions.curation import score_deciles
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id") * 37, F.lit(50)).alias("score"))
+    out = score_deciles(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Window in the plan consumes the histogram (50 rows),
+    # whose input is an aggregate, never the raw corpus
+    assert plan.count("Window") >= 1 and "HashAggregate" in plan
