@@ -1436,6 +1436,24 @@ def q_quality_deciles(spark, sf_dir):
     return score_deciles(sc, score_col="score", n_buckets=10)
 
 
+def q_host_quality(spark, sf_dir):
+    """Host-level curation rollup with PLANTED spam domains: hosts 0-1
+    (of doc_id%9) get 3-word truncated documents that fail the
+    word-count gate, so their kept rate collapses and the blocklist
+    verdict fires; one host-keyed aggregation. Oracle replays the
+    truncation and the integer gate identically."""
+    from osmospark.functions.curation import host_quality
+    docs = _documents(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(9))
+    w = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))),
+                                 r"\s+", " "), " ")
+    aug = docs.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        F.when(h < 2, F.array_join(F.slice(w, 1, 3), " "))
+        .otherwise(F.col("text")).alias("text"))
+    return host_quality(aug)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1521,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "url_features": q_url_features,
         "quality_deciles": q_quality_deciles,
+        "host_quality": q_host_quality,
     }
 
 
@@ -3082,6 +3101,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(9, (cdf.lt * 10) // cdf.tot) AS BIGINT)
                      AS bucket
             FROM sc JOIN cdf USING (score) ORDER BY sc.doc_id
+        """,
+        # host_quality: identical truncation plant + integer quality
+        # gate (chars>=50, words>=10, punct*5<=chars) + host rollup
+        "host_quality": """
+            WITH aug AS MATERIALIZED (
+              SELECT 'h' || (doc_id % 9) AS host,
+                     CASE WHEN doc_id % 9 < 2
+                          THEN array_to_string(
+                            regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')[1:3], ' ')
+                          ELSE text END AS text
+              FROM documents),
+            m AS (
+              SELECT host,
+                     len(regexp_split_to_array(
+                       regexp_replace(trim(lower(text)), '\\s+', ' ',
+                                      'g'), ' ')) AS w,
+                     length(text) AS c,
+                     length(text) - length(regexp_replace(text,
+                       '[\\.,;:!\\?]', '', 'g')) AS p
+              FROM aug),
+            k AS (
+              SELECT host, w, c,
+                     CASE WHEN c >= 50 AND w >= 10 AND p * 5 <= c
+                          THEN 1 ELSE 0 END AS keep
+              FROM m),
+            agg AS (
+              SELECT host, count(*) AS docs, sum(keep) AS kept,
+                     sum(w) AS ws, sum(c) AS cs
+              FROM k GROUP BY host)
+            SELECT host, CAST(docs AS BIGINT) AS docs,
+                   CAST(kept AS BIGINT) AS kept,
+                   CAST((kept * 1000) // docs AS BIGINT)
+                     AS kept_permille,
+                   CAST(ws // docs AS BIGINT) AS mean_words,
+                   CAST(cs // docs AS BIGINT) AS mean_chars,
+                   (docs >= 20 AND (kept * 1000) // docs < 300)
+                     AS blocklist
+            FROM agg ORDER BY host
         """,
         # recrawl_priority: identical history synthesis, then the same
         # lag-in-fetch-order transition count and integer rate/score

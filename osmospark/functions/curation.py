@@ -446,3 +446,47 @@ def score_deciles(scored: DataFrame, score_col: str = "score",
                             F.expr(f"(_lt * {n_buckets}) div _tot"))
                     .cast("bigint").alias("bucket"))
             .orderBy(id_col))
+
+
+def host_quality(documents: DataFrame, host_col: str = "host") -> DataFrame:
+    """Host-level curation rollup — the crawl-side aggregation of the
+    per-document quality gates (spam DOMAINS, not spam pages, are what
+    a frontier blocklists; cf. the host-level filters in C4/RefinedWeb
+    pipelines). Input: documents plus a ``host`` column.
+
+    Per host, all-integer: doc count, kept count (the quality_scores
+    gate re-expressed in integer space: chars ≥ 50, words ≥ 10,
+    punct·5 ≤ chars), kept rate per-mille, mean words, mean chars, and
+    a blocklist verdict (≥ 20 docs with < 300‰ kept).
+
+    ONE host-keyed aggregation with map-side partial sums — the same
+    skew-safe shape as host_reputation; the keep flag and word counts
+    are computed in the scan's own stage.
+    """
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col("text"))
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[\.,;:!\?]", "")))
+    keep = ((n_chars >= 50) & (n_words >= 10)
+            & (n_punct * 5 <= n_chars)).cast("bigint")
+    agg = (documents
+           .select(F.col(host_col).alias("host"),
+                   n_words.alias("_w"), n_chars.alias("_c"),
+                   keep.alias("_k"))
+           .groupBy("host")
+           .agg(F.count("*").alias("docs"),
+                F.sum("_k").alias("kept"),
+                F.sum("_w").alias("_ws"), F.sum("_c").alias("_cs")))
+    return (agg.select(
+        "host", F.col("docs").cast("bigint").alias("docs"),
+        F.col("kept").cast("bigint").alias("kept"),
+        F.expr("(kept * 1000) div docs").cast("bigint")
+        .alias("kept_permille"),
+        F.expr("_ws div docs").cast("bigint").alias("mean_words"),
+        F.expr("_cs div docs").cast("bigint").alias("mean_chars"),
+        ((F.col("docs") >= 20)
+         & (F.expr("(kept * 1000) div docs") < 300)).alias("blocklist"))
+        .orderBy("host"))

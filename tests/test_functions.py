@@ -986,3 +986,22 @@ def test_score_deciles_corpus_never_sorts_globally(spark):
     # the only Window in the plan consumes the histogram (50 rows),
     # whose input is an aggregate, never the raw corpus
     assert plan.count("Window") >= 1 and "HashAggregate" in plan
+
+
+def test_host_quality_blocklist_verdict(spark):
+    from osmospark.functions.curation import host_quality
+
+    good = "word " * 30 + "end"
+    bad = "tiny doc"
+    rows = ([("spam.test", bad)] * 25
+            + [("ok.test", good)] * 25
+            + [("small.test", bad)] * 5)  # low quality but < 20 docs
+    got = {r.host: r for r in host_quality(spark.createDataFrame(
+        rows, "host string, text string")).collect()}
+    s = got["spam.test"]
+    assert (s.docs, s.kept, s.kept_permille, s.blocklist) == \
+        (25, 0, 0, True)
+    o = got["ok.test"]
+    assert o.kept == 25 and o.kept_permille == 1000 \
+        and o.blocklist is False
+    assert got["small.test"].blocklist is False  # under min volume
