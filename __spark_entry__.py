@@ -1454,6 +1454,19 @@ def q_host_quality(spark, sf_dir):
     return host_quality(aug)
 
 
+def q_importance_weights(spark, sf_dir):
+    """DSIR data selection against the recrawl-shaped target corpus
+    (every 5th doc minus its last word — the _planted_delta family):
+    per-doc target-vs-source unigram likelihood ratios in integer bit
+    space with Laplace smoothing. Oracle re-trains both models and
+    re-scores every document. Negative-operand division verified:
+    Spark div and DuckDB // both truncate toward zero."""
+    from osmospark.functions.curation import importance_weights
+    docs = _documents(spark, sf_dir)
+    return importance_weights(docs.select("doc_id", "text"),
+                              _planted_delta(docs).select("text"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1540,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": q_url_features,
         "quality_deciles": q_quality_deciles,
         "host_quality": q_host_quality,
+        "importance_weights": q_importance_weights,
     }
 
 
@@ -3448,5 +3462,48 @@ def oracle_sql() -> dict[str, str]:
                      '[0-9]', '', 'g'))) * 1000) // length(url)
                      AS BIGINT) AS digit_permille
             FROM f ORDER BY url
+        """,
+        # importance_weights: re-trains both unigram models (source =
+        # documents, target = the planted recrawl delta) and re-scores
+        # every doc; bin() prints minimal binary in both engines, and
+        # weight_bits can be negative — Spark div and DuckDB // both
+        # truncate toward zero (verified)
+        "importance_weights": f"""
+            WITH tgt AS MATERIALIZED (
+              SELECT array_to_string(list_slice(ws, 1, len(ws) - 1), ' ')
+                       AS text
+              FROM (SELECT regexp_split_to_array({_NORM}, ' ') AS ws
+                    FROM documents WHERE doc_id % 5 = 0)),
+            ex AS MATERIALIZED (
+              SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+            tex AS (SELECT unnest({_WORDS}) AS w FROM tgt),
+            s_cnt AS MATERIALIZED (
+              SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+            t_cnt AS (SELECT w, count(*) AS tcnt FROM tex GROUP BY w),
+            s_tot AS (SELECT sum(cnt) AS total, count(*) AS vocab
+                      FROM s_cnt),
+            t_tot AS (SELECT sum(tcnt) AS total, count(*) AS vocab
+                      FROM t_cnt),
+            s_bits AS (
+              SELECT w, CAST(length(bin(
+                       ((s_tot.total + s_tot.vocab) * 1024)
+                       // (cnt + 1))) AS BIGINT) AS bs
+              FROM s_cnt CROSS JOIN s_tot),
+            t_bits AS (
+              SELECT s_cnt.w, CAST(length(bin(
+                       ((t_tot.total + t_tot.vocab) * 1024)
+                       // (coalesce(tcnt, 0) + 1))) AS BIGINT) AS bt
+              FROM s_cnt LEFT JOIN t_cnt USING (w) CROSS JOIN t_tot),
+            per_doc AS (
+              SELECT ex.doc_id, count(*) AS n_tokens,
+                     sum(bs - bt) AS weight_bits
+              FROM ex JOIN s_bits USING (w)
+                      JOIN t_bits ON ex.w = t_bits.w
+              GROUP BY ex.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(weight_bits AS BIGINT) AS weight_bits,
+                   CAST((weight_bits * 1000) // n_tokens AS BIGINT)
+                     AS avg_weight_milli
+            FROM per_doc ORDER BY doc_id
         """,
     }

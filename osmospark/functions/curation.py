@@ -490,3 +490,61 @@ def host_quality(documents: DataFrame, host_col: str = "host") -> DataFrame:
         ((F.col("docs") >= 20)
          & (F.expr("(kept * 1000) div docs") < 300)).alias("blocklist"))
         .orderBy("host"))
+
+
+def importance_weights(corpus: DataFrame, target: DataFrame,
+                       scale: int = 1024) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): rank source
+    documents by how target-like they are, weight = log
+    p_target(doc) − log p_source(doc) under unigram models — here in
+    the engine's integer bit space: per token,
+    ``bits_m = bitlen(((total_m + vocab_m)·scale) div (cnt_m + 1))``
+    (Laplace add-one, so target-OOV tokens are defined), and per doc
+    ``weight_bits = Σ (bits_source − bits_target)``. Positive means
+    more target-like. Bit-exact across engines.
+
+    Scale shape: two vocab-sized unigram models (one word-keyed
+    aggregation each, map-side partials) broadcast back onto the
+    token stream; scalars (totals, vocab sizes) ride the same
+    broadcast rows; ONE doc-keyed aggregation. The corpus shuffles
+    only its (doc_id, word) pairs — never text.
+    """
+    def words(df):
+        return F.split(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))),
+                             r"\s+", " "), " ")
+
+    ex = corpus.select("doc_id", F.explode(words(corpus)).alias("w"))
+    tex = target.select(F.explode(words(target)).alias("w"))
+
+    def model(tokens):
+        cnt = tokens.groupBy("w").agg(F.count("*").alias("cnt"))
+        tot = cnt.agg(F.sum("cnt").alias("total"),
+                      F.count("*").alias("vocab"))
+        return cnt, tot
+
+    s_cnt, s_tot = model(ex.select("w"))
+    t_cnt, t_tot = model(tex)
+    s_bits = (s_cnt.crossJoin(F.broadcast(s_tot))
+              .select("w", F.length(F.bin(F.expr(
+                  f"((total + vocab) * {scale}) div (cnt + 1)")))
+                  .cast("bigint").alias("_bs")))
+    # target model evaluated over the SOURCE vocabulary (left join →
+    # cnt 0 for target-OOV source tokens); the target vocab is small
+    # by construction (DSIR targets ≪ source corpus) → broadcast
+    t_bits = (s_cnt.select("w").join(F.broadcast(t_cnt), "w", "left")
+              .crossJoin(F.broadcast(t_tot))
+              .select("w", F.length(F.bin(F.expr(
+                  f"((total + vocab) * {scale}) div "
+                  f"(coalesce(cnt, 0) + 1)")))
+                  .cast("bigint").alias("_bt")))
+    tok = (ex.join(F.broadcast(s_bits), "w")
+           .join(F.broadcast(t_bits), "w"))
+    return (tok.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("_bs") - F.col("_bt")).cast("bigint")
+                 .alias("weight_bits"))
+            .select("doc_id", "n_tokens", "weight_bits",
+                    F.expr("(weight_bits * 1000) div n_tokens")
+                    .cast("bigint").alias("avg_weight_milli"))
+            .orderBy("doc_id"))

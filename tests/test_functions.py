@@ -1005,3 +1005,36 @@ def test_host_quality_blocklist_verdict(spark):
     assert o.kept == 25 and o.kept_permille == 1000 \
         and o.blocklist is False
     assert got["small.test"].blocklist is False  # under min volume
+
+
+def test_importance_weights_rank_target_like_docs_higher(spark):
+    from osmospark.functions.curation import importance_weights
+
+    # target is pure "physics"; doc 0 matches it, doc 1 is disjoint
+    corpus = spark.createDataFrame(
+        [(0, "quark boson quark boson"), (1, "stock bond stock bond")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [("quark boson quark quark boson boson",)], "text string")
+    got = {r.doc_id: r for r in importance_weights(corpus, target).collect()}
+    assert got[0].n_tokens == 4 and got[1].n_tokens == 4
+    # target-like doc scores strictly higher, and above the OOV doc
+    assert got[0].weight_bits > got[1].weight_bits
+    assert got[0].avg_weight_milli > got[1].avg_weight_milli
+    # symmetric corpus halves -> source bits identical across docs, so
+    # the gap is purely the target-model term (OOV Laplace floor)
+    assert got[0].weight_bits > 0 > got[1].weight_bits
+
+
+def test_importance_weights_broadcasts_models_single_doc_agg(spark):
+    from osmospark.functions.curation import importance_weights
+
+    corpus = spark.createDataFrame([(0, "a b"), (1, "b c")],
+                                   "doc_id long, text string")
+    target = spark.createDataFrame([("a b",)], "text string")
+    plan = importance_weights(corpus, target)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # both unigram models join back onto the token stream broadcast-side
+    assert plan.count("BroadcastHashJoin") >= 2
+    # no sort-merge join of the exploded corpus against itself
+    assert "SortMergeJoin" not in plan
