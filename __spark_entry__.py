@@ -1467,6 +1467,43 @@ def q_importance_weights(spark, sf_dir):
                               _planted_delta(docs).select("text"))
 
 
+def q_main_text(spark, sf_dir):
+    """Boilerplate removal: synthesize a page per document (nav link
+    bar, teaser block with a 3-word link + long plain tail, 40-word
+    content paragraphs, short footer), then run the REAL HTML parser +
+    jusText-style integer block classifier over the html. The oracle
+    re-scores the planted structure relationally — nav fails the
+    link-density gate, footer/short tail paragraphs fail min-chars, the
+    teaser's verdict depends on its first-3-words length."""
+    from osmospark.functions.maintext import main_text
+    docs = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    k = F.lit(1) + F.pmod("doc_id", F.lit(4))
+    nav = F.concat(
+        F.lit('<div class="nav">'),
+        F.array_join(F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat(F.lit('<a href="/p/'), i.cast("string"),
+                               F.lit('">nav item '), i.cast("string"),
+                               F.lit("</a>"))), " "),
+        F.lit("</div>"))
+    teaser = F.concat(
+        F.lit('<p><a href="/t">'), F.array_join(F.slice(ws, 1, 3), " "),
+        F.lit("</a> read the full story on our site today</p>"))
+    paras = F.array_join(F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(ws) - 1) / 40).cast("int")),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            F.array_join(F.slice(ws, i * 40 + 1, F.lit(40)), " "),
+            F.lit("</p>"))), "")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><body>"), nav, teaser, paras,
+                 F.lit("<p>copyright</p></body></html>")).alias("html"))
+    return main_text(pages).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1554,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "host_quality": q_host_quality,
         "importance_weights": q_importance_weights,
+        "main_text": q_main_text,
     }
 
 
@@ -3505,5 +3543,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST((weight_bits * 1000) // n_tokens AS BIGINT)
                      AS avg_weight_milli
             FROM per_doc ORDER BY doc_id
+        """,
+        # main_text: relational replay of the planted page structure —
+        # nav = k pure-link blocks ('nav item i' = 10 chars, k<=4 so i
+        # is one digit), teaser = 3-word link + 38-char plain tail,
+        # 40-word paragraphs, 9-char footer; content iff chars >= 25
+        # and link*1000 // chars <= 300 (the Spark side actually
+        # PARSES the html — this replays only the arithmetic)
+        "main_text": f"""
+            WITH base AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws,
+                     1 + (doc_id % 4) AS k
+              FROM documents),
+            blocks AS (
+              SELECT doc_id, 0 AS ord,
+                     array_to_string(list_transform(range(1, k + 1),
+                       i -> 'nav item ' || i), ' ') AS text,
+                     11 * k - 1 AS chars, 10 * k AS link
+              FROM base
+              UNION ALL
+              SELECT doc_id, 1 AS ord,
+                     array_to_string(ws[1:3], ' ')
+                       || ' read the full story on our site today',
+                     length(array_to_string(ws[1:3], ' ')) + 38,
+                     length(array_to_string(ws[1:3], ' '))
+              FROM base
+              UNION ALL
+              SELECT doc_id, 2 + i,
+                     array_to_string(
+                       list_slice(ws, i * 40 + 1, i * 40 + 40), ' '),
+                     length(array_to_string(
+                       list_slice(ws, i * 40 + 1, i * 40 + 40), ' ')),
+                     0
+              FROM (SELECT doc_id, ws,
+                           unnest(range(0, (len(ws) - 1) // 40 + 1)) AS i
+                    FROM base)
+              UNION ALL
+              SELECT doc_id, 1000, 'copyright', 9, 0 FROM base),
+            judged AS (
+              SELECT *, chars >= 25
+                        AND (link * 1000) // greatest(chars, 1) <= 300
+                          AS good
+              FROM blocks)
+            SELECT doc_id,
+                   coalesce(string_agg(text, chr(10) ORDER BY ord)
+                              FILTER (WHERE good), '') AS main_text,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(count(*) FILTER (WHERE good) AS BIGINT) AS n_good,
+                   CAST(coalesce(sum(chars) FILTER (WHERE good), 0)
+                        AS BIGINT) AS content_chars,
+                   CAST((sum(link) * 1000) // greatest(sum(chars), 1)
+                        AS BIGINT) AS link_permille
+            FROM judged GROUP BY doc_id ORDER BY doc_id
         """,
     }

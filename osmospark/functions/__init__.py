@@ -24,6 +24,7 @@ from .similarity import (
     recall_at_k,
 )
 from .curation import c4_quality_filter, span_dedup_remove, span_dedup_stats
+from .maintext import classify_blocks, main_text
 from .pipeline import cluster_pairs, corpus_pipeline, dup_clusters
 from .tokenizer import (
     bpe_token_counts,
@@ -49,6 +50,7 @@ __all__ = [
     "ivf_kmeans_assign", "ivf_topk", "ivf_topk_pruned", "kmeans_codebook",
     "lsh_topk", "recall_at_k",
     "c4_quality_filter", "span_dedup_remove", "span_dedup_stats",
+    "classify_blocks", "main_text",
     "cluster_pairs", "corpus_pipeline", "dup_clusters",
     "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",
     "fingerprints", "lang_id", "quality_scores", "token_counts",

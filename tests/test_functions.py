@@ -1038,3 +1038,48 @@ def test_importance_weights_broadcasts_models_single_doc_agg(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # no sort-merge join of the exploded corpus against itself
     assert "SortMergeJoin" not in plan
+
+
+def test_classify_blocks_gates_and_skip_subtrees():
+    from osmospark.functions.maintext import classify_blocks
+
+    html = """<html><head><title>skip</title><style>p{}</style></head><body>
+    <div class="nav"><a href="/1">nav item 1</a> <a href="/2">nav item 2</a></div>
+    <p>This paragraph is certainly long enough to be kept as content.</p>
+    <p><a href="/t">tiny</a> read the full story on our site today</p>
+    <p>short</p>
+    <ul><li>item one is short</li><li>item two with a <a href="/x">link</a>
+    inside a longer sentence that survives the density gate</li></ul>
+    <script>var x = "not content";</script>
+    <p>footer</p></body></html>"""
+    rows = classify_blocks(html)
+    verdicts = {t[:12]: good for t, _, _, _, good in rows}
+    assert verdicts["nav item 1 n"] is False      # link density 952
+    assert verdicts["This paragra"] is True
+    assert verdicts["tiny read th"] is True       # mixed, density 95
+    assert verdicts["short"] is False             # min_chars
+    assert verdicts["item one is "] is False      # li splits blocks
+    assert verdicts["item two wit"] is True
+    assert verdicts["footer"] is False
+    # script/style/title text never appears in any block
+    assert not any("not content" in t or "skip" in t for t, *_ in rows)
+    # blocks come out in document order
+    assert [t[:4] for t, *_ in rows][:2] == ["nav ", "This"]
+
+
+def test_main_text_single_mapinpandas_no_shuffle(spark):
+    from osmospark.functions.maintext import main_text
+
+    pages = spark.createDataFrame(
+        [(0, "<p>a paragraph long enough to clear the content gate</p>"
+             "<p><a href='/'>all link all link all link all link</a></p>"),
+         (1, "")],
+        "doc_id long, html string")
+    out = main_text(pages)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].n_blocks == 2 and got[0].n_good == 1
+    assert got[0].main_text.startswith("a paragraph")
+    assert got[0].link_permille > 300
+    assert got[1].main_text == "" and got[1].n_blocks == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: one Arrow pass, no shuffle
