@@ -1504,6 +1504,89 @@ def q_main_text(spark, sf_dir):
     return main_text(pages).orderBy("doc_id")
 
 
+def q_feed_ingest(spark, sf_dir):
+    """RSS/Atom feed parsing: synthesize one feed per document (even
+    doc_id → RSS 2.0 with RFC 822 pubDates, odd → Atom with ISO 8601
+    updated; 1-3 items each), run the JVM-regexp parser, and return the
+    typed entries. The oracle re-derives every field — including the
+    parsed naive timestamps — from the same plant formula."""
+    from osmospark.feed import feed_entries
+    docs = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ws = F.split(norm, " ")
+    h = F.pmod("doc_id", F.lit(7)).cast("string")
+    k = F.lit(1) + F.pmod("doc_id", F.lit(3))
+    t2 = F.array_join(F.slice(ws, 1, 2), " ")
+    base = F.to_timestamp(F.lit("2026-02-01 00:00:00"))
+
+    def ts(i):
+        return F.timestamp_add(
+            "SECOND", (F.col("doc_id") * 100 + i * 60).cast("int"), base)
+
+    def rss_item(i):
+        return F.concat(
+            F.lit("<item><title>"), t2, F.lit(" "), i.cast("string"),
+            F.lit("</title><link>http://h"), h, F.lit(".test/f/"),
+            F.col("doc_id").cast("string"), F.lit("/"), i.cast("string"),
+            F.lit("</link><guid>g-"), F.col("doc_id").cast("string"),
+            F.lit("-"), i.cast("string"), F.lit("</guid><pubDate>"),
+            F.date_format(ts(i), "EEE, dd MMM yyyy HH:mm:ss"),
+            F.lit(" GMT</pubDate></item>"))
+
+    def atom_entry(i):
+        return F.concat(
+            F.lit("<entry><title>"), t2, F.lit(" "), i.cast("string"),
+            F.lit('</title><link rel="alternate" href="http://h'), h,
+            F.lit(".test/f/"), F.col("doc_id").cast("string"), F.lit("/"),
+            i.cast("string"), F.lit('"/><id>g-'),
+            F.col("doc_id").cast("string"), F.lit("-"), i.cast("string"),
+            F.lit("</id><updated>"),
+            F.date_format(ts(i), "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("Z</updated></entry>"))
+
+    seq = F.sequence(F.lit(1), k)
+    xml = F.when(
+        F.pmod("doc_id", F.lit(2)) == 0,
+        F.concat(F.lit('<rss version="2.0"><channel><title>c</title>'),
+                 F.array_join(F.transform(seq, rss_item), ""),
+                 F.lit("</channel></rss>"))
+    ).otherwise(
+        F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                 F.array_join(F.transform(seq, atom_entry), ""),
+                 F.lit("</feed>")))
+    feeds = docs.select(
+        F.concat(F.lit("http://h"), h, F.lit(".test/feed/"),
+                 F.col("doc_id").cast("string"), F.lit(".xml"))
+        .alias("url"), xml.alias("xml"))
+    return feed_entries(feeds).orderBy("feed_url", "loc")
+
+
+def q_feed_discover(spark, sf_dir):
+    """Feed autodiscovery: plant <link> tags in BOTH attribute orders
+    plus stylesheet decoys, mine rel=alternate rss/atom hrefs
+    JVM-side. Oracle replays the plant conditions."""
+    from osmospark.feed import discover_feeds
+    docs = _documents(spark, sf_dir)
+    h = F.pmod("doc_id", F.lit(7)).cast("string")
+    d = F.col("doc_id").cast("string")
+    rss_tag = F.when(
+        F.pmod("doc_id", F.lit(2)) == 0,
+        F.concat(F.lit('<link rel="alternate" type="application/rss+xml"'
+                       ' href="/feed/'), d, F.lit('.xml">')))
+    atom_tag = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        F.concat(F.lit('<link title="a" type="application/atom+xml" '
+                       'rel="alternate" href="/atom/'), d, F.lit('.xml">')))
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.coalesce(rss_tag, F.lit("")), F.coalesce(atom_tag, F.lit("")),
+        F.lit("</head><body></body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("http://h"), h, F.lit(".test/p/"), d).alias("url"),
+        html.alias("html"))
+    return discover_feeds(pages).orderBy("page_url", "feed_href")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1592,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": q_host_quality,
         "importance_weights": q_importance_weights,
         "main_text": q_main_text,
+        "feed_ingest": q_feed_ingest,
+        "feed_discover": q_feed_discover,
     }
 
 
@@ -3595,5 +3680,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(link) * 1000) // greatest(sum(chars), 1)
                         AS BIGINT) AS link_permille
             FROM judged GROUP BY doc_id ORDER BY doc_id
+        """,
+        # feed_ingest: every field re-derived from the plant formula —
+        # the parsed timestamp must equal base + doc*100s + i*60s
+        # exactly (the Spark side round-trips it through RFC 822 /
+        # ISO 8601 strings and the regexp parser)
+        "feed_ingest": f"""
+            WITH base AS MATERIALIZED (
+              SELECT doc_id, doc_id % 7 AS h, 1 + (doc_id % 3) AS k,
+                     CASE WHEN doc_id % 2 = 0 THEN 'rss'
+                          ELSE 'atom' END AS kind,
+                     array_to_string(
+                       (regexp_split_to_array({_NORM}, ' '))[1:2], ' ')
+                       AS t2
+              FROM documents),
+            items AS (
+              SELECT doc_id, h, kind, t2, unnest(range(1, k + 1)) AS i
+              FROM base)
+            SELECT 'http://h' || h || '.test/feed/' || doc_id || '.xml'
+                     AS feed_url,
+                   kind,
+                   'http://h' || h || '.test/f/' || doc_id || '/' || i
+                     AS loc,
+                   t2 || ' ' || i AS title,
+                   'g-' || doc_id || '-' || i AS entry_id,
+                   TIMESTAMP '2026-02-01 00:00:00'
+                     + INTERVAL (doc_id * 100 + i * 60) SECOND
+                     AS published
+            FROM items ORDER BY feed_url, loc
+        """,
+        # feed_discover: plant conditions replayed (rss tag on even
+        # doc_id, atom tag on doc_id % 3 = 0; stylesheet decoys never
+        # match the rel=alternate + rss/atom type filter)
+        "feed_discover": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 7 AS h FROM documents),
+            hits AS (
+              SELECT 'http://h' || h || '.test/p/' || doc_id AS page_url,
+                     '/feed/' || doc_id || '.xml' AS feed_href,
+                     'application/rss+xml' AS feed_type
+              FROM base WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'http://h' || h || '.test/p/' || doc_id,
+                     '/atom/' || doc_id || '.xml',
+                     'application/atom+xml'
+              FROM base WHERE doc_id % 3 = 0)
+            SELECT * FROM hits ORDER BY page_url, feed_href
         """,
     }
