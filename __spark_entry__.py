@@ -1587,6 +1587,24 @@ def q_feed_discover(spark, sf_dir):
     return discover_feeds(pages).orderBy("page_url", "feed_href")
 
 
+def q_host_rank(spark, sf_dir):
+    """Weighted domain-level PageRank: page links planted as
+    h(doc_id%7) → h((doc_id²+1)%7) — quadratic residues mod 7 make
+    the collapsed host weights genuinely uneven, docs ≡3 (mod 7) emit
+    only intra-host links so h3 collapses to a DANGLING host that
+    still receives (from h4), exercising both the self-loop drop and
+    the leak path. Oracle replays the collapse + 3 unrolled weighted
+    iterations in exact integer share arithmetic."""
+    from osmospark.functions.linkgraph import host_rank
+    docs = _documents(spark, sf_dir)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    edges = docs.select(
+        h(F.pmod("doc_id", F.lit(7))).alias("src_host"),
+        h(F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(7)))
+        .alias("dst_host"))
+    return host_rank(edges, iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1677,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_text": q_main_text,
         "feed_ingest": q_feed_ingest,
         "feed_discover": q_feed_discover,
+        "host_rank": q_host_rank,
     }
 
 
@@ -3726,5 +3745,49 @@ def oracle_sql() -> dict[str, str]:
                      'application/atom+xml'
               FROM base WHERE doc_id % 3 = 0)
             SELECT * FROM hits ORDER BY page_url, feed_href
+        """,
+        # host_rank: collapse + 3 unrolled weighted-PageRank rounds in
+        # the same integer share arithmetic (share = (w*1000)//out_w,
+        # flow = (rank*share)//1000; all operands positive, // == div)
+        "host_rank": """
+            WITH pe AS (
+              SELECT 'h' || (doc_id % 7) AS s,
+                     'h' || ((doc_id * doc_id + 1) % 7) AS d
+              FROM documents),
+            ce AS MATERIALIZED (
+              SELECT s, d, count(*) AS w FROM pe WHERE s <> d
+              GROUP BY s, d),
+            outw AS (SELECT s, sum(w) AS ow FROM ce GROUP BY s),
+            sh AS MATERIALIZED (
+              SELECT ce.s, ce.d, (w * 1000) // ow AS sm
+              FROM ce JOIN outw USING (s)),
+            nodes AS (
+              SELECT DISTINCT host FROM (
+                SELECT s AS host FROM sh
+                UNION ALL SELECT d FROM sh)),
+            r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            i1 AS (
+              SELECT n.host,
+                     150000 + (85 * coalesce(f.fl, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT d, sum((r * sm) // 1000) AS fl
+                FROM sh JOIN r0 ON r0.host = sh.s GROUP BY d) f
+                ON f.d = n.host),
+            i2 AS (
+              SELECT n.host,
+                     150000 + (85 * coalesce(f.fl, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT d, sum((r * sm) // 1000) AS fl
+                FROM sh JOIN i1 ON i1.host = sh.s GROUP BY d) f
+                ON f.d = n.host),
+            i3 AS (
+              SELECT n.host,
+                     150000 + (85 * coalesce(f.fl, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT d, sum((r * sm) // 1000) AS fl
+                FROM sh JOIN i2 ON i2.host = sh.s GROUP BY d) f
+                ON f.d = n.host)
+            SELECT host, CAST(r AS BIGINT) AS rank_u
+            FROM i3 ORDER BY host
         """,
     }

@@ -105,6 +105,15 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
         FrontierEngine(spark, pages).extract_corpus(
             {"payload": "div", "links": ["a@href"]})))
 
+    # q1b: boilerplate removal over every page — same scan shape as
+    # crawl_extract (one Arrow parse pass), different kernel (block
+    # classification instead of selector evaluation)
+    def maintext_bench():
+        from osmospark.functions.maintext import main_text
+        return _count(main_text(pages, html_col="html", id_col="url"))
+
+    timed("main_text", maintext_bench)
+
     # q2: frontier BFS with URL-seen dedup over the link graph, extracting
     # per page (the full schedule+extract pipeline the metric names)
     def frontier_bench():
@@ -234,6 +243,21 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     timed("span_removal", lambda: _count(span_dedup_remove(docs)))
     timed("text_stats", lambda: _count(
         token_counts(docs).join(quality_scores(docs), "doc_id")))
+
+    # DSIR data selection: corpus scored against a target distribution
+    # (the 20% delta family) — two unigram models + one doc-keyed agg
+    def dsir_bench():
+        from osmospark.functions.curation import importance_weights
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ws = F.split(norm, " ")
+        target = (docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+                  .select(F.array_join(F.slice(ws, F.lit(1),
+                                               F.size(ws) - 1), " ")
+                          .alias("text")))
+        return _count(importance_weights(
+            docs.select("doc_id", "text"), target))
+
+    timed("importance_weights", dsir_bench)
     timed("ann_brute", lambda: _count(
         brute_force_topk(emb, list(range(16)), k=10)))
     timed("ann_lsh", lambda: _count(lsh_topk(emb, list(range(16)), k=10)))

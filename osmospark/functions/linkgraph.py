@@ -199,3 +199,58 @@ def hits(edges: DataFrame, iters: int = 2, unit: int = RANK_UNIT,
                     F.col("h").alias("hub_u"),
                     F.col("a").alias("auth_u"))
             .orderBy("node_id"))
+
+
+def host_rank(page_edges: DataFrame, iters: int = 3,
+              damping_pct: int = DAMPING_PCT, unit: int = RANK_UNIT,
+              checkpoint_every: int = 5) -> DataFrame:
+    """Domain-level authority: weighted integer PageRank over the HOST
+    graph — the seed-selection / crawl-budget signal (a host earning
+    cross-domain link mass deserves fetch slots before a link farm of
+    self-referencing pages; cf. Common Crawl's host-level ranks).
+
+    Input: (src_host, dst_host), ONE ROW PER PAGE-LEVEL LINK. The page
+    graph is first collapsed to weighted host edges (intra-host links
+    dropped — self-authority is exactly the signal to exclude), then
+    each collapsed edge carries an integer out-share
+    ``share_milli = (w * 1000) div out_w`` and every iteration flows
+    ``(rank_u * share_milli) div 1000`` — the two-step rounding keeps
+    every product under ``rank · 1000`` (no bigint overflow at any
+    in-degree, same argument as HITS' max-normalization), stays
+    bit-exact across engines, and bounds a host's total outflow by its
+    rank. Hosts whose every link is intra-host become dangling and
+    leak mass, like ``link_rank(dangling='drop')``.
+
+    Scale shape: the page-edge table shuffles ONCE (the collapse
+    groupBy); iterations then run on the hosts-sized collapsed graph —
+    at 10^10 pages / 10^7 hosts that is a 1000× reduction before any
+    iteration, which is why the collapse is part of the operator
+    instead of the caller's problem. Per iteration: one join + one
+    groupBy(dst) on host keys; ``checkpoint_every`` flattens lineage
+    like ``link_rank``.
+    """
+    pe = page_edges.select(F.col("src_host").alias("s"),
+                           F.col("dst_host").alias("d"))
+    ce = (pe.filter(F.col("s") != F.col("d"))
+          .groupBy("s", "d").agg(F.count("*").alias("w")))
+    outw = ce.groupBy("s").agg(F.sum("w").alias("ow"))
+    sh = (ce.join(outw, "s")
+          .select("s", "d", F.expr("(w * 1000) div ow").alias("sm")))
+    nodes = (sh.select(F.col("s").alias("host"))
+             .union(sh.select(F.col("d").alias("host"))).distinct())
+    base = unit * (100 - damping_pct) // 100
+    r = nodes.withColumn("rank_u", F.lit(unit).cast("bigint"))
+    for i in range(iters):
+        inflow = (sh.join(r.withColumnRenamed("host", "s"), "s")
+                  .select("d", F.expr("(rank_u * sm) div 1000").alias("c"))
+                  .groupBy("d").agg(F.sum("c").alias("flow")))
+        r = (nodes.join(inflow, nodes["host"] == inflow["d"], "left")
+             .select("host",
+                     (F.lit(base) + F.expr(
+                         f"({damping_pct} * coalesce(flow, 0L)) div 100"))
+                     .cast("bigint").alias("rank_u")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            from ..frontier.engine import _checkpoint_truncated
+            r = _checkpoint_truncated(r)
+    return r.orderBy("host")
