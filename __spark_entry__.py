@@ -1605,6 +1605,29 @@ def q_host_rank(spark, sf_dir):
     return host_rank(edges, iters=3)
 
 
+def q_trust_rank(spark, sf_dir):
+    """Integer TrustRank over the same arithmetic link graph as
+    q_link_rank (ring + quadratic edges), teleport restricted to the
+    10% seed set doc_id%10==0. The quadratic edges concentrate
+    in-links on residues, but only mass reachable from the seeds
+    scores — nodes outside the seeds' forward cone stay at 0 (the
+    anti-spam property the oracle replays with unrolled CTEs)."""
+    from osmospark.functions.linkgraph import trust_rank
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    ).union(docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n))
+        .alias("dst"),
+    ))
+    trusted = (docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+               .select(F.col("doc_id").alias("node_id")))
+    return trust_rank(edges, trusted, iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1696,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_ingest": q_feed_ingest,
         "feed_discover": q_feed_discover,
         "host_rank": q_host_rank,
+        "trust_rank": q_trust_rank,
     }
 
 
@@ -1798,6 +1822,49 @@ def _link_rank_sql(iters: int = 3, damping: int = 85,
             f"r{k} AS (SELECT nd.id, CAST({base} + ({damping} * "
             f"(coalesce(fl.f, 0){share})) // 100 AS BIGINT) AS u "
             f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst, sum(r.u // deg.d) AS f "
+            f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst) fl "
+            f"ON fl.dst = nd.id)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT id AS node_id, u AS rank_u FROM r{iters}"
+            + " ORDER BY node_id")
+
+
+def _trust_rank_sql(iters: int = 3, damping: int = 85,
+                    unit: int = 1_000_000,
+                    trusted_pred: str = "id % 10 = 0") -> str:
+    """Unrolled integer-TrustRank CTE chain mirroring
+    linkgraph.trust_rank over q_link_rank's arithmetic graph. The
+    teleport terms are scaled by n_nodes/n_trusted in the SAME
+    integer-division order as the Python ((base·nn)//nt, (unit·nn)//nt)
+    so every value is bit-identical; all operands positive, '//' ==
+    Spark's 'div'."""
+    base = unit * (100 - damping) // 100
+    ctes = [
+        "nmax AS (SELECT max(doc_id) + 1 AS n FROM documents)",
+        ("edges AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst "
+         "FROM documents, nmax UNION ALL "
+         "SELECT doc_id, (doc_id * doc_id + 1) % n "
+         "FROM documents, nmax)"),
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        ("nodes AS (SELECT DISTINCT src AS id FROM edges "
+         "UNION SELECT DISTINCT dst FROM edges)"),
+        f"tset AS (SELECT id FROM nodes WHERE {trusted_pred})",
+        ("cnt AS (SELECT (SELECT count(*) FROM nodes) AS nn, "
+         "(SELECT count(*) FROM tset) AS nt)"),
+        (f"r0 AS (SELECT nd.id, CAST(CASE WHEN t.id IS NOT NULL THEN "
+         f"({unit} * cnt.nn) // cnt.nt ELSE 0 END AS BIGINT) AS u "
+         "FROM nodes nd LEFT JOIN tset t ON t.id = nd.id "
+         "CROSS JOIN cnt)"),
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nd.id, CAST(CASE WHEN t.id IS NOT NULL "
+            f"THEN ({base} * cnt.nn) // cnt.nt ELSE 0 END "
+            f"+ ({damping} * coalesce(fl.f, 0)) // 100 AS BIGINT) AS u "
+            f"FROM nodes nd LEFT JOIN tset t ON t.id = nd.id "
+            f"CROSS JOIN cnt LEFT JOIN ("
             f"SELECT e.dst, sum(r.u // deg.d) AS f "
             f"FROM edges e JOIN r{k - 1} r ON r.id = e.src "
             f"JOIN deg ON deg.src = e.src GROUP BY e.dst) fl "
@@ -3790,4 +3857,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, CAST(r AS BIGINT) AS rank_u
             FROM i3 ORDER BY host
         """,
+        "trust_rank": _trust_rank_sql(),
     }

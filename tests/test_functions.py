@@ -543,6 +543,49 @@ def test_link_rank_dangling_redistribute_hand_computed(spark):
     assert sum(got.values()) > sum(drop.values())  # mass retained
 
 
+def test_trust_rank_spam_farm_scores_zero(spark):
+    """Anti-spam property, hand-computed: nodes 1,2 (a spam farm) link
+    hub 0; trusted seed 3 links 4. n=5, unit 1e6, damping 85:
+    init_t = 1e6·5//1 = 5e6 (seed only), base_t = 150000·5//1 = 750000.
+    Iter 1: spam nodes carry 0 rank so hub 0 receives NOTHING despite
+    2 in-links; node 4 gets 85%·5e6 = 4250000; seed re-bases 750000.
+    Iter 2: node 4 decays to 85%·750000 = 637500. Exact integers."""
+    from osmospark.functions.linkgraph import trust_rank
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 4)], "src long, dst long")
+    trusted = spark.createDataFrame([(3,)], "node_id long")
+    r1 = {r.node_id: r.rank_u
+          for r in trust_rank(edges, trusted, iters=1).collect()}
+    assert r1 == {0: 0, 1: 0, 2: 0, 3: 750000, 4: 4250000}
+    r2 = {r.node_id: r.rank_u
+          for r in trust_rank(edges, trusted, iters=2).collect()}
+    assert r2 == {0: 0, 1: 0, 2: 0, 3: 750000, 4: 637500}
+    # seeds absent from the graph are ignored; all-absent raises
+    r1b = {r.node_id: r.rank_u
+           for r in trust_rank(
+               edges, spark.createDataFrame([(3,), (99,)], "node_id long"),
+               iters=1).collect()}
+    assert r1b == r1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        trust_rank(edges, spark.createDataFrame([(99,)], "node_id long"))
+
+
+def test_host_rank_weighted_collapse_hand_computed(spark):
+    """Page links a→b ×3, a→c ×1, b→a ×1, plus an intra-host a→a that
+    must be dropped. Shares: a→b 750‰, a→c 250‰, b→a 1000‰. Iter 1
+    from unit 1e6: b = 150000 + 85%·750000 = 787500,
+    c = 150000 + 85%·250000 = 362500, a = 150000 + 85%·1e6 = 1000000
+    (c is dangling and leaks). Exact integers."""
+    from osmospark.functions.linkgraph import host_rank
+
+    rows = [("a", "b")] * 3 + [("a", "c"), ("b", "a"), ("a", "a")]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string")
+    got = {r.host: r.rank_u for r in host_rank(edges, iters=1).collect()}
+    assert got == {"a": 1000000, "b": 787500, "c": 362500}
+
+
 def test_link_rank_checkpoint_knob_flat_plans_same_ranks(spark):
     """Deep runs (iters > checkpoint_every) must not grow the logical
     plan per iteration: the stats-reset checkpoint truncates lineage, so
