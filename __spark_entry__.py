@@ -1628,6 +1628,25 @@ def q_trust_rank(spark, sf_dir):
     return trust_rank(edges, trusted, iters=3)
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror detection over planted content fingerprints: host =
+    h(doc_id%10); every 7 consecutive docs share fp = doc_id div 7
+    (a content window rotating across a 7-host subset, so pair overlap
+    genuinely varies by host distance and GROWS with the corpus), and
+    docs ≡0 (mod 7) instead emit the boilerplate fp −1, which lands on
+    all 10 hosts and is excluded by max_fp_hosts=9 — exercising the
+    skew cap at every scale while the result stays non-empty. The
+    oracle mirrors the cap with the same HAVING clause."""
+    from osmospark.frontier.reputation import mirror_hosts
+    docs = _documents(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(10)).cast("string"))
+        .alias("host"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.expr("doc_id div 7")).alias("fp"))
+    return mirror_hosts(pages, min_shared=2, max_fp_hosts=9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discover": q_feed_discover,
         "host_rank": q_host_rank,
         "trust_rank": q_trust_rank,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -3858,4 +3878,34 @@ def oracle_sql() -> dict[str, str]:
             FROM i3 ORDER BY host
         """,
         "trust_rank": _trust_rank_sql(),
+        # mirror_hosts: distinct (host, fp) grid from the planted
+        # quadratic fingerprints; cap and thresholds mirror the query
+        # (// == div on the positive operands involved)
+        "mirror_hosts": """
+            WITH hf AS MATERIALIZED (
+              SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+                     CASE WHEN doc_id % 7 = 0 THEN -1
+                          ELSE doc_id // 7 END AS fp
+              FROM documents),
+            hot AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) > 9),
+            jn AS (SELECT * FROM hf
+                   WHERE fp NOT IN (SELECT fp FROM hot)),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS n_shared
+              FROM jn a JOIN jn b
+                ON a.fp = b.fp AND a.host < b.host
+              GROUP BY a.host, b.host HAVING count(*) >= 2),
+            hc AS (SELECT host, count(*) AS n FROM hf GROUP BY host)
+            SELECT p.host_a, p.host_b,
+                   CAST(p.n_shared AS BIGINT) AS n_shared,
+                   CAST(ha.n AS BIGINT) AS n_a,
+                   CAST(hb.n AS BIGINT) AS n_b,
+                   CAST((p.n_shared * 1000) // least(ha.n, hb.n)
+                        AS BIGINT) AS overlap_permille
+            FROM pairs p
+            JOIN hc ha ON ha.host = p.host_a
+            JOIN hc hb ON hb.host = p.host_b
+            ORDER BY host_a, host_b
+        """,
     }

@@ -124,6 +124,71 @@ def trap_detect(urls: DataFrame, min_urls: int = 20,
         .orderBy("host"))
 
 
+def mirror_hosts(pages: DataFrame, min_shared: int = 2,
+                 max_fp_hosts: int = 256) -> DataFrame:
+    """Detect mirrored hosts by shared content fingerprints — the
+    crawl-budget signal that stops a scheduler fetching the same site
+    N times under N domains (CDN vanity domains, scraper mirrors,
+    www/apex splits that survived URL canonicalization).
+
+    Input (host, fp): one row per page, ``fp`` a content fingerprint
+    (e.g. ``textstats.fingerprints``' doc hash — content-based, so
+    mirrors match even when markup templates differ). Output: host
+    pairs (host_a < host_b) sharing ≥ ``min_shared`` distinct
+    fingerprints, with each host's distinct-fp count and
+    ``overlap_permille = n_shared·1000 div least(n_a, n_b)`` —
+    containment of the smaller host, so a full mirror scores 1000 even
+    when one side carries extra pages.
+
+    Skew cap, same discipline as the dedup band joins: a fingerprint
+    present on more than ``max_fp_hosts`` hosts (empty pages, soft-404
+    boilerplate) would contribute O(hosts²) pair rows; those fps are
+    dropped from PAIRING via a broadcast LEFT ANTI whose build side is
+    the keys-only sizing aggregate (they still count toward per-host
+    sizes), and the drop is WARNed, never silent. Scale shape: one
+    distinct over (host, fp), a fp-keyed self-join bounded by the cap,
+    and hosts-sized aggregates broadcast back — the page corpus itself
+    never moves (fingerprints are computed upstream, map-only).
+    """
+    import logging
+    log = logging.getLogger("osmospark.reputation")
+
+    hf = pages.select("host", "fp").distinct().persist()
+    hot = (hf.groupBy("fp").count()
+           .filter(F.col("count") > max_fp_hosts)
+           .select("fp").persist())
+    joinable = hf.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.host") < F.col("b.host")))
+             .groupBy(F.col("a.host").alias("host_a"),
+                      F.col("b.host").alias("host_b"))
+             .agg(F.count("*").cast("bigint").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    hc = hf.groupBy("host").agg(F.count("*").cast("bigint").alias("n"))
+    out = (pairs
+           .join(F.broadcast(hc.select(F.col("host").alias("host_a"),
+                                       F.col("n").alias("n_a"))), "host_a")
+           .join(F.broadcast(hc.select(F.col("host").alias("host_b"),
+                                       F.col("n").alias("n_b"))), "host_b")
+           .select("host_a", "host_b", "n_shared", "n_a", "n_b",
+                   F.expr("(n_shared * 1000) div least(n_a, n_b)")
+                   .cast("bigint").alias("overlap_permille"))
+           .orderBy("host_a", "host_b"))
+    # materialize so the persisted frames can be released immediately
+    # (same convention as dedup._banded_pairs); output is pairs-sized
+    out = out.localCheckpoint(eager=True)
+    n_hot = hot.count()
+    if n_hot:
+        log.warning(
+            "mirror_hosts: %d fingerprints on more than %d hosts excluded "
+            "from pairing (boilerplate; still counted in host sizes)",
+            n_hot, max_fp_hosts)
+    hot.unpersist()
+    hf.unpersist()
+    return out
+
+
 def allocate_budget(host_weights: DataFrame, total_slots: int) -> DataFrame:
     """Apportion a fixed per-round fetch budget across hosts by integer
     weight — Hamilton's largest-remainder method, so the allocation is

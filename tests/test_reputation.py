@@ -276,3 +276,26 @@ def test_url_features_hand_computed(spark):
     d = got["http://123.test/v2/7/9"]
     # digits: 1,2,3,2,7,9 = 6 of 22 chars -> 272 permille
     assert d.url_len == 22 and d.digit_permille == (6 * 1000) // 22
+
+
+def test_mirror_hosts_hand_planted(spark):
+    """m1 and m2 share fps {1,2,3}; m1 has one extra page (fp 4), host
+    x shares nothing pairable. fp 7 sits on ALL three hosts and the
+    cap (max_fp_hosts=2) excludes it from pairing while it still
+    counts toward host sizes: n_a(m1)=5, n_b(m2)=4, shared=3, overlap
+    = 3000//4 = 750. Host x shares only the capped fp 7, so no pair
+    with x survives min_shared=2. Exact integers."""
+    from osmospark.frontier.reputation import mirror_hosts
+
+    rows = ([("m1", f) for f in (1, 2, 3, 4, 7)]
+            + [("m2", f) for f in (1, 2, 3, 7)]
+            + [("x", 9), ("x", 7)])  # x∩m1 = {7} → capped away
+    pages = spark.createDataFrame(rows, "host string, fp long")
+    got = [tuple(r) for r in
+           mirror_hosts(pages, min_shared=2, max_fp_hosts=2).collect()]
+    assert got == [("m1", "m2", 3, 5, 4, 750)]
+    # duplicate page rows must not inflate shared counts (distinct)
+    got2 = [tuple(r) for r in
+            mirror_hosts(pages.union(pages), min_shared=2,
+                         max_fp_hosts=2).collect()]
+    assert got2 == got
