@@ -1647,6 +1647,17 @@ def q_mirror_hosts(spark, sf_dir):
     return mirror_hosts(pages, min_shared=2, max_fp_hosts=9)
 
 
+def q_partial_dups(spark, sf_dir):
+    """Partial-duplicate (containment) detection: winnow-fingerprint
+    candidates → exact Broder containment ≥600‰ in either direction.
+    The corpus's planted trim-family near-dups are FULL containments
+    (1000‰) that Jaccard under-scores when sizes diverge; the oracle
+    replays winnowing, the skew cap, and the integer permille verify."""
+    from osmospark.functions.dedup import partial_duplicates
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return partial_duplicates(docs, threshold_permille=600)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1740,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "trust_rank": q_trust_rank,
         "mirror_hosts": q_mirror_hosts,
+        "partial_dups": q_partial_dups,
     }
 
 
@@ -3907,5 +3919,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN hc ha ON ha.host = p.host_a
             JOIN hc hb ON hb.host = p.host_b
             ORDER BY host_a, host_b
+        """,
+        # partial_dups: replay winnowing (same CTEs as the
+        # winnow_fingerprints oracle), the operator's skew cap, and the
+        # exact integer-permille containment verify
+        "partial_dups": f"""
+            WITH g AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_shingle_sql()}) AS shd,
+                     {_shingle_sql()} AS grams
+              FROM documents),
+            h AS (SELECT doc_id,
+                         list_transform(grams, s ->
+                             ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+                  FROM g),
+            mn AS (SELECT doc_id,
+                          CASE WHEN len(hs) >= 4 THEN
+                              list_transform(range(1, len(hs) - 2),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+                          ELSE [list_min(hs)] END AS mins
+                   FROM h),
+            fp AS MATERIALIZED (
+              SELECT doc_id, unnest(list_distinct(mins)) AS f FROM mn),
+            hot AS (SELECT f FROM fp
+                    GROUP BY f HAVING count(*) > {MAX_BAND_BUCKET}),
+            jn AS (SELECT * FROM fp
+                   WHERE f NOT IN (SELECT f FROM hot)),
+            cand AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM jn a JOIN jn b
+                ON a.f = b.f AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.doc_a, c.doc_b,
+                     len(list_intersect(x.shd, y.shd)) AS inter,
+                     len(x.shd) AS n_a, len(y.shd) AS n_b
+              FROM cand c JOIN g x ON x.doc_id = c.doc_a
+                          JOIN g y ON y.doc_id = c.doc_b)
+            SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST((inter * 1000) // n_a AS BIGINT) AS c_ab_permille,
+                   CAST((inter * 1000) // n_b AS BIGINT) AS c_ba_permille
+            FROM v
+            WHERE greatest((inter * 1000) // n_a,
+                           (inter * 1000) // n_b) >= 600
+            ORDER BY doc_a, doc_b
         """,
     }

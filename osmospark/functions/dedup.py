@@ -210,6 +210,73 @@ def near_duplicates(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def containment(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Broder containment (Broder, SEQUENCES'97) on candidate
+    pairs, over the distinct 3-word shingle sets: asymmetric overlap
+    ``c_ab = |A∩B|·1000 div |A|`` (how much of A lies inside B) and
+    the mirror ``c_ba`` — integer permille, so both engines agree
+    bit-exactly. Jaccard misses inclusion with a size mismatch (a
+    quote wholly inside a 100× larger page scores ~1% Jaccard but
+    1000‰ containment); this is the verify stage that catches it.
+    Broadcast-joins the shingle arrays onto the (small) pair list —
+    same plan shape as ``ngram_jaccard``."""
+    sh = documents.select(F.col("doc_id"),
+                          F.array_distinct(_shingles(F.col("text")))
+                          .alias("sh"))
+    return (
+        pairs
+        .join(sh.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+            .alias("inter"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"))
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b",
+                F.expr("(inter * 1000) div n_a").cast("bigint")
+                .alias("c_ab_permille"),
+                F.expr("(inter * 1000) div n_b").cast("bigint")
+                .alias("c_ba_permille")))
+
+
+def partial_duplicates(documents: DataFrame,
+                       threshold_permille: int = 700,
+                       max_bucket_size: int | None = MAX_BAND_BUCKET
+                       ) -> DataFrame:
+    """Partial-duplicate detection: winnow-fingerprint candidates →
+    exact containment ≥ ``threshold_permille`` in EITHER direction.
+    Catches what the Jaccard pipeline structurally cannot: a document
+    duplicated INSIDE a larger one (syndicated articles with added
+    boilerplate, quote farms, aggregator pages).
+
+    Candidate generation uses MOSS winnowing (Schleimer et al.,
+    SIGMOD'03) instead of MinHash banding because winnowing's guarantee
+    is about shared RUNS, not whole-set similarity: any common word run
+    of w+k−1 (= 6) words shares a fingerprint, regardless of how large
+    the containing document is — exactly the asymmetric case MinHash
+    bands miss (band collision probability decays with Jaccard, and
+    Jaccard decays with the size ratio). The fingerprint self-join
+    rides the same skew-capped ``_banded_pairs`` core as the LSH/
+    SimHash pipelines (keys-only sizing aggregate as a broadcast LEFT
+    ANTI; hot fingerprints = corpus-wide boilerplate runs, dropped
+    loudly). At 100 TB the shuffle carries (fingerprint, doc_id) longs
+    — a few winnow minima per doc, cheaper than the shingle stream —
+    and the exact verify touches only the candidate pairs."""
+    from .textstats import winnow_fp_expr
+
+    exploded = documents.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.explode(winnow_fp_expr(F.col("text"))).alias("band_key"))
+    pairs = _banded_pairs(exploded, max_bucket_size, "partial-dup winnow")
+    return (containment(documents, pairs)
+            .filter(F.greatest("c_ab_permille", "c_ba_permille")
+                    >= threshold_permille)
+            .orderBy("doc_a", "doc_b"))
+
+
 def incremental_near_duplicates(base: DataFrame, delta: DataFrame,
                                 threshold: float = 0.5,
                                 n_hashes: int = N_MINHASH,

@@ -85,18 +85,12 @@ WINNOW_K = 3   # k-gram width (words)
 WINNOW_W = 4   # winnowing window over the k-gram hash sequence
 
 
-def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
-                        w: int = WINNOW_W) -> DataFrame:
-    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
-    SIGMOD'03 — the MOSS scheme): hash every word k-gram, slide a window of
-    w hashes, keep each window's minimum; the deduplicated sorted minima
-    are the document fingerprint. Guarantees any shared run of
-    w + k - 1 words between two documents shares at least one fingerprint.
-
-    All built-in expressions (transform/slice/array_min) inside
-    whole-stage codegen — the same portable md5→bigint hash as the minhash
-    pipeline so the DuckDB oracle agrees exactly."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+def winnow_fp_expr(text_col, k: int = WINNOW_K, w: int = WINNOW_W):
+    """The winnow fingerprint set as an ``array<bigint>`` COLUMN
+    expression (sorted distinct window minima) — shared by
+    ``winnow_fingerprints`` (string-joined per-doc output) and
+    ``dedup.partial_duplicates`` (exploded for candidate pairing)."""
+    norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
     words = F.split(norm, " ")
     n = F.size(words)
     grams = F.when(n >= k, F.transform(
@@ -112,7 +106,21 @@ def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
         F.sequence(F.lit(1), m - w + 1),
         lambda i: F.array_min(F.slice(hs, i, w)),
     )).otherwise(F.array(F.array_min(hs)))
-    fp = F.array_sort(F.array_distinct(mins))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et al.,
+    SIGMOD'03 — the MOSS scheme): hash every word k-gram, slide a window of
+    w hashes, keep each window's minimum; the deduplicated sorted minima
+    are the document fingerprint. Guarantees any shared run of
+    w + k - 1 words between two documents shares at least one fingerprint.
+
+    All built-in expressions (transform/slice/array_min) inside
+    whole-stage codegen — the same portable md5→bigint hash as the minhash
+    pipeline so the DuckDB oracle agrees exactly."""
+    fp = winnow_fp_expr(F.col("text"), k, w)
     return documents.select(
         "doc_id",
         F.size(fp).alias("n_fp"),

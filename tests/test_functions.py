@@ -280,6 +280,52 @@ def test_near_duplicates_finds_planted_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_partial_duplicates_catches_containment_jaccard_misses(spark):
+    """A 7-word quote wholly inside a much larger page: containment of
+    the quote is exactly 1000‰ while Jaccard is far below any sane
+    near-dup threshold — the asymmetric case partial_duplicates exists
+    for. Hand-checked: quote (7 words) has 5 shingles, all inside the
+    page's set; page has 38 distinct shingles → c_ba=1000, c_ab =
+    5000//38 = 131, Jaccard = 5/38 ≈ 0.13."""
+    from osmospark.functions.dedup import near_duplicates, partial_duplicates
+
+    quote = "quick brown fox jumps over the lazy"
+    page = ("breaking news from the wire service today " * 4
+            + quote + " according to sources familiar with the matter")
+    rows = [(1, page), (2, quote), (3, "unrelated text about engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r
+           for r in partial_duplicates(docs, threshold_permille=900)
+           .collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.inter, r.n_b, r.c_ba_permille) == (5, 5, 1000)
+    assert r.c_ab_permille == 5000 // r.n_a
+    # the Jaccard pipeline cannot see this pair at any useful threshold
+    jac = {(x.doc_a, x.doc_b) for x in near_duplicates(docs, 0.5).collect()}
+    assert (1, 2) not in jac
+
+
+def test_winnow_fp_expr_refactor_identical(spark):
+    """winnow_fingerprints must be unchanged by the winnow_fp_expr
+    extraction: string output equals the joined array expression."""
+    from osmospark.functions.textstats import (winnow_fingerprints,
+                                               winnow_fp_expr)
+    from pyspark.sql import functions as FF
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (i % 9 + 1) + "the quick brown fox jumps")
+         for i in range(12)], "doc_id long, text string")
+    a = {r.doc_id: (r.n_fp, r.fingerprint)
+         for r in winnow_fingerprints(docs).collect()}
+    fp = winnow_fp_expr(FF.col("text"))
+    b = {r.doc_id: (r.n, r.s) for r in docs.select(
+        "doc_id", FF.size(fp).alias("n"),
+        FF.concat_ws(",", FF.transform(
+            fp, lambda x: x.cast("string"))).alias("s")).collect()}
+    assert a == b
+
+
 def test_multimodal_plumbing(spark):
     from osmospark.functions.multimodal import (
         FEATURE_SCHEMA, media_features, synth_media_df,
