@@ -1658,6 +1658,17 @@ def q_partial_dups(spark, sf_dir):
     return partial_duplicates(docs, threshold_permille=600)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: integer k-means clusters
+    (8 cells, 2 Lloyd iterations — same trained codebook as the
+    ivf_kmeans oracle) restrict the cosine pair search to semantic
+    neighborhoods; groups keep the member farthest from its centroid.
+    Threshold 0.42 matches the corpus's planted near-dup families."""
+    from osmospark.functions.similarity import semdedup
+    return semdedup(_embeddings(spark, sf_dir), cells=8, iters=2,
+                    threshold=0.42)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1752,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "mirror_hosts": q_mirror_hosts,
         "partial_dups": q_partial_dups,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1906,19 +1918,20 @@ def _trust_rank_sql(iters: int = 3, damping: int = 85,
             + " ORDER BY node_id")
 
 
-def _ivf_kmeans_sql(cells: int = 8, iters: int = 2,
-                    scale: int = 1_000_000) -> str:
-    """Independent DuckDB replay of similarity.kmeans_codebook +
-    ivf_kmeans_assign: quantize to bigint micro-units, init from the
-    ``cells`` lowest vec_ids, then per iteration one assignment block
-    (squared-L2 argmin, ties → lowest cell) and one centroid-update
-    block (per-dimension integer sums with truncating division; empty
-    cells keep the previous centroid via coalesce). All-integer, so the
-    unrolled materialized CTEs are bit-identical to the Spark run."""
+def _kmeans_ctes(cells: int, iters: int, scale: int):
+    """The shared CTE chain replaying similarity.kmeans_codebook:
+    quantize to bigint micro-units, init from the ``cells`` lowest
+    vec_ids, then per iteration one assignment block (squared-L2
+    argmin, ties → lowest cell) and one centroid-update block
+    (per-dimension integer sums with truncating division; empty cells
+    keep the previous centroid). Returns (ctes, sq) where ``sq`` is
+    the squared-distance expression over aliases ``q``/``c`` and the
+    final codebook CTE is ``c{iters}``. Used by the ivf_kmeans and
+    semdedup oracles."""
     sq = ("list_sum(list_transform(range(1, len(q.qv) + 1), "
           "i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))")
     ctes = [f"""q AS MATERIALIZED (
-        SELECT vec_id, list_transform(embedding,
+        SELECT vec_id, list_transform(embedding::DOUBLE[],
                v -> CAST(round(v * {scale}) AS BIGINT)) AS qv
         FROM embeddings)""",
             """dims AS MATERIALIZED (
@@ -1944,6 +1957,15 @@ def _ivf_kmeans_sql(cells: int = 8, iters: int = 2,
         ctes.append(f"""c{k} AS MATERIALIZED (
         SELECT o.cell, coalesce(u.c, o.c) AS c
         FROM c{k - 1} o LEFT JOIN u{k} u USING (cell))""")
+    return ctes, sq
+
+
+def _ivf_kmeans_sql(cells: int = 8, iters: int = 2,
+                    scale: int = 1_000_000) -> str:
+    """Independent DuckDB replay of similarity.kmeans_codebook +
+    ivf_kmeans_assign via the shared ``_kmeans_ctes`` chain — see
+    there for the arithmetic; all-integer, bit-identical to Spark."""
+    ctes, sq = _kmeans_ctes(cells, iters, scale)
     return ("WITH " + ", ".join(ctes) + f"""
         SELECT vec_id, cell FROM (
           SELECT t.vec_id, t.cell,
@@ -1952,6 +1974,62 @@ def _ivf_kmeans_sql(cells: int = 8, iters: int = 2,
           FROM (SELECT q.vec_id, c.cell, {sq} AS d
                 FROM q CROSS JOIN c{iters} c) t)
         WHERE rn = 1 ORDER BY vec_id""")
+
+
+def _semdedup_sql(cells: int = 8, iters: int = 2,
+                  scale: int = 1_000_000, threshold: float = 0.42,
+                  max_cell: int = 2000) -> str:
+    """Independent DuckDB replay of similarity.semdedup: the shared
+    k-means CTE chain, final assignment KEEPING the integer distance,
+    the cell-size cap, within-cell pairwise cosine (rounded 6dp, same
+    as the dedup_embedding oracle), recursive-CTE min-label components
+    (same as the dup_clusters oracle), and the keep-farthest-from-
+    centroid representative (ties → lowest vec_id)."""
+    ctes, sq = _kmeans_ctes(cells, iters, scale)
+    cos = ("round(list_sum(list_transform(range(1, len(x.v) + 1), "
+           "i -> x.v[i] * y.v[i])) "
+           "/ (sqrt(list_sum(list_transform(x.v, t -> t * t))) "
+           "* sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6)")
+    ctes += [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        f"""asg AS MATERIALIZED (
+        SELECT vec_id, cell, d FROM (
+          SELECT t.*, row_number() OVER (PARTITION BY t.vec_id
+                       ORDER BY t.d ASC, t.cell ASC) AS rn
+          FROM (SELECT q.vec_id, q.qv, c.cell, {sq} AS d
+                FROM q CROSS JOIN c{iters} c) t)
+        WHERE rn = 1)""",
+        f"""big AS (SELECT cell FROM asg
+                    GROUP BY cell HAVING count(*) > {max_cell})""",
+        """kept AS (SELECT a.* FROM asg a
+                    WHERE cell NOT IN (SELECT cell FROM big))""",
+        f"""dup AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM kept a JOIN kept b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e x ON x.vec_id = a.vec_id
+        JOIN e y ON y.vec_id = b.vec_id
+        WHERE {cos} >= {threshold})""",
+        """edges AS (SELECT vec_a AS src, vec_b AS dst FROM dup
+                     UNION ALL SELECT vec_b, vec_a FROM dup)""",
+        """reach(vv, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.vv, e2.dst FROM reach
+        JOIN edges e2 ON e2.src = reach.r)""",
+        """comp AS (SELECT vv AS vec_id, least(vv, min(r)) AS group_id
+                    FROM reach GROUP BY vv)""",
+    ]
+    return ("WITH RECURSIVE " + ", ".join(ctes) + """
+        SELECT vec_id, CAST(cell AS INT) AS cell,
+               CAST(group_id AS BIGINT) AS group_id,
+               CAST(d AS BIGINT) AS dist_u,
+               (row_number() OVER (PARTITION BY group_id
+                    ORDER BY d DESC, vec_id ASC) = 1) AS keep
+        FROM (SELECT c2.vec_id, c2.group_id, a.cell, a.d
+              FROM comp c2 JOIN asg a ON a.vec_id = c2.vec_id)
+        ORDER BY vec_id""")
 
 
 _BPE_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
@@ -3964,4 +4042,5 @@ def oracle_sql() -> dict[str, str]:
                            (inter * 1000) // n_b) >= 600
             ORDER BY doc_a, doc_b
         """,
+        "semdedup": _semdedup_sql(),
     }

@@ -470,6 +470,94 @@ def ivf_kmeans_assign(embeddings: DataFrame, cells: int = 8,
             .orderBy("vec_id"))
 
 
+def semdedup(embeddings: DataFrame, cells: int = 8, iters: int = 2,
+             threshold: float = 0.96, scale: int = KMEANS_SCALE,
+             max_cell_size: int | None = MAX_EMB_BUCKET,
+             max_cc_iters: int = 20) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine. LSH near-dup catches documents
+    whose EMBEDDINGS nearly coincide; SemDeDup's clustering restricts
+    the pair search to semantic neighborhoods so the threshold can sit
+    far lower in cosine space without an all-pairs join — the dedup
+    stage the paper shows removing ~50% of web-scale corpora at no
+    quality loss.
+
+    Composition of the engine's existing exact parts, so the whole
+    pipeline stays oracle-checkable: integer ``kmeans_codebook`` (bit-
+    exact, broadcast-sized) → map-only assignment with the integer
+    distance-to-centroid retained → within-cell pairs (cells over
+    ``max_cell_size`` are excluded from pairing with a WARNING — same
+    skew discipline as every banded join here; at real scale ``cells``
+    grows ~N/4k so cells stay bounded) → exact cosine (rounded 6dp,
+    both engines agree) ≥ ``threshold`` → ``cluster_pairs`` min-label
+    components. Within each duplicate group the paper KEEPS the member
+    FARTHEST from its centroid (preserving boundary examples); ties
+    break toward the lowest vec_id.
+
+    Output, one row per vector in any duplicate group: (vec_id, cell,
+    group_id = min reachable vec_id, dist_u = integer squared L2 to
+    the assigned centroid, keep). Rows to drop = ``keep = false``.
+    """
+    from .pipeline import cluster_pairs
+
+    codebook = kmeans_codebook(embeddings, cells, iters, scale)
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda v: F.round(v * scale).cast("bigint"))
+        .alias("qv"))
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col("qv"), _lit_bigvec(c),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        for c in codebook])
+    asg = (e.withColumn("_d", dists)
+           .select("vec_id", "v",
+                   (F.array_position("_d", F.array_min("_d")) - 1)
+                   .cast("int").alias("cell"),
+                   F.array_min("_d").cast("bigint").alias("dist_u"))
+           .persist())
+    joinable = asg
+    hot = None
+    if max_cell_size is not None:
+        hot = (asg.groupBy("cell").count()
+               .filter(F.col("count") > max_cell_size)
+               .select("cell").persist())
+        joinable = asg.join(F.broadcast(hot), "cell", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    dup = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                  & (F.col("a.vec_id") < F.col("b.vec_id")))
+           .select(F.col("a.vec_id").alias("doc_a"),
+                   F.col("b.vec_id").alias("doc_b"),
+                   F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                   .alias("cosine"))
+           .filter(F.col("cosine") >= threshold)
+           .select("doc_a", "doc_b")
+           .localCheckpoint(eager=True))
+    if hot is not None:
+        n_dropped = hot.count()   # cache hit — populated by dup's job
+        if n_dropped:
+            logging.getLogger("osmospark.similarity").warning(
+                "semdedup: %d k-means cells over the %d-member cap "
+                "excluded from pairing (grow `cells` with the corpus)",
+                n_dropped, max_cell_size)
+        hot.unpersist()
+    comp = cluster_pairs(dup, max_iters=max_cc_iters)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("dist_u").desc(), F.col("vec_id").asc())
+    out = (comp.select(F.col("doc_id").alias("vec_id"),
+                       F.col("cluster_id").alias("group_id"))
+           .join(asg.select("vec_id", "cell", "dist_u"), "vec_id")
+           .withColumn("keep", F.row_number().over(w) == 1)
+           .select("vec_id", "cell", "group_id", "dist_u", "keep")
+           .orderBy("vec_id")
+           .localCheckpoint(eager=True))
+    asg.unpersist()
+    return out
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k pairs the ANN result recovered."""
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}

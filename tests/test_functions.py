@@ -326,6 +326,41 @@ def test_winnow_fp_expr_refactor_identical(spark):
     assert a == b
 
 
+def test_semdedup_groups_keep_farthest_from_centroid(spark):
+    """Planted semantic dup groups: three near-copies of e1, two of
+    e2, plus spread singletons. semdedup must (a) group exactly the
+    planted copies, (b) emit exactly one keep per group, (c) keep the
+    member with max integer centroid distance (ties → lowest vec_id),
+    (d) leave singletons out, and (e) be partitioning-invariant."""
+    from osmospark.functions.similarity import semdedup
+
+    def jitter(base, eps):
+        return [x + eps if i == 0 else x for i, x in enumerate(base)]
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    # low vec_ids seed the codebook — keep them DIVERSE so the planted
+    # dup groups aren't split across near-identical initial centroids
+    rows = [(0, [0.0, 0.0, 1.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),
+            (3, e1), (4, jitter(e1, 1e-4)), (5, jitter(e1, 2e-4)),
+            (6, e2), (7, jitter(e2, 1e-4))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(emb, cells=3, iters=2, threshold=0.999).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    assert {frozenset(x.vec_id for x in g) for g in by_group.values()} \
+        == {frozenset({3, 4, 5}), frozenset({6, 7})}
+    for g in by_group.values():
+        keeps = [x for x in g if x.keep]
+        assert len(keeps) == 1
+        best = max(g, key=lambda x: (x.dist_u, -x.vec_id))
+        assert keeps[0].vec_id == best.vec_id
+    out2 = semdedup(emb.repartition(7), cells=3, iters=2,
+                    threshold=0.999).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_multimodal_plumbing(spark):
     from osmospark.functions.multimodal import (
         FEATURE_SCHEMA, media_features, synth_media_df,
