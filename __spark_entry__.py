@@ -1669,6 +1669,17 @@ def q_semdedup(spark, sf_dir):
                     threshold=0.42)
 
 
+def q_ann_pq(spark, sf_dir):
+    """PQ asymmetric-distance top-k (Jégou et al.): 4 subspaces × 8
+    integer k-means centroids, codes + driver-built integer lookup
+    tables — the compressed-domain ANN path. The oracle re-trains all
+    four subspace codebooks through the shared k-means CTE chain and
+    replays encode + ADC exactly (everything bigint)."""
+    from osmospark.functions.similarity import pq_topk
+    return pq_topk(_embeddings(spark, sf_dir), ANN_QUERIES, k=5,
+                   m=4, ks=8, iters=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1764,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "partial_dups": q_partial_dups,
         "semdedup": q_semdedup,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -1918,7 +1930,8 @@ def _trust_rank_sql(iters: int = 3, damping: int = 85,
             + " ORDER BY node_id")
 
 
-def _kmeans_ctes(cells: int, iters: int, scale: int):
+def _kmeans_ctes(cells: int, iters: int, scale: int,
+                 prefix: str = "", vec_expr: str = "embedding"):
     """The shared CTE chain replaying similarity.kmeans_codebook:
     quantize to bigint micro-units, init from the ``cells`` lowest
     vec_ids, then per iteration one assignment block (squared-L2
@@ -1926,37 +1939,42 @@ def _kmeans_ctes(cells: int, iters: int, scale: int):
     (per-dimension integer sums with truncating division; empty cells
     keep the previous centroid). Returns (ctes, sq) where ``sq`` is
     the squared-distance expression over aliases ``q``/``c`` and the
-    final codebook CTE is ``c{iters}``. Used by the ivf_kmeans and
-    semdedup oracles."""
+    final codebook CTE is ``{prefix}c{iters}``. ``prefix`` namespaces
+    the CTEs so several chains coexist (PQ subspaces); ``vec_expr``
+    selects the source vector (e.g. a ``list_slice`` of the
+    embedding). Used by the ivf_kmeans, semdedup, and ann_pq oracles."""
+    p = prefix
     sq = ("list_sum(list_transform(range(1, len(q.qv) + 1), "
           "i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))")
-    ctes = [f"""q AS MATERIALIZED (
-        SELECT vec_id, list_transform(embedding::DOUBLE[],
+    ctes = [f"""{p}q AS MATERIALIZED (
+        SELECT vec_id, list_transform(({vec_expr})::DOUBLE[],
                v -> CAST(round(v * {scale}) AS BIGINT)) AS qv
         FROM embeddings)""",
-            """dims AS MATERIALIZED (
-        SELECT unnest(range(1, (SELECT len(qv) FROM q LIMIT 1) + 1)) AS i)""",
-            f"""c0 AS MATERIALIZED (
+            f"""{p}dims AS MATERIALIZED (
+        SELECT unnest(range(1,
+            (SELECT len(qv) FROM {p}q LIMIT 1) + 1)) AS i)""",
+            f"""{p}c0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                qv AS c
-        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {cells}))"""]
+        FROM (SELECT vec_id, qv FROM {p}q ORDER BY vec_id
+              LIMIT {cells}))"""]
     for k in range(1, iters + 1):
-        ctes.append(f"""a{k} AS MATERIALIZED (
+        ctes.append(f"""{p}a{k} AS MATERIALIZED (
         SELECT vec_id, qv, cell FROM (
           SELECT t.*, row_number() OVER (PARTITION BY t.vec_id
                        ORDER BY t.d ASC, t.cell ASC) AS rn
           FROM (SELECT q.vec_id, q.qv, c.cell, {sq} AS d
-                FROM q CROSS JOIN c{k - 1} c) t)
+                FROM {p}q q CROSS JOIN {p}c{k - 1} c) t)
         WHERE rn = 1)""")
-        ctes.append(f"""u{k} AS MATERIALIZED (
+        ctes.append(f"""{p}u{k} AS MATERIALIZED (
         SELECT cell, list(dv ORDER BY i) AS c FROM (
           SELECT a.cell, d.i AS i,
                  CAST(sum(a.qv[d.i]) // count(*) AS BIGINT) AS dv
-          FROM a{k} a CROSS JOIN dims d GROUP BY a.cell, d.i)
+          FROM {p}a{k} a CROSS JOIN {p}dims d GROUP BY a.cell, d.i)
         GROUP BY cell)""")
-        ctes.append(f"""c{k} AS MATERIALIZED (
+        ctes.append(f"""{p}c{k} AS MATERIALIZED (
         SELECT o.cell, coalesce(u.c, o.c) AS c
-        FROM c{k - 1} o LEFT JOIN u{k} u USING (cell))""")
+        FROM {p}c{k - 1} o LEFT JOIN {p}u{k} u USING (cell))""")
     return ctes, sq
 
 
@@ -2034,6 +2052,66 @@ def _semdedup_sql(cells: int = 8, iters: int = 2,
 
 _BPE_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
              r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))")
+
+
+def _ann_pq_sql(m: int = 4, ks: int = 8, iters: int = 2,
+                scale: int = 1_000_000, k: int = 5,
+                dim: int = 64) -> str:
+    """Independent DuckDB replay of similarity.pq_topk: ``m`` prefixed
+    k-means CTE chains (one per embedding subspace via list_slice),
+    per-subspace nearest-code encode (ties → lowest code), per-query
+    integer subspace-distance lookup tables, and the ADC sum ranked
+    ascending with lowest-neighbor tie-break. All-bigint end to end."""
+    sub = dim // m
+    ctes = []
+    for s in range(m):
+        c, _sq = _kmeans_ctes(
+            ks, iters, scale, prefix=f"s{s}",
+            vec_expr=f"list_slice(embedding, {s * sub + 1}, "
+                     f"{(s + 1) * sub})")
+        ctes += c
+    qpred = " OR ".join(f"vec_id = {q}" for q in ANN_QUERIES)
+    ctes.append(f"""fullq AS MATERIALIZED (
+        SELECT vec_id AS query_id, list_transform(embedding::DOUBLE[],
+               v -> CAST(round(v * {scale}) AS BIGINT)) AS qv
+        FROM embeddings WHERE {qpred})""")
+    for s in range(m):
+        ctes.append(f"""enc{s} AS MATERIALIZED (
+        SELECT vec_id, cell AS code FROM (
+          SELECT t.vec_id, t.cell, row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY t.d ASC, t.cell ASC) AS rn
+          FROM (SELECT q.vec_id, c.cell,
+                       list_sum(list_transform(range(1, len(q.qv) + 1),
+                           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])))
+                       AS d
+                FROM s{s}q q CROSS JOIN s{s}c{iters} c) t)
+        WHERE rn = 1)""")
+        ctes.append(f"""lut{s} AS MATERIALIZED (
+        SELECT fq.query_id, c.cell,
+               list_sum(list_transform(range(1, {sub} + 1),
+                   i -> (fq.qv[{s * sub} + i] - c.c[i])
+                        * (fq.qv[{s * sub} + i] - c.c[i]))) AS d
+        FROM fullq fq CROSS JOIN s{s}c{iters} c)""")
+    enc_joins = " ".join(
+        f"JOIN enc{s} e{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cell = e{s}.code "
+        f"AND l{s}.query_id = l0.query_id" for s in range(1, m))
+    adc_sum = " + ".join(f"l{s}.d" for s in range(m))
+    ctes.append(f"""adc AS (
+        SELECT l0.query_id, e0.vec_id,
+               CAST({adc_sum} AS BIGINT) AS adc_u
+        FROM enc0 e0 {enc_joins}
+        JOIN lut0 l0 ON l0.cell = e0.code {lut_joins}
+        WHERE e0.vec_id <> l0.query_id)""")
+    return ("WITH " + ", ".join(ctes) + f"""
+        SELECT query_id, rank, neighbor_id, adc_u FROM (
+          SELECT query_id, vec_id AS neighbor_id, adc_u,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_u ASC, vec_id ASC) AS rank
+          FROM adc)
+        WHERE rank <= {k} ORDER BY query_id, rank""")
 
 
 def _bpe_tokenize_sql() -> str:
@@ -4043,4 +4121,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "semdedup": _semdedup_sql(),
+        "ann_pq": _ann_pq_sql(),
     }

@@ -326,6 +326,41 @@ def test_winnow_fp_expr_refactor_identical(spark):
     assert a == b
 
 
+def test_pq_topk_recall_and_code_bounds(spark):
+    """PQ ADC on a clustered corpus: 3 tight clusters of 8 vectors
+    each (dim 8, m=2 subspaces, ks=4). Every query's top-5 under ADC
+    must stay inside its own cluster — the compressed distance
+    preserves coarse neighborhoods — codes must lie in [0, ks), and
+    dim % m != 0 must raise."""
+    import pytest as _pt
+    from osmospark.functions.similarity import (pq_codebooks, pq_encode,
+                                                pq_topk)
+
+    centers = [[10.0] * 8, [-10.0] * 8,
+               [10.0] * 4 + [-10.0] * 4]
+    # interleave vec_ids across clusters: k-means seeds from the LOWEST
+    # ids, so the head of the table must be cluster-diverse
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(8):
+            rows.append((j * 3 + ci,
+                         [x + 0.01 * j * ((i % 3) - 1)
+                          for i, x in enumerate(c)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(emb, m=2, ks=4, iters=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = pq_encode(emb, books).collect()
+    assert all(0 <= c < 4 for r in codes for c in r.codes)
+    out = pq_topk(emb, [0, 1, 2], k=5, m=2, ks=4, iters=2).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id % 3 == r.query_id % 3, \
+            f"{r.query_id}'s neighbor {r.neighbor_id} left its cluster"
+        assert r.neighbor_id != r.query_id
+    with _pt.raises(ValueError):
+        pq_codebooks(emb, m=3)
+
+
 def test_semdedup_groups_keep_farthest_from_centroid(spark):
     """Planted semantic dup groups: three near-copies of e1, two of
     e2, plus spread singletons. semdedup must (a) group exactly the
