@@ -1680,6 +1680,28 @@ def q_ann_pq(spark, sf_dir):
                    m=4, ks=8, iters=2)
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass over the arithmetic link graph with the 10% seed set:
+    rank_u − trust_u per node, relative in permille — link-farm-shaped
+    residues score near 1000, seed-adjacent nodes go negative. Oracle
+    = the link_rank and trust_rank CTE chains nested as subqueries and
+    joined (truncating div agrees on the negative values)."""
+    from osmospark.functions.linkgraph import spam_mass
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    ).union(docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n))
+        .alias("dst"),
+    ))
+    trusted = (docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+               .select(F.col("doc_id").alias("node_id")))
+    return spam_mass(edges, trusted, iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1776,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_dups": q_partial_dups,
         "semdedup": q_semdedup,
         "ann_pq": q_ann_pq,
+        "spam_mass": q_spam_mass,
     }
 
 
@@ -4122,4 +4145,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup": _semdedup_sql(),
         "ann_pq": _ann_pq_sql(),
+        "spam_mass": f"""
+            WITH lr AS ({_link_rank_sql()}),
+            tr AS ({_trust_rank_sql()})
+            SELECT lr.node_id, lr.rank_u, tr.rank_u AS trust_u,
+                   CAST(lr.rank_u - tr.rank_u AS BIGINT) AS mass_u,
+                   CAST(((lr.rank_u - tr.rank_u) * 1000) // lr.rank_u
+                        AS BIGINT) AS rel_permille
+            FROM lr JOIN tr USING (node_id) ORDER BY node_id
+        """,
     }

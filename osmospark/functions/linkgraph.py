@@ -168,6 +168,37 @@ def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
     return r.orderBy("node_id")
 
 
+def spam_mass(edges: DataFrame, trusted: DataFrame, iters: int = 3,
+              damping_pct: int = DAMPING_PCT, unit: int = RANK_UNIT,
+              checkpoint_every: int = 5) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen, VLDB
+    2006): how much of a node's PageRank is NOT backed by trusted
+    endorsement. Runs ``link_rank`` and ``trust_rank`` over the same
+    edges (total teleport mass matches by construction, so the two
+    scores are directly comparable) and reports
+    ``mass_u = rank_u − trust_u`` plus
+    ``rel_permille = (mass_u · 1000) div rank_u`` — near 1000 for
+    link-farm targets (all rank, no trust), negative for seed-adjacent
+    nodes (more trust than plain rank). The crawl scheduler demotes or
+    blocklists high relative-mass hosts. Both inputs are bit-exact
+    integers and the subtraction/div pair truncates toward zero in
+    both engines, so the oracle agrees on negative values too.
+
+    Cost: the two rank loops share the edge table's natural-key
+    shuffle pattern (2 × iters edge joins); the final join is
+    nodes-sized."""
+    lr = link_rank(edges, iters, damping_pct, unit, checkpoint_every)
+    tr = trust_rank(edges, trusted, iters, damping_pct, unit,
+                    checkpoint_every)
+    return (lr.join(tr.withColumnRenamed("rank_u", "trust_u"), "node_id")
+            .select("node_id", "rank_u", "trust_u",
+                    (F.col("rank_u") - F.col("trust_u")).cast("bigint")
+                    .alias("mass_u"),
+                    F.expr("((rank_u - trust_u) * 1000) div rank_u")
+                    .cast("bigint").alias("rel_permille"))
+            .orderBy("node_id"))
+
+
 def anchor_texts(edges: DataFrame) -> DataFrame:
     """Aggregate anchor text per link TARGET — the web-scale signal
     search and LLM-pretraining pipelines mine from a crawl's link

@@ -688,6 +688,24 @@ def test_trust_rank_spam_farm_scores_zero(spark):
         trust_rank(edges, spark.createDataFrame([(99,)], "node_id long"))
 
 
+def test_spam_mass_hand_computed(spark):
+    """Same graph as the trust_rank test (spam farm 1,2→0; seed 3→4).
+    iters=1: link_rank {0:1850000, 1:150000, 2:150000, 3:150000,
+    4:1000000}; trust {0:0,…,3:750000, 4:4250000}. Spam hub 0 shows
+    rel 1000‰ (all rank, no trust); seed-adjacent 4 goes NEGATIVE
+    (−3250‰, truncating div) — exact integers both ways round zero."""
+    from osmospark.functions.linkgraph import spam_mass
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 4)], "src long, dst long")
+    trusted = spark.createDataFrame([(3,)], "node_id long")
+    got = {r.node_id: (r.mass_u, r.rel_permille)
+           for r in spam_mass(edges, trusted, iters=1).collect()}
+    assert got == {0: (1850000, 1000), 1: (150000, 1000),
+                   2: (150000, 1000), 3: (-600000, -4000),
+                   4: (-3250000, -3250)}
+
+
 def test_host_rank_weighted_collapse_hand_computed(spark):
     """Page links a→b ×3, a→c ×1, b→a ×1, plus an intra-host a→a that
     must be dropped. Shares: a→b 750‰, a→c 250‰, b→a 1000‰. Iter 1
