@@ -1702,6 +1702,33 @@ def q_spam_mass(spark, sf_dir):
     return spam_mass(edges, trusted, iters=3)
 
 
+def q_contamination(spark, sf_dir):
+    """Per-doc benchmark-overlap FRACTION (GPT-3 appendix-C style):
+    every document's distinct-5-gram contamination permille against
+    the synthetic eval snippets — 0 rows for clean docs included, so
+    a pipeline can threshold instead of just removing exact hits."""
+    from osmospark.functions.curation import contamination_fraction
+    docs = _documents(spark, sf_dir)
+    return contamination_fraction(docs, _decon_benchmark(docs), n=DECON_N)
+
+
+def q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling: hosts h0..h9 (doc_id mod 10) with
+    planted budgets (i+1)·2000 tokens; docs admitted in md5 order until
+    each host's budget is spent. Spark runs the range-partitioned
+    running sum (16 ranges per host); the oracle runs the plain
+    single-window formulation — equality proves the decomposition."""
+    from osmospark.functions.curation import budget_sample
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "text",
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(10)).cast("string"))
+        .alias("host"))
+    budgets = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.col("id") + 1) * 2000).cast("bigint").alias("token_budget"))
+    return budget_sample(docs, budgets)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1799,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "ann_pq": q_ann_pq,
         "spam_mass": q_spam_mass,
+        "contamination": q_contamination,
+        "budget_sample": q_budget_sample,
     }
 
 
@@ -4153,5 +4182,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((lr.rank_u - tr.rank_u) * 1000) // lr.rank_u
                         AS BIGINT) AS rel_permille
             FROM lr JOIN tr USING (node_id) ORDER BY node_id
+        """,
+        # contamination: decontaminate's gram machinery, LEFT join so
+        # clean docs report 0; integer permille
+        "contamination": f"""
+            WITH bench AS (
+              SELECT DISTINCT unnest({_grams_sql(DECON_N,
+                  f"array_to_string(list_slice("
+                  f"regexp_split_to_array({_NORM}, ' '), 5, 16), ' ')")})
+                  AS g
+              FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            docg AS (SELECT doc_id,
+                            unnest(list_distinct({_grams_sql(DECON_N)}))
+                            AS g
+                     FROM documents),
+            agg AS (SELECT d.doc_id, count(*) AS n_grams,
+                           sum(CASE WHEN b.g IS NOT NULL
+                               THEN 1 ELSE 0 END) AS n_hits
+                    FROM docg d LEFT JOIN bench b ON b.g = d.g
+                    GROUP BY d.doc_id)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_hits AS BIGINT) AS n_hits,
+                   CAST((n_hits * 1000) // n_grams AS BIGINT)
+                       AS contamination_permille
+            FROM agg ORDER BY doc_id
+        """,
+        # budget_sample: the SINGLE-window running-sum formulation —
+        # Spark runs the 16-range decomposition; equality is the proof
+        "budget_sample": f"""
+            WITH base AS (
+              SELECT doc_id, 'h' || (doc_id % 10) AS host,
+                     CAST(len(regexp_split_to_array({_NORM}, ' '))
+                          AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                         AS h
+              FROM documents),
+            b AS (SELECT 'h' || i AS host,
+                         CAST((i + 1) * 2000 AS BIGINT) AS budget
+                  FROM range(0, 10) t(i)),
+            sc AS (
+              SELECT base.doc_id, base.host, base.n_tokens, b.budget,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY base.host ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                         AS cum_before
+              FROM base JOIN b USING (host))
+            SELECT doc_id, host, n_tokens, cum_before
+            FROM sc WHERE cum_before < budget
+            ORDER BY host, doc_id
         """,
     }

@@ -240,6 +240,15 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
         return _count(incremental_near_duplicates(docs, delta, 0.5))
 
     timed("dedup_incremental", incr_bench)
+
+    # partial-dup containment: winnow-fingerprint candidates (cheaper
+    # shuffle than the MinHash signature stream) + exact containment
+    def partial_bench():
+        from osmospark.functions.dedup import partial_duplicates
+        return _count(partial_duplicates(
+            docs.select("doc_id", "text"), threshold_permille=600))
+
+    timed("dedup_partial", partial_bench)
     timed("span_removal", lambda: _count(span_dedup_remove(docs)))
     timed("text_stats", lambda: _count(
         token_counts(docs).join(quality_scores(docs), "doc_id")))
@@ -258,6 +267,16 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
             docs.select("doc_id", "text"), target))
 
     timed("importance_weights", dsir_bench)
+
+    # SemDeDup: k-means cells sized so ~800 vectors/cell at sf0.1 (the
+    # paper's regime — cells grow with the corpus); within-cell cosine
+    def semdedup_bench():
+        from osmospark.functions.similarity import semdedup
+        n = emb.count()
+        cells = max(8, n // 800)
+        return _count(semdedup(emb, cells=cells, iters=2, threshold=0.42))
+
+    timed("semdedup", semdedup_bench)
     timed("ann_brute", lambda: _count(
         brute_force_topk(emb, list(range(16)), k=10)))
     timed("ann_lsh", lambda: _count(lsh_topk(emb, list(range(16)), k=10)))
@@ -272,6 +291,16 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     ivf_build(emb, ivf_dir, cells=16)
     timed("ann_ivf_pruned", lambda: _count(
         ivf_topk_pruned(spark, ivf_dir, list(range(16)), k=10)))
+
+    # PQ asymmetric-distance scan: m-byte codes + integer LUT adds —
+    # the compressed-domain ANN path (codebook training included in the
+    # timing: 4 subspace k-means runs)
+    def pq_bench():
+        from osmospark.functions.similarity import pq_topk
+        return _count(pq_topk(emb, list(range(16)), k=10,
+                              m=4, ks=8, iters=2))
+
+    timed("ann_pq", pq_bench)
 
     total = round(sum(timings.values()), 3)
     urls_done = counts["crawl_extract"] + counts["crawl_frontier"]

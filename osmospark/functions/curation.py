@@ -26,7 +26,7 @@ in ``__spark_entry__.py``:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SAMPLE_MOD = 1_000_000
 
@@ -144,6 +144,100 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .groupBy("doc_id")
             .agg(F.count_distinct("g").alias("n_hits"))
             .orderBy("doc_id"))
+
+
+def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
+                           n: int = 5) -> DataFrame:
+    """Per-document benchmark contamination FRACTION (the GPT-3
+    appendix-C discipline): of a document's distinct word n-grams, how
+    many appear anywhere in the benchmark set — reported for EVERY
+    document (0 for clean ones) so the pipeline can threshold, unlike
+    ``decontaminate`` which only lists hits. Output (doc_id, n_grams,
+    n_hits, contamination_permille), integer permille so both engines
+    agree exactly.
+
+    Scale shape: the benchmark gram set broadcasts (eval sets are
+    thousands of rows); the corpus side explodes DISTINCT grams into a
+    broadcast LEFT join (map-side, no corpus shuffle) and one doc-keyed
+    partial-agg shuffle of (doc_id, hit) pairs — text never moves."""
+    bench = (benchmark
+             .select(F.explode(_word_grams(F.col("text"), n)).alias("g"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    dg = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_grams(F.col("text"), n)))
+        .alias("g"))
+    return (dg.join(F.broadcast(bench), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
+                 .alias("n_hits"))
+            .select("doc_id", "n_grams", "n_hits",
+                    F.expr("(n_hits * 1000) div n_grams").cast("bigint")
+                    .alias("contamination_permille"))
+            .orderBy("doc_id"))
+
+
+def budget_sample(documents: DataFrame, budgets: DataFrame,
+                  host_col: str = "host", n_ranges: int = 16) -> DataFrame:
+    """Token-budget mixture sampling: per host (domain / data source),
+    take documents in a deterministic pseudo-random order until the
+    host's token budget is reached — the mixture-weights step that
+    turns "20% code, 30% web, …" into an actual document selection.
+    A document is kept iff the tokens BEFORE it in its host's order
+    stay under the budget (the straddling document is included);
+    hosts absent from ``budgets`` contribute nothing.
+
+    Order = (md5-hash of doc_id, doc_id) — the same portable md5
+    convention as ``stratified_sample``, so the oracle replays it.
+
+    Scale shape: the naive form is one running-sum window per host —
+    a single task sorts a mega-host's whole row set. Here the hash
+    ORDER KEY's top bits split each host into ``n_ranges`` contiguous
+    ranges: per-(host, range) token sums come from one aggregation
+    (map-side partials, NO sort), range offsets cumulate over ≤
+    ``n_ranges`` rows per host, and the exact running sum completes
+    inside (host, range) windows — ``n_ranges``× the parallelism of
+    the single-window form with bit-identical output (the DuckDB
+    oracle runs the SINGLE-window formulation; equality is the test,
+    and a unit test pins n_ranges=1 ≡ n_ranges=16). Only (doc_id,
+    host, hash, n_tokens) tuples shuffle — text never moves.
+
+    Output: (doc_id, host, n_tokens, cum_before) for kept docs."""
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    base = documents.select(
+        "doc_id", F.col(host_col).alias("host"),
+        F.size(_norm_words(F.col("text"))).cast("bigint")
+        .alias("n_tokens"),
+        h.alias("h"))
+    # 15 hex digits = 60 bits; contiguous ranges via the top bits
+    span = (1 << 60) // n_ranges
+    base = base.withColumn("rng", F.expr(f"h div {span}").cast("int"))
+    part = base.groupBy("host", "rng").agg(F.sum("n_tokens").alias("rs"))
+    w_off = (Window.partitionBy("host").orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = part.select(
+        "host", "rng",
+        F.coalesce(F.sum("rs").over(w_off), F.lit(0).cast("bigint"))
+        .alias("offset"))
+    w_loc = (Window.partitionBy("host", "rng")
+             .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    scored = (base.join(offs, ["host", "rng"])
+              .join(F.broadcast(budgets.select(
+                  F.col("host"),
+                  F.col("token_budget").cast("bigint").alias("budget"))),
+                  "host")
+              .withColumn("cum_before",
+                          (F.col("offset")
+                           + F.coalesce(F.sum("n_tokens").over(w_loc),
+                                        F.lit(0).cast("bigint")))
+                          .cast("bigint"))
+              .filter(F.col("cum_before") < F.col("budget")))
+    return (scored.select("doc_id", "host", "n_tokens", "cum_before")
+            .orderBy("host", "doc_id"))
 
 
 def vocab_stats(documents: DataFrame, min_count: int = 2) -> DataFrame:

@@ -688,6 +688,59 @@ def test_trust_rank_spam_farm_scores_zero(spark):
         trust_rank(edges, spark.createDataFrame([(99,)], "node_id long"))
 
 
+def test_contamination_fraction_exact(spark):
+    """3-gram contamination: doc 1 IS the benchmark (1000‰), doc 2
+    shares exactly one of its four distinct 3-grams (250‰), doc 3
+    shares none (0‰ — still reported)."""
+    from osmospark.functions.curation import contamination_fraction
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"),
+         (2, "the quick brown dog runs home"),
+         (3, "completely different words entirely here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_hits, r.contamination_permille)
+           for r in contamination_fraction(docs, bench, n=3).collect()}
+    assert got == {1: (2, 2, 1000), 2: (4, 1, 250), 3: (3, 0, 0)}
+
+
+def test_budget_sample_greedy_prefix_and_range_invariance(spark):
+    """budget_sample must equal the greedy md5-order prefix computed
+    independently in Python, include the straddling doc, drop hosts
+    with no budget row, and be invariant to the range decomposition
+    (n_ranges=1 ≡ 16 — the scale fix is proven bit-identical)."""
+    import hashlib
+    from osmospark.functions.curation import budget_sample
+
+    rows = [(i, "h" + str(i % 2), "w " * (3 + i % 5)) for i in range(40)]
+    rows += [(100, "nobudget", "some words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    budgets = spark.createDataFrame(
+        [("h0", 20), ("h1", 31)], "host string, token_budget long")
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for host, budget in [("h0", 20), ("h1", 31)]:
+        cum = 0
+        for doc_id, _, text in sorted(
+                (r for r in rows if r[1] == host),
+                key=lambda r: (h(r[0]), r[0])):
+            ntok = len(text.strip().split())
+            if cum < budget:
+                expect.add((doc_id, host, ntok, cum))
+            cum += ntok
+    got16 = {tuple(r) for r in budget_sample(docs, budgets).collect()}
+    got1 = {tuple(r) for r in
+            budget_sample(docs, budgets, n_ranges=1).collect()}
+    assert got16 == expect
+    assert got1 == got16
+    assert not any(r[1] == "nobudget" for r in got16)
+
+
 def test_spam_mass_hand_computed(spark):
     """Same graph as the trust_rank test (spam farm 1,2→0; seed 3→4).
     iters=1: link_rank {0:1850000, 1:150000, 2:150000, 3:150000,
