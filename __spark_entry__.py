@@ -1729,6 +1729,26 @@ def q_budget_sample(spark, sf_dir):
     return budget_sample(docs, budgets)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode cleanup over deterministically dirtied text: every doc
+    gets an NBSP prefix; docs ≡0 (mod 3) a BEL control char, ≡0 (mod
+    5) a zero-width-space token, ≡0 (mod 7) mojibake 'Ã©cafÃ©' — so
+    the oracle exercises every normalization rule and the mojibake
+    counter on real data. Both engines parse the SAME ASCII \\x{{..}}
+    regex source (Java regex ∩ RE2) and inject the dirt via
+    chr()-equivalent literals."""
+    from osmospark.functions.curation import normalize_text
+    docs = _documents(spark, sf_dir)
+    mod = lambda m: F.pmod("doc_id", F.lit(m)) == 0  # noqa: E731
+    dirty = F.concat(
+        F.lit("\u00a0"), F.col("text"),
+        F.when(mod(3), F.lit("\x07")).otherwise(F.lit("")),
+        F.when(mod(5), F.lit("\u200bzw")).otherwise(F.lit("")),
+        F.when(mod(7), F.lit("\u00c3\u00a9caf\u00c3\u00a9"))
+        .otherwise(F.lit("")))
+    return normalize_text(docs.select("doc_id", dirty.alias("text")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1828,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "contamination": q_contamination,
         "budget_sample": q_budget_sample,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -2104,6 +2125,38 @@ def _semdedup_sql(cells: int = 8, iters: int = 2,
 
 _BPE_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
              r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))")
+
+
+def _normalize_text_sql() -> str:
+    """DuckDB replay of curation.normalize_text over the dirtied text:
+    the dirt is injected via chr() (no raw control bytes in the SQL),
+    and the normalization applies the SAME ASCII ``\\x{{..}}`` regex
+    source strings Spark compiles — Java regex and RE2 parse them
+    identically."""
+    from osmospark.functions.curation import (NORM_CTRL_RX,
+                                              NORM_INVISIBLE_RX,
+                                              NORM_MOJIBAKE_RX,
+                                              NORM_SPACE_RX)
+    dirty = ("chr(160) || text"
+             " || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END"
+             " || CASE WHEN doc_id % 5 = 0 THEN chr(8203) || 'zw'"
+             "    ELSE '' END"
+             " || CASE WHEN doc_id % 7 = 0 THEN chr(195) || chr(169)"
+             " || 'caf' || chr(195) || chr(169) ELSE '' END")
+    cleaned = (f"trim(regexp_replace(regexp_replace(regexp_replace("
+               f"regexp_replace(t, '{NORM_CTRL_RX}', '', 'g'), "
+               f"'{NORM_INVISIBLE_RX}', '', 'g'), "
+               f"'{NORM_SPACE_RX}', ' ', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+        WITH d AS (SELECT doc_id, {dirty} AS t FROM documents)
+        SELECT doc_id, {cleaned} AS clean_text,
+               CAST(length(t) AS BIGINT) AS n_chars_before,
+               CAST(length({cleaned}) AS BIGINT) AS n_chars_after,
+               CAST(len(regexp_split_to_array(t,
+                    '{NORM_MOJIBAKE_RX}')) - 1 AS BIGINT)
+                   AS mojibake_hits
+        FROM d ORDER BY doc_id
+    """
 
 
 def _ann_pq_sql(m: int = 4, ks: int = 8, iters: int = 2,
@@ -4232,4 +4285,5 @@ def oracle_sql() -> dict[str, str]:
             FROM sc WHERE cum_before < budget
             ORDER BY host, doc_id
         """,
+        "normalize_text": _normalize_text_sql(),
     }

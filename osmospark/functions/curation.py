@@ -146,6 +146,53 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .orderBy("doc_id"))
 
 
+# normalize_text character classes — ONE Python source of ASCII-only
+# regex text using \x{...} escapes, which Java regex (Spark) and RE2
+# (DuckDB) parse identically, so embedding the same string in both
+# engines yields the same codepoint classes without raw control bytes
+# in SQL literals. Tab/newline survive the control strip and fold into
+# the final whitespace collapse.
+NORM_CTRL_RX = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+NORM_SPACE_RX = (r"[\x{00a0}\x{1680}\x{2000}-\x{200a}"
+                 r"\x{202f}\x{205f}\x{3000}]")
+NORM_INVISIBLE_RX = r"[\x{00ad}\x{200b}-\x{200d}\x{2060}\x{feff}]"
+NORM_MOJIBAKE_RX = r"\x{00c3}[\x{0080}-\x{00ff}]|\x{00e2}\x{20ac}"
+
+
+def normalize_text(documents: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """Unicode text normalization — the cleanup pass every webtext
+    pipeline runs before tokenization (cf. CCNet's preprocessing):
+
+    - strip C0/C1 control characters (keep \\t \\n \\r pre-collapse);
+    - map exotic Unicode spaces (NBSP, en/em/thin spaces, ideographic
+      space) to ASCII space;
+    - delete zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft
+      hyphens — invisible codepoints that fracture tokens;
+    - collapse all whitespace runs to single spaces and trim;
+    - count mojibake markers (UTF-8-read-as-Latin-1 artifacts: 'Ã'
+      followed by a Latin-1-range char, and the 'â€¦'-family prefix) —
+      reported, not "fixed": re-decoding is a per-source decision.
+
+    Map-only JVM regexp chain (the character classes are shared
+    Java-regex/RE2 syntax with the literal codepoints embedded from
+    the same Python source, so the DuckDB oracle applies the identical
+    projection). Output: (doc_id, clean_text, n_chars_before,
+    n_chars_after, mojibake_hits)."""
+    t = F.col(text_col)
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(t, NORM_CTRL_RX, ""), NORM_INVISIBLE_RX, ""),
+        NORM_SPACE_RX, " "), r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(t).cast("bigint").alias("n_chars_before"),
+        F.length(cleaned).cast("bigint").alias("n_chars_after"),
+        (F.size(F.split(t, NORM_MOJIBAKE_RX, -1)) - 1).cast("bigint")
+        .alias("mojibake_hits")
+    ).orderBy("doc_id")
+
+
 def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
                            n: int = 5) -> DataFrame:
     """Per-document benchmark contamination FRACTION (the GPT-3

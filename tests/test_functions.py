@@ -688,6 +688,33 @@ def test_trust_rank_spam_farm_scores_zero(spark):
         trust_rank(edges, spark.createDataFrame([(99,)], "node_id long"))
 
 
+def test_normalize_text_hand_planted(spark):
+    """Each rule exercised once: control char stripped, NBSP/em-space
+    mapped to space then collapsed, zero-width and soft hyphen deleted,
+    CRLF folded, mojibake counted (2 markers) but NOT altered beyond
+    the whitespace rules. Exact strings and counts."""
+    from osmospark.functions.curation import normalize_text
+
+    rows = [
+        (1, "a\x07b"),                          # control char
+        (2, "a\u00a0\u2003 b"),                 # NBSP + em-space + space
+        (3, "foo\u200bbar\u00adbaz"),           # zero-width + soft hyphen
+        (4, "line1\r\nline2\tend"),             # CRLF + tab collapse
+        (5, "caf\u00c3\u00a9 \u00e2\u20ac\u00a6done"),  # mojibake x2
+        (6, "  already clean  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_chars_before, r.n_chars_after,
+                      r.mojibake_hits)
+           for r in normalize_text(docs).collect()}
+    assert got[1] == ("ab", 3, 2, 0)
+    assert got[2] == ("a b", 5, 3, 0)
+    assert got[3] == ("foobarbaz", 11, 9, 0)
+    assert got[4] == ("line1 line2 end", 16, 15, 0)
+    assert got[5] == ("caf\u00c3\u00a9 \u00e2\u20ac\u00a6done", 13, 13, 2)
+    assert got[6] == ("already clean", 17, 13, 0)
+
+
 def test_contamination_fraction_exact(spark):
     """3-gram contamination: doc 1 IS the benchmark (1000‰), doc 2
     shares exactly one of its four distinct 3-grams (250‰), doc 3
