@@ -577,6 +577,42 @@ def test_priority_df_orders_fetch_slot_admission(spark):
     assert first_round_urls(prio) == {seeds[2]}  # scored /p/7 jumps queue
 
 
+def test_trust_rank_feeds_engine_priority(spark):
+    """End-to-end composition: TrustRank over a url_hash-keyed link
+    graph becomes the engine's priority_df. Seeds p3/p5/p7, one slot:
+    p7 is the trusted seed and links p5; p3 links p5 too but carries
+    no trust. trust_rank(iters=1): p5 = 85%·3e6 = 2550000 (endorsed),
+    p7 = 450000 (its own teleport), p3 = 0 — so the first fetched URL
+    must be p5, beating both DFS order and the trusted node itself."""
+    from pyspark.sql import functions as F
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+    from osmospark.functions.linkgraph import trust_rank
+    from osmospark.urlnorm import xxhash64_py
+
+    pages = synth_corpus_df(spark, 60, n_hosts=1, weight=1).cache()
+    pages.count()
+    seeds = [f"http://host0000.test/p/{i}" for i in (3, 5, 7)]
+    h = {u: xxhash64_py(u.encode()) for u in seeds}
+    edges = spark.createDataFrame(
+        [(h[seeds[2]], h[seeds[1]]),      # trusted p7 -> p5
+         (h[seeds[0]], h[seeds[1]])],     # untrusted p3 -> p5
+        "src long, dst long")
+    trusted = spark.createDataFrame([(h[seeds[2]],)], "node_id long")
+    prio = (trust_rank(edges, trusted, iters=1)
+            .select(F.col("node_id").alias("url_hash"),
+                    F.col("rank_u").alias("priority")))
+    scores = {r.url_hash: r.priority for r in prio.collect()}
+    assert scores[h[seeds[1]]] == 2550000
+    assert scores[h[seeds[2]]] == 450000
+    assert scores[h[seeds[0]]] == 0
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=1, priority_df=prio)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=1, max_rounds=1)
+    assert {r.url for r in rec.select("url").collect()} == {seeds[1]}
+
+
 def test_priority_df_preserves_exhaustive_closure(spark):
     """Priority reorders admission; on an exhaustive crawl (depth bound
     above the graph diameter) the reachable closure must be IDENTICAL
