@@ -1749,6 +1749,32 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(docs.select("doc_id", dirty.alias("text")))
 
 
+def q_link_farm_features(spark, sf_dir):
+    """Per-host link-farm features over three planted edge families:
+    quadratic h(d%7)→h((d²+1)%7) for all docs (irregular fanout,
+    intra-host self-links at residue 3 and 5), h(i)→h(i+3) for even
+    docs and h(i)→h(i+4) for docs ≡0 (mod 3) — the +3/+4 pair makes
+    every host RECIPROCATE exactly one neighbor while the quadratic
+    neighbors stay one-way, so recip_permille genuinely varies."""
+    from osmospark.functions.linkgraph import link_farm_features
+    docs = _documents(spark, sf_dir)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    s = h(F.pmod("doc_id", F.lit(7)))
+    fam_a = docs.select(
+        s.alias("src_host"),
+        h(F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(7)))
+        .alias("dst_host"))
+    fam_b = (docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+             .select(s.alias("src_host"),
+                     h(F.pmod(F.col("doc_id") + 3, F.lit(7)))
+                     .alias("dst_host")))
+    fam_c = (docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+             .select(s.alias("src_host"),
+                     h(F.pmod(F.col("doc_id") + 4, F.lit(7)))
+                     .alias("dst_host")))
+    return link_farm_features(fam_a.union(fam_b).union(fam_c))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1849,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "budget_sample": q_budget_sample,
         "normalize_text": q_normalize_text,
+        "link_farm_features": q_link_farm_features,
     }
 
 
@@ -4286,4 +4313,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host, doc_id
         """,
         "normalize_text": _normalize_text_sql(),
+        "link_farm_features": """
+            WITH pe AS MATERIALIZED (
+              SELECT 'h' || (doc_id % 7) AS s,
+                     'h' || ((doc_id * doc_id + 1) % 7) AS d
+              FROM documents
+              UNION ALL
+              SELECT 'h' || (doc_id % 7), 'h' || ((doc_id + 3) % 7)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'h' || (doc_id % 7), 'h' || ((doc_id + 4) % 7)
+              FROM documents WHERE doc_id % 3 = 0),
+            outc AS (SELECT s, count(*) AS out_links,
+                            sum(CASE WHEN s = d THEN 1 ELSE 0 END)
+                                AS intra
+                     FROM pe GROUP BY s),
+            inc AS (SELECT d, count(*) AS in_links FROM pe GROUP BY d),
+            cx AS MATERIALIZED (
+              SELECT DISTINCT s, d FROM pe WHERE s <> d),
+            recip AS (SELECT c.s, count(*) AS recip
+                      FROM cx c JOIN cx b ON b.s = c.d AND b.d = c.s
+                      GROUP BY c.s),
+            fan AS (SELECT s, count(*) AS fanout FROM cx GROUP BY s),
+            hosts AS (SELECT DISTINCT host FROM (
+              SELECT s AS host FROM pe UNION ALL SELECT d FROM pe))
+            SELECT h.host,
+                   CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+                   CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
+                   CAST(coalesce(f.fanout, 0) AS BIGINT) AS fanout,
+                   CAST(CASE WHEN coalesce(o.out_links, 0) > 0
+                        THEN (coalesce(o.intra, 0) * 1000)
+                             // coalesce(o.out_links, 1)
+                        ELSE 0 END AS BIGINT) AS intra_permille,
+                   CAST(CASE WHEN coalesce(f.fanout, 0) > 0
+                        THEN (coalesce(r.recip, 0) * 1000)
+                             // coalesce(f.fanout, 1)
+                        ELSE 0 END AS BIGINT) AS recip_permille
+            FROM hosts h
+            LEFT JOIN outc o ON o.s = h.host
+            LEFT JOIN inc i ON i.d = h.host
+            LEFT JOIN fan f ON f.s = h.host
+            LEFT JOIN recip r ON r.s = h.host
+            ORDER BY host
+        """,
     }

@@ -298,6 +298,66 @@ def hits(edges: DataFrame, iters: int = 2, unit: int = RANK_UNIT,
             .orderBy("node_id"))
 
 
+def link_farm_features(page_edges: DataFrame) -> DataFrame:
+    """Per-host link-graph spam features (the classic link-farm
+    signatures from the TrustRank/spam-mass literature, computable
+    without any rank iteration):
+
+    - ``out_links`` / ``in_links`` — total page-level degree;
+    - ``intra_permille`` — fraction of a host's out-links that stay
+      on-host (farms self-link heavily; legitimate hosts mostly do
+      navigation);
+    - ``recip_permille`` — fraction of a host's distinct CROSS-host
+      out-neighbors that link back (farm rings exchange links
+      symmetrically; organic endorsement is mostly one-way);
+    - ``fanout`` — distinct cross-host out-neighbors.
+
+    Input (src_host, dst_host), one row per page link, same as
+    ``host_rank``. Scale shape: one distinct over collapsed host
+    pairs plus host-keyed aggregations with map-side partials; the
+    reciprocity check is a self-join on the DISTINCT host-pair table
+    (hosts², not links², and only realized pairs). All-integer."""
+    pe = page_edges.select(F.col("src_host").alias("s"),
+                           F.col("dst_host").alias("d"))
+    outc = pe.groupBy("s").agg(
+        F.count("*").alias("out_links"),
+        F.sum(F.when(F.col("s") == F.col("d"), 1).otherwise(0))
+        .alias("intra"))
+    inc = pe.groupBy("d").agg(F.count("*").alias("in_links"))
+    cross = (pe.filter(F.col("s") != F.col("d"))
+             .select("s", "d").distinct())
+    back = cross.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = (cross.join(back, ["s", "d"], "left_semi")
+             .groupBy("s").agg(F.count("*").alias("recip")))
+    fan = cross.groupBy("s").agg(F.count("*").alias("fanout"))
+    hosts = (pe.select(F.col("s").alias("host"))
+             .union(pe.select(F.col("d").alias("host"))).distinct())
+    return (hosts
+            .join(outc.withColumnRenamed("s", "host"), "host", "left")
+            .join(inc.withColumnRenamed("d", "host"), "host", "left")
+            .join(fan.withColumnRenamed("s", "host"), "host", "left")
+            .join(recip.withColumnRenamed("s", "host"), "host", "left")
+            .select(
+                "host",
+                F.coalesce("out_links", F.lit(0)).cast("bigint")
+                .alias("out_links"),
+                F.coalesce("in_links", F.lit(0)).cast("bigint")
+                .alias("in_links"),
+                F.coalesce("fanout", F.lit(0)).cast("bigint")
+                .alias("fanout"),
+                F.when(F.coalesce("out_links", F.lit(0)) > 0,
+                       F.expr("(coalesce(intra, 0) * 1000) "
+                              "div coalesce(out_links, 1)"))
+                .otherwise(F.lit(0)).cast("bigint")
+                .alias("intra_permille"),
+                F.when(F.coalesce("fanout", F.lit(0)) > 0,
+                       F.expr("(coalesce(recip, 0) * 1000) "
+                              "div coalesce(fanout, 1)"))
+                .otherwise(F.lit(0)).cast("bigint")
+                .alias("recip_permille"))
+            .orderBy("host"))
+
+
 def host_rank(page_edges: DataFrame, iters: int = 3,
               damping_pct: int = DAMPING_PCT, unit: int = RANK_UNIT,
               checkpoint_every: int = 5) -> DataFrame:

@@ -768,6 +768,24 @@ def test_budget_sample_greedy_prefix_and_range_invariance(spark):
     assert not any(r[1] == "nobudget" for r in got16)
 
 
+def test_link_farm_features_hand_computed(spark):
+    """Farm pair f1⇄f2 exchanging links + self-links; organic host o
+    links f1 one-way and receives nothing back. f1: out=3 (1 intra),
+    intra=333‰, fanout=1 (f2), recip=1000‰. o: fanout=1, recip=0,
+    in_links=0. Exact integers."""
+    from osmospark.functions.linkgraph import link_farm_features
+
+    rows = [("f1", "f2"), ("f2", "f1"), ("f1", "f1"), ("f1", "f2"),
+            ("o", "f1")]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string")
+    got = {r.host: (r.out_links, r.in_links, r.fanout,
+                    r.intra_permille, r.recip_permille)
+           for r in link_farm_features(edges).collect()}
+    assert got["f1"] == (3, 3, 1, 333, 1000)
+    assert got["f2"] == (1, 2, 1, 0, 1000)
+    assert got["o"] == (1, 0, 1, 0, 0)
+
+
 def test_spam_mass_hand_computed(spark):
     """Same graph as the trust_rank test (spam farm 1,2→0; seed 3→4).
     iters=1: link_rank {0:1850000, 1:150000, 2:150000, 3:150000,
