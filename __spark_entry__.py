@@ -1775,6 +1775,24 @@ def q_link_farm_features(spark, sf_dir):
     return link_farm_features(fam_a.union(fam_b).union(fam_c))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup. The synthetic docs are
+    single-line, so the wrapper first breaks each into 8-word
+    paragraphs with one map-only regexp (every 8th inter-word space →
+    newline); the near-dup families' token-level edits then leave many
+    byte-identical 8-word paragraphs across docs (~175 collisions at
+    sf0.01), so real removals happen. Each non-blank paragraph survives
+    only at its globally first (doc_id, position); blank lines are
+    structure. Oracle replays the chunking regexp, the min-order-key
+    aggregation, and the string_agg reassembly."""
+    from osmospark.functions.curation import paragraph_dedup
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n")
+        .alias("text"))
+    return paragraph_dedup(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1876,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": q_budget_sample,
         "normalize_text": q_normalize_text,
         "link_farm_features": q_link_farm_features,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -4355,5 +4374,44 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN fan f ON f.s = h.host
             LEFT JOIN recip r ON r.s = h.host
             ORDER BY host
+        """,
+        # paragraph_dedup: same 8-word chunking regexp, then
+        # min-order-key first occurrence + ordered string_agg
+        # reassembly (ok = doc_id·1e6 + idx, same encoding)
+        "paragraph_dedup": """
+            WITH p AS MATERIALIZED (
+              SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.para AS para
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ps) + 1),
+                               i -> {'idx': i - 1, 'para': ps[i]})) AS u
+                    FROM (SELECT doc_id,
+                                 string_split(regexp_replace(text,
+                                     '((?:\\S+ ){7}\\S+) ',
+                                     '\\1' || chr(10), 'g'),
+                                     chr(10)) AS ps
+                          FROM documents))),
+            ne AS MATERIALIZED (
+              SELECT doc_id, idx, para, md5(para) AS h,
+                     doc_id * 1000000 + idx AS ok
+              FROM p WHERE length(trim(para)) > 0),
+            f AS (SELECT h, min(ok) AS ok FROM ne GROUP BY h),
+            ke AS (SELECT ne.doc_id, ne.idx, ne.para
+                   FROM ne JOIN f ON f.h = ne.h AND f.ok = ne.ok),
+            k AS (SELECT * FROM ke
+                  UNION ALL
+                  SELECT doc_id, idx, para FROM p
+                  WHERE length(trim(para)) = 0),
+            st AS (SELECT doc_id, count(*) AS n_paras
+                   FROM p GROUP BY doc_id),
+            rb AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(para, chr(10) ORDER BY idx)
+                              AS clean_text
+                   FROM k GROUP BY doc_id)
+            SELECT s.doc_id,
+                   coalesce(rb.clean_text, '') AS clean_text,
+                   CAST(s.n_paras AS BIGINT) AS n_paras,
+                   CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept
+            FROM st s LEFT JOIN rb USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -193,6 +193,56 @@ def normalize_text(documents: DataFrame,
     ).orderBy("doc_id")
 
 
+def paragraph_dedup(documents: DataFrame,
+                    max_paras_per_doc: int = 1_000_000) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication (Wenzek et al.
+    2020 dedup by paragraph hash): every non-blank paragraph (split on
+    newline) is kept only at its GLOBALLY FIRST occurrence — first =
+    lowest (doc_id, position) — and removed everywhere else; blank
+    paragraphs are structure, always kept and never dedup keys (they
+    would otherwise be the corpus's hottest hash). Output per doc:
+    (doc_id, clean_text, n_paras, n_kept) with surviving paragraphs
+    re-joined in original order (clean docs pass through verbatim).
+
+    Scale shape: NO window over the paragraph hash — a boilerplate
+    paragraph repeated 10^7 times would sort through one task. The
+    first occurrence is ``min(doc_id·1e6 + idx)`` per hash: ONE
+    aggregation with map-side partials (16-byte rows), then a
+    semi-join back on (hash, order-key). Text moves twice (explode +
+    reassembly groupBy on doc_id), which is the floor for an operator
+    that rewrites documents; ``max_paras_per_doc`` bounds the order-
+    key encoding and is asserted."""
+    sep = "\n"
+    paras = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), sep))
+        .alias("idx", "para"))
+    blank = F.length(F.trim(F.col("para"))) == 0
+    nonempty = (paras.filter(~blank)
+                .withColumn("h", F.md5(F.col("para")))
+                .withColumn("ok", (F.col("doc_id")
+                                   * F.lit(max_paras_per_doc)
+                                   + F.col("idx")).cast("bigint")))
+    first = nonempty.groupBy("h").agg(F.min("ok").alias("ok"))
+    kept_ne = nonempty.join(first, ["h", "ok"], "left_semi") \
+        .select("doc_id", "idx", "para")
+    kept = kept_ne.unionByName(paras.filter(blank))
+    stats = paras.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").cast("bigint").alias("n_kept"),
+                    F.concat_ws(sep, F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("idx", "para"))),
+                        lambda x: x["para"])).alias("clean_text")))
+    return (stats.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_paras",
+                    F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                    .alias("n_kept"))
+            .orderBy("doc_id"))
+
+
 def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
                            n: int = 5) -> DataFrame:
     """Per-document benchmark contamination FRACTION (the GPT-3

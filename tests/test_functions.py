@@ -715,6 +715,29 @@ def test_normalize_text_hand_planted(spark):
     assert got[6] == ("already clean", 17, 13, 0)
 
 
+def test_paragraph_dedup_global_first_occurrence(spark):
+    """Paragraph P appears in doc 1 (idx 0), doc 2 (idx 1), and TWICE
+    in doc 3 — only doc 1's copy survives (lowest (doc_id, idx)), all
+    later copies vanish including intra-doc repeats. Blank lines are
+    kept verbatim and never dedup keys; a doc of only repeats and
+    blanks keeps just its blanks."""
+    from osmospark.functions.curation import paragraph_dedup
+
+    P = "the repeated boilerplate paragraph"
+    docs = spark.createDataFrame(
+        [(1, P + "\nunique one"),
+         (2, "unique two\n" + P),
+         (3, P + "\n\n" + P),
+         (4, "untouched\n\nalso untouched")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+           for r in paragraph_dedup(docs).collect()}
+    assert got[1] == (P + "\nunique one", 2, 2)
+    assert got[2] == ("unique two", 2, 1)
+    assert got[3] == ("", 3, 1)           # only the blank line survives
+    assert got[4] == ("untouched\n\nalso untouched", 3, 3)
+
+
 def test_contamination_fraction_exact(spark):
     """3-gram contamination: doc 1 IS the benchmark (1000‰), doc 2
     shares exactly one of its four distinct 3-grams (250‰), doc 3
