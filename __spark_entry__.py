@@ -1793,6 +1793,91 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_seed_distance(spark, sf_dir):
+    """BFS hop labels from the seed set over a deterministic doc-id
+    graph (sparse chain with gaps + multiplicative jumps + cycle
+    edges; seeds every 97th node) capped at 6 hops — shortcut paths,
+    cycles, the hop cap, and unreachable nodes are all exercised.
+    Oracle: bounded recursive CTE, min(dist) per node."""
+    from osmospark.functions.linkgraph import seed_distance
+    docs = _documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    chain = (docs.filter(d % 3 != 0)
+             .select(d.alias("src"), ((d + 1) % n).alias("dst")))
+    jump = (docs.filter(d % 5 == 0)
+            .select(d.alias("src"), ((d * 7 + 3) % n).alias("dst")))
+    back = (docs.filter(d % 11 == 0)
+            .select(d.alias("src"), ((d * 3) % n).alias("dst")))
+    seeds = docs.filter(d % 97 == 0).select(d.alias("node_id"))
+    return seed_distance(chain.union(jump).union(back), seeds,
+                         max_hops=6)
+
+
+def q_dust_rules(spark, sf_dir):
+    """DUST parameter-rule mining over a synthetic fetch log: every
+    doc yields 3 session aliases of http://hNN.test/a?page=K&sid=sJ
+    whose fingerprint depends only on (host, page) — so ``sid`` earns
+    support on every (host, page) residual group and ``page`` is
+    violated on every (host, sid) group. page derives from
+    ``doc_id div 20`` so it is INDEPENDENT of the host modulus
+    (doc_id % 20 and % 5 alone would correlate — 20 is a multiple of
+    5 — collapsing every host to one page and no violations). Oracle
+    re-mines the rules relationally from the identical log."""
+    from osmospark.urlnorm import dust_rules
+    d = F.col("doc_id")
+    page = F.pmod(F.floor(d / 20), F.lit(5))
+    log = (_documents(spark, sf_dir)
+           .select(d.alias("doc_id"),
+                   F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                   .alias("s"))
+           .select(F.format_string(
+               "http://h%02d.test/a?page=%d&sid=s%d",
+               F.pmod(d, F.lit(20)), page, F.col("s"))
+               .alias("url"),
+               (F.pmod(d, F.lit(20)) * 5 + page)
+               .cast("bigint").alias("fp")))
+    return dust_rules(log, min_support=2)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index over the documents table (min_df=2):
+    one (word, doc_id) aggregation builds tf + sorted position lists,
+    the vocab-sized (df, cf) table broadcasts back. Oracle rebuilds
+    positions with an ordinality unnest and replays both
+    aggregations."""
+    from osmospark.functions.textstats import inverted_index
+    return inverted_index(_documents(spark, sf_dir), min_df=2)
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers per language: lm_score
+    over the corpus joined back to each doc's lang, then the per-lang
+    histogram-CDF bucket assignment (333/667 permille cutoffs, ties
+    share buckets). Oracle re-derives the scores and ranks with
+    strictly-below window counts."""
+    from osmospark.functions.curation import ccnet_buckets
+    from osmospark.functions.textstats import lm_score
+    docs = _documents(spark, sf_dir)
+    scored = (lm_score(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "avg_bits_milli"))
+    return ccnet_buckets(scored)
+
+
+def q_holdout_split(spark, sf_dir):
+    """Leakage-free train/val/test split keyed on a 37-host synthetic
+    host column (md5 bucket mod 1000; 900/50/50 permille): every doc
+    of a host shares its split by construction. Oracle replays the
+    hash arithmetic."""
+    from osmospark.functions.curation import holdout_split
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.format_string("h%02d.test", F.pmod(F.col("doc_id"),
+                                             F.lit(37))).alias("host"))
+    return holdout_split(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1895,6 +1980,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "link_farm_features": q_link_farm_features,
         "paragraph_dedup": q_paragraph_dedup,
+        "seed_distance": q_seed_distance,
+        "dust_rules": q_dust_rules,
+        "inverted_index": q_inverted_index,
+        "ccnet_buckets": q_ccnet_buckets,
+        "holdout_split": q_holdout_split,
     }
 
 
@@ -4412,6 +4502,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.n_paras AS BIGINT) AS n_paras,
                    CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept
             FROM st s LEFT JOIN rb USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # seed_distance: bounded recursive CTE (UNION dedups the
+        # (node, dist) pairs; dist < 6 caps cycles), min per node
+        "seed_distance": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+            e AS MATERIALIZED (
+              SELECT doc_id AS src, (doc_id + 1) % c AS dst
+              FROM documents, nn WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % c
+              FROM documents, nn WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 3) % c
+              FROM documents, nn WHERE doc_id % 11 = 0),
+            d AS (
+              SELECT doc_id AS node_id, 0 AS dist
+              FROM documents WHERE doc_id % 97 = 0
+              UNION
+              SELECT e.dst, d.dist + 1
+              FROM d JOIN e ON e.src = d.node_id WHERE d.dist < 6)
+            SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
+            FROM d GROUP BY node_id ORDER BY node_id
+        """,
+        # dust_rules: re-mine the rules from the identical synthetic
+        # log — residual = url minus every pair of one param name
+        "dust_rules": """
+            WITH obs AS MATERIALIZED (
+              SELECT printf('http://h%02d.test/a?page=%d&sid=s%d',
+                            doc_id % 20, (doc_id // 20) % 5, s.i)
+                       AS url,
+                     (doc_id % 20) * 5 + (doc_id // 20) % 5 AS fp
+              FROM documents, (VALUES (0), (1), (2)) s(i)),
+            px AS MATERIALIZED (
+              SELECT url, fp,
+                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
+                     split_part(url, '?', 1) AS base,
+                     string_split(regexp_extract(url, '\\?([^#]*)', 1),
+                                  '&') AS params
+              FROM obs
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) <> ''),
+            ex AS (
+              SELECT host,
+                     unnest(list_distinct(list_transform(params,
+                         x -> split_part(x, '=', 1)))) AS param,
+                     base, params, fp, url
+              FROM px),
+            res AS (
+              SELECT DISTINCT host, param,
+                     base || '?' || array_to_string(list_filter(params,
+                         x -> split_part(x, '=', 1) <> param), '&')
+                       AS residual,
+                     fp, url
+              FROM ex),
+            g AS (
+              SELECT host, param, residual,
+                     count(DISTINCT url) AS nu,
+                     count(DISTINCT fp) AS nf
+              FROM res GROUP BY 1, 2, 3
+              HAVING count(DISTINCT url) >= 2)
+            SELECT host, param,
+                   CAST(coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0)
+                        AS BIGINT) AS support,
+                   CAST(coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
+                        AS BIGINT) AS violations,
+                   (coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0) >= 2
+                    AND coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
+                        = 0) AS is_rule
+            FROM g GROUP BY host, param ORDER BY host, param
+        """,
+        # inverted_index: ordinality unnest rebuilds positions, then
+        # the same (word, doc) and word-level aggregations
+        "inverted_index": """
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.w AS w
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws) + 1),
+                               i -> {'pos': i - 1, 'w': ws[i]})) AS u
+                    FROM (SELECT doc_id, regexp_split_to_array(
+                               trim(lower(text)), '\\s+') AS ws
+                          FROM documents))),
+            p AS MATERIALIZED (
+              SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                     list_sort(list(pos)) AS positions
+              FROM tok GROUP BY w, doc_id),
+            st AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+                          CAST(sum(tf) AS BIGINT) AS cf
+                   FROM p GROUP BY w HAVING count(*) >= 2)
+            SELECT p.w AS word, p.doc_id, p.tf, p.positions,
+                   st.df, st.cf
+            FROM p JOIN st USING (w) ORDER BY word, doc_id
+        """,
+        # ccnet_buckets: lm_score re-derived, then per-lang strictly-
+        # below rank via window counts (RANGE frame minus tie count)
+        "ccnet_buckets": """
+            WITH ex AS MATERIALIZED (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                  trim(lower(text)), '\\s+')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+            tot AS (SELECT count(*) AS total FROM ex),
+            bits AS (
+              SELECT w, CAST(length(bin((tot.total * 1024) // cnt.cnt))
+                             AS BIGINT) AS bits
+              FROM cnt CROSS JOIN tot),
+            sc AS MATERIALIZED (
+              SELECT ex.doc_id, sum(b.bits) AS total_bits,
+                     count(*) AS n_tokens
+              FROM ex JOIN bits b USING (w) GROUP BY ex.doc_id),
+            sl AS (
+              SELECT s.doc_id, d.lang,
+                     CAST((s.total_bits * 1000) // s.n_tokens
+                          AS BIGINT) AS score
+              FROM sc s JOIN documents d USING (doc_id)),
+            rk AS (
+              SELECT doc_id, lang, score,
+                     count(*) OVER (PARTITION BY lang ORDER BY score
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+                       - count(*) OVER (PARTITION BY lang, score)
+                       AS lt,
+                     count(*) OVER (PARTITION BY lang) AS tot
+              FROM sl)
+            SELECT doc_id, lang, score,
+                   CASE WHEN lt * 1000 < 333 * tot THEN 'head'
+                        WHEN lt * 1000 < 667 * tot THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM rk ORDER BY doc_id
+        """,
+        # holdout_split: same md5-hex bucket arithmetic on the host
+        "holdout_split": """
+            SELECT doc_id, host, b AS bucket,
+                   CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         printf('h%02d.test', doc_id % 37) AS host,
+                         ('0x' || substr(md5(printf('h%02d.test',
+                              doc_id % 37)), 1, 8))::BIGINT % 1000 AS b
+                  FROM documents)
             ORDER BY doc_id
         """,
     }

@@ -739,3 +739,70 @@ def importance_weights(corpus: DataFrame, target: DataFrame,
                     F.expr("(weight_bits * 1000) div n_tokens")
                     .cast("bigint").alias("avg_weight_milli"))
             .orderBy("doc_id"))
+
+
+def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
+                  score_col: str = "avg_bits_milli",
+                  head_permille: int = 333,
+                  middle_permille: int = 667) -> DataFrame:
+    """CCNet's per-language perplexity tiers (Wenzek et al. 2020 §4.3:
+    each language's documents split into head/middle/tail by LM
+    perplexity percentile — the mixture knob every CC-derived corpus
+    since has turned). Input: per-doc integer scores (lm_score's
+    ``avg_bits_milli``; lower = more fluent) plus a language column.
+    Output: (doc_id, lang, score, bucket) with bucket ∈ head|middle|
+    tail by strictly-below rank within the language; ties share a
+    bucket, cutoffs in per-mille.
+
+    Scale shape: the score_deciles pattern PARTITIONED BY LANGUAGE —
+    per-(lang, score) histogram (one aggregation, map-side partials,
+    cardinality ≤ langs × score-unit), CDF windows over that tiny
+    table only, broadcast back. The corpus never sorts; adding a
+    language never adds a shuffle.
+    """
+    from pyspark.sql import Window
+
+    hist = (scored.groupBy(lang_col, score_col)
+            .agg(F.count("*").alias("_n")))
+    w = (Window.partitionBy(lang_col).orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = hist.select(
+        lang_col, score_col,
+        F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_lt"),
+        F.sum("_n").over(Window.partitionBy(lang_col)).alias("_tot"))
+    bucket = (F.when(F.col("_lt") * 1000 < head_permille * F.col("_tot"),
+                     "head")
+              .when(F.col("_lt") * 1000 < middle_permille * F.col("_tot"),
+                    "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(cdf), [lang_col, score_col])
+            .select("doc_id", F.col(lang_col).alias("lang"),
+                    F.col(score_col).cast("bigint").alias("score"),
+                    bucket.alias("bucket"))
+            .orderBy("doc_id"))
+
+
+def holdout_split(documents: DataFrame, host_col: str = "host",
+                  val_permille: int = 50,
+                  test_permille: int = 50) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split is a pure
+    function of the HOST (first 8 hex chars of md5, mod 1000 — the
+    stratified_sample hash discipline), so every document from a host
+    lands in the same split and near-duplicate pages, boilerplate, and
+    templates from one site can never straddle the evaluation boundary
+    (the split-contamination failure mode host-level splitting exists
+    to prevent; cf. the temporal/source-level splits in C4 and The
+    Pile). Output: (doc_id, host, bucket, split), ordered.
+
+    Map-only — one projection, no shuffle, no state; reproducible on
+    any engine, any partitioning, any corpus size.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10)
+              .cast("bigint") % 1000)
+    train_lt = 1000 - val_permille - test_permille
+    split = (F.when(bucket < train_lt, "train")
+             .when(bucket < 1000 - test_permille, "val")
+             .otherwise("test"))
+    return (documents.select("doc_id", F.col(host_col).alias("host"),
+                             bucket.alias("bucket"), split.alias("split"))
+            .orderBy("doc_id"))

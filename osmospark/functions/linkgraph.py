@@ -411,3 +411,48 @@ def host_rank(page_edges: DataFrame, iters: int = 3,
             from ..frontier.engine import _checkpoint_truncated
             r = _checkpoint_truncated(r)
     return r.orderBy("host")
+
+
+def seed_distance(edges: DataFrame, seeds: DataFrame,
+                  max_hops: int = 8) -> DataFrame:
+    """Minimum hop distance from a seed set over (src, dst) edges —
+    the crawl-depth label a frontier assigns when it expands from its
+    seed list (the reference's ``max_depth`` compares against exactly
+    this number per page; osmosis ``lib/commands/follow.js`` tracks it
+    implicitly through chained ``follow`` hops). Output: (node_id,
+    dist) for every node reachable within ``max_hops``, dist 0 at the
+    seeds; unreachable nodes are absent.
+
+    Delta-frontier BFS, the scale-correct form: each hop joins ONLY
+    the newly-discovered frontier (not the whole distance table)
+    against the edge table — one src-keyed equi-join plus one distinct
+    on dst (map-side partials) per hop, then a left-anti against the
+    accumulated table so settled nodes never re-enter. The frontier is
+    eagerly checkpointed every hop (it is the small side; this also
+    caps lineage at one join per hop instead of compounding) and the
+    emptiness probe that stops early rides that materialization as a
+    ``head(1)`` on the checkpointed frame — no duplicate job. The edge
+    table — the 100-TB side — shuffles on its natural ``src`` key and
+    is never collected or re-keyed.
+    """
+    from ..frontier.engine import _checkpoint_truncated
+
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+    dist = (seeds.select(F.col("node_id").cast("bigint").alias("node_id"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint")))
+    dist = _checkpoint_truncated(dist)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.withColumnRenamed("node_id", "src")
+               .join(e, "src")
+               .select(F.col("dst").alias("node_id")).distinct()
+               .join(dist, "node_id", "left_anti")
+               .withColumn("dist", F.lit(h).cast("bigint")))
+        nxt = _checkpoint_truncated(nxt)
+        if not nxt.head(1):
+            break
+        dist = _checkpoint_truncated(dist.unionByName(nxt))
+        frontier = nxt
+    return dist.orderBy("node_id")

@@ -208,3 +208,40 @@ def lm_score(documents: DataFrame, scale: int = 1024) -> DataFrame:
                     F.expr("(total_bits * 1000) div n_tokens")
                     .cast("bigint").alias("avg_bits_milli"))
             .orderBy("doc_id"))
+
+
+def inverted_index(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Positional inverted index over the corpus — the retrieval-side
+    artifact a training pipeline builds for decontamination lookups,
+    attribution queries, and corpus search (same normalization as
+    every textstats op: lowercase, whitespace split). Output one row
+    per posting: (word, doc_id, tf, positions, df, cf) with positions
+    the sorted 0-based token offsets, df = documents containing the
+    word, cf = total occurrences; words below ``min_df`` are dropped
+    (hapax legomena are index bloat — at web scale most of the
+    vocabulary).
+
+    Scale shape: ONE (word, doc_id)-keyed aggregation builds the
+    postings (map-side partial lists — positions for one doc live in
+    one group, never a corpus-wide sort), then the vocab-sized
+    (df, cf) table aggregates FROM THE POSTINGS (posting-count rows,
+    not the token stream) and broadcasts back. The token stream
+    shuffles once, on (word, doc_id) — skew-safe because the hottest
+    word is subdivided by doc_id; no window functions anywhere.
+    """
+    tok = documents.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos", "w"))
+    postings = (tok.groupBy("w", "doc_id")
+                .agg(F.count("*").cast("bigint").alias("tf"),
+                     F.sort_array(F.collect_list(
+                         F.col("pos").cast("bigint")))
+                     .alias("positions")))
+    stats = (postings.groupBy("w")
+             .agg(F.count("*").cast("bigint").alias("df"),
+                  F.sum("tf").cast("bigint").alias("cf"))
+             .filter(F.col("df") >= min_df))
+    return (postings.join(F.broadcast(stats), "w")
+            .select(F.col("w").alias("word"), "doc_id", "tf",
+                    "positions", "df", "cf")
+            .orderBy("word", "doc_id"))

@@ -199,3 +199,74 @@ def default_url_predicate() -> str:
     exts = "|".join(ASSET_EXTS)
     return (f"NOT (lower(url) rlike '\\\\.({exts})([?#].*)?$' "
             f"OR url rlike '{_SESSION_RX}')")
+
+
+def dust_rules(fetches, min_support: int = 2, col: str = "url",
+               fp_col: str = "fp"):
+    """DUST rule mining — "Do Not Crawl in the DUST: Different URLs
+    with Similar Text" (Bar-Yossef, Keidar & Schonfeld, WWW'07): learn,
+    per host, which query parameters NEVER change page content, so the
+    canonicalizer can strip them and the frontier stops re-fetching
+    session-id/tracking aliases of pages it already has. Input:
+    (url, fp) fetch observations — fp is any content fingerprint
+    (xxhash of extracted text, a MinHash band, ...).
+
+    Evidence unit: for each parameter name p appearing in a URL, the
+    RESIDUAL url (that URL with every ``p=...`` pair removed, other
+    params kept in order). URLs sharing (host, p, residual) differ only
+    in p. A residual group with ≥2 distinct URLs and exactly 1 distinct
+    fingerprint supports "strip p"; a group with ≥2 fingerprints is a
+    violation (p does change content). Verdict per (host, param):
+    ``is_rule = support ≥ min_support AND violations = 0``.
+
+    Output: (host, param, support, violations, is_rule), ordered.
+
+    Scale shape: params-per-URL is bounded (~≤8), so the explode is a
+    constant-factor map; the first aggregation keys on (host, param,
+    residual, fp) — a superset of the URL's own key, so map-side
+    partials collapse repeated observations of the same URL before any
+    shuffle; group sizes are bounded by alias counts (session-id
+    values), never corpus-sized; the final (host, param) rollup is
+    hosts×params-sized. The fetch log shuffles only its projected
+    (host, param, residual, fp, url) tuples — never page content.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(col)
+    base = F.split_part(u, F.lit("?"), F.lit(1))
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.split(qs, "&")
+    names = F.array_distinct(
+        F.transform(params, lambda x: F.split_part(x, F.lit("="),
+                                                   F.lit(1))))
+    obs = (fetches
+           .filter(qs != "")
+           .select(u.alias("url"), F.col(fp_col).alias("_fp"),
+                   F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"),
+                   base.alias("_base"), params.alias("_params"),
+                   F.explode(names).alias("param")))
+    residual = F.concat(
+        F.col("_base"), F.lit("?"),
+        F.array_join(F.filter(
+            F.col("_params"),
+            lambda x: F.split_part(x, F.lit("="), F.lit(1))
+            != F.col("param")), "&"))
+    grouped = (obs.select("host", "param", residual.alias("residual"),
+                          "_fp", "url")
+               .distinct()
+               .groupBy("host", "param", "residual")
+               .agg(F.countDistinct("url").alias("_nu"),
+                    F.countDistinct("_fp").alias("_nf"))
+               .filter(F.col("_nu") >= 2))
+    return (grouped.groupBy("host", "param")
+            .agg(F.sum((F.col("_nf") == 1).cast("bigint"))
+                 .alias("support"),
+                 F.sum((F.col("_nf") > 1).cast("bigint"))
+                 .alias("violations"))
+            .select("host", "param",
+                    F.col("support").cast("bigint").alias("support"),
+                    F.col("violations").cast("bigint")
+                    .alias("violations"),
+                    ((F.col("support") >= min_support)
+                     & (F.col("violations") == 0)).alias("is_rule"))
+            .orderBy("host", "param"))

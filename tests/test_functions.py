@@ -1381,3 +1381,106 @@ def test_main_text_single_mapinpandas_no_shuffle(spark):
     assert got[1].main_text == "" and got[1].n_blocks == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: one Arrow pass, no shuffle
+
+
+def test_seed_distance_hand_planted_bfs(spark):
+    """Chain 0→1→2→3 plus shortcut 0→2, cycle 3→0, and island 9→10:
+    dist(0)=0, dist(1)=1, dist(2)=1 (shortcut beats the chain),
+    dist(3)=2; the cycle back to 0 never lowers a settled node; the
+    island is unreachable and absent. max_hops truncates: with
+    max_hops=1 node 3 disappears."""
+    from osmospark.functions.linkgraph import seed_distance
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (9, 10)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node_id long")
+    got = {r.node_id: r.dist
+           for r in seed_distance(edges, seeds, max_hops=8).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+    short = {r.node_id: r.dist
+             for r in seed_distance(edges, seeds, max_hops=1).collect()}
+    assert short == {0: 0, 1: 1, 2: 1}
+
+
+def test_dust_rules_session_param_learned_content_param_rejected(spark):
+    """Host a: urls differing only in sid share a fingerprint (2
+    residual groups × 2 sids) → sid is a rule; urls differing only in
+    page have different fingerprints → page is violated. Host b has
+    only ONE sid residual group (support 1 < min_support 2) → no rule.
+    A paramless url is inert."""
+    from osmospark.urlnorm import dust_rules
+
+    rows = []
+    for page in (1, 2):
+        for sid in ("x", "y"):
+            rows.append((f"http://a.test/p?page={page}&sid={sid}",
+                         100 + page))
+    rows += [("http://b.test/p?page=1&sid=x", 7),
+             ("http://b.test/p?page=1&sid=y", 7),
+             ("http://b.test/q", 9)]
+    df = spark.createDataFrame(rows, "url string, fp long")
+    got = {(r.host, r.param): (r.support, r.violations, r.is_rule)
+           for r in dust_rules(df, min_support=2).collect()}
+    assert got[("a.test", "sid")] == (2, 0, True)
+    assert got[("a.test", "page")] == (0, 2, False)
+    assert got[("b.test", "sid")] == (1, 0, False)
+    assert ("b.test", "page") not in got     # 1 url per residual group
+
+
+def test_inverted_index_positions_df_cf(spark):
+    """'b b a' / 'a b' / 'c': a → df 2, cf 2, positions [2] and [0];
+    b → df 2, cf 3, positions [0,1] and [1]; hapax c dropped at
+    min_df=2."""
+    from osmospark.functions.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "b b a"), (2, "a b"), (3, "c")], "doc_id long, text string")
+    got = {(r.word, r.doc_id): (r.tf, r.positions, r.df, r.cf)
+           for r in inverted_index(docs, min_df=2).collect()}
+    assert got[("a", 1)] == (1, [2], 2, 2)
+    assert got[("a", 2)] == (1, [0], 2, 2)
+    assert got[("b", 1)] == (2, [0, 1], 2, 3)
+    assert got[("b", 2)] == (1, [1], 2, 3)
+    assert not any(w == "c" for w, _ in got)
+
+
+def test_ccnet_buckets_per_lang_tiers_and_ties(spark):
+    """Language en: 10 docs scoring 10..100 with 250/750 permille
+    cutoffs → strictly-below ranks 0-2 head, 3-7 middle, 8-9 tail;
+    de has 3 docs ALL score 5 — strictly-below rank 0 for every doc,
+    so the whole tie class lands in head (ties never straddle a
+    cutoff)."""
+    from osmospark.functions.curation import ccnet_buckets
+
+    rows = [(i, "en", 10 * i) for i in range(1, 11)]
+    rows += [(20, "de", 5), (21, "de", 5), (22, "de", 5)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_bits_milli long")
+    got = {r.doc_id: r.bucket
+           for r in ccnet_buckets(scored, head_permille=250,
+                                  middle_permille=750).collect()}
+    assert [got[i] for i in range(1, 11)] == (
+        ["head"] * 3 + ["middle"] * 5 + ["tail"] * 2)
+    assert got[20] == got[21] == got[22] == "head"
+
+
+def test_holdout_split_host_pure_function(spark):
+    """Docs sharing a host always share a split (the leakage-free
+    property), the bucket is md5-derived mod 1000, and split bounds
+    follow the permille knobs."""
+    from osmospark.functions.curation import holdout_split
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 7}.test") for i in range(50)],
+        "doc_id long, host string")
+    rows = holdout_split(docs, val_permille=100,
+                         test_permille=100).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, set()).add(r.split)
+        assert 0 <= r.bucket < 1000
+        expected = ("train" if r.bucket < 800
+                    else "val" if r.bucket < 900 else "test")
+        assert r.split == expected
+    assert all(len(s) == 1 for s in by_host.values())
