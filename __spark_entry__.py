@@ -1878,6 +1878,39 @@ def q_holdout_split(spark, sf_dir):
     return holdout_split(docs)
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Cluster-representative selection over the near-dup graph
+    (threshold 0.5, score = the table's n_chars): every doc gets its
+    cluster and exactly one member per cluster — max score, ties to
+    the lowest doc_id — is canonical. Oracle: the dup_clusters
+    recursive-CTE closure plus a per-cluster rank window."""
+    from osmospark.functions.pipeline import canonical_docs
+    return canonical_docs(_documents(spark, sf_dir),
+                          jaccard_threshold=0.5)
+
+
+def q_adaptive_delay(spark, sf_dir):
+    """Latency-adaptive politeness over a deterministic 3-fetch log:
+    host h0 is planted slow (~7 s → delay clamps to max), h1 fast
+    (1-3 ms → clamps up to base), h2-h8 mid-range (exact p95·1.5‰).
+    Oracle replays the per-host histogram-CDF percentile and the
+    clamp arithmetic."""
+    from osmospark.frontier.politeness import adaptive_delay
+    d = F.col("doc_id")
+    h = F.pmod(d, F.lit(9))
+    log = (_documents(spark, sf_dir)
+           .select(d.alias("doc_id"),
+                   F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                   .alias("s"))
+           .select(F.format_string("h%d", h).alias("host"),
+                   F.when(h == 0, F.lit(7000) + F.pmod(d, F.lit(100)))
+                   .when(h == 1, F.lit(1) + F.pmod(d, F.lit(3)))
+                   .otherwise(F.lit(10) + F.pmod(
+                       d * 37 + F.col("s") * 131, F.lit(400)))
+                   .cast("bigint").alias("latency_ms")))
+    return adaptive_delay(log)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -1985,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "ccnet_buckets": q_ccnet_buckets,
         "holdout_split": q_holdout_split,
+        "canonical_docs": q_canonical_docs,
+        "adaptive_delay": q_adaptive_delay,
     }
 
 
@@ -4630,6 +4665,66 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lt * 1000 < 667 * tot THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM rk ORDER BY doc_id
+        """,
+        # canonical_docs: dup_clusters' recursive closure + per-cluster
+        # rank window (score DESC, doc_id ASC), singletons canonical
+        "canonical_docs": f"""
+            WITH RECURSIVE nd AS ({near_dup_sql}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM nd
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM nd
+            ),
+            reach(doc, r) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT reach.doc, e.dst
+                FROM reach JOIN edges e ON e.src = reach.r
+            ),
+            cl AS (
+                SELECT doc AS doc_id, least(doc, min(r)) AS cluster_id
+                FROM reach GROUP BY doc),
+            m AS (
+                SELECT d.doc_id,
+                       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars AS score
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+            rk AS (
+                SELECT doc_id, cluster_id, score,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id ASC) AS rn
+                FROM m)
+            SELECT doc_id, cluster_id, CAST(score AS BIGINT) AS score,
+                   (rn = 1) AS is_canonical
+            FROM rk ORDER BY doc_id
+        """,
+        # adaptive_delay: per-host histogram CDF -> exact p95 -> clamp
+        "adaptive_delay": """
+            WITH log AS MATERIALIZED (
+              SELECT printf('h%d', doc_id % 9) AS host,
+                     CASE WHEN doc_id % 9 = 0 THEN 7000 + doc_id % 100
+                          WHEN doc_id % 9 = 1 THEN 1 + doc_id % 3
+                          ELSE 10 + (doc_id * 37 + s.i * 131) % 400
+                     END AS latency_ms
+              FROM documents, (VALUES (0), (1), (2)) s(i)),
+            h AS (SELECT host, latency_ms, count(*) AS n
+                  FROM log GROUP BY 1, 2),
+            c AS (SELECT host, latency_ms,
+                         sum(n) OVER (PARTITION BY host
+                             ORDER BY latency_ms
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                         sum(n) OVER (PARTITION BY host) AS tot
+                  FROM h),
+            a AS (SELECT host, max(tot) AS n_fetches,
+                         min(CASE WHEN cum * 100 >= tot * 95
+                                  THEN latency_ms END) AS p_ms
+                  FROM c GROUP BY host)
+            SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+                   CAST(p_ms AS BIGINT) AS p_ms,
+                   CAST(greatest(100, least(10000,
+                        (p_ms * 1500) // 1000)) AS BIGINT) AS delay_ms
+            FROM a ORDER BY host
         """,
         # holdout_split: same md5-hex bucket arithmetic on the host
         "holdout_split": """

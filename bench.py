@@ -253,6 +253,71 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     timed("text_stats", lambda: _count(
         token_counts(docs).join(quality_scores(docs), "doc_id")))
 
+    # CCNet paragraph dedup over an amplified corpus: 20 id-shifted
+    # replicas (100k docs, ~700k paragraphs after 8-word chunking) make
+    # cross-replica repetition the dominant case — the min-order-key
+    # aggregation does real 20:1 reduction work
+    def para_bench():
+        from osmospark.functions.curation import paragraph_dedup
+        rep = (docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("r"),
+            "doc_id", "text")
+            .select((F.col("doc_id") + F.col("r") * 1_000_000)
+                    .alias("doc_id"),
+                    F.regexp_replace("text", r"((?:\S+ ){7}\S+) ",
+                                     "$1\n").alias("text")))
+        return _count(paragraph_dedup(rep))
+
+    timed("paragraph_dedup", para_bench)
+
+    # positional inverted index over the same 100k-doc amplification
+    # (~5M token rows through the (word, doc)-keyed shuffle)
+    def invidx_bench():
+        from osmospark.functions.textstats import inverted_index
+        rep = (docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("r"),
+            "doc_id", "text")
+            .select((F.col("doc_id") + F.col("r") * 1_000_000)
+                    .alias("doc_id"), "text"))
+        return _count(inverted_index(rep, min_df=2))
+
+    timed("inverted_index", invidx_bench)
+
+    # DUST rule mining over a 3-alias fetch log of every corpus URL
+    # (750k observations at sf0.1; 500 hosts x 2 params rolled up)
+    def dust_bench():
+        from osmospark.urlnorm import dust_rules
+        i = F.col("id")
+        host = F.pmod(i, F.lit(500))
+        page = F.pmod(F.floor(i / 500), F.lit(7))
+        log = (spark.range(n_pages)
+               .select(F.explode(F.sequence(F.lit(0), F.lit(2)))
+                       .alias("s"), "id")
+               .select(F.format_string(
+                   "http://h%03d.test/a?page=%d&sid=s%d",
+                   host, page, F.col("s")).alias("url"),
+                   (host * 7 + page).cast("bigint").alias("fp")))
+        return _count(dust_rules(log, min_support=2))
+
+    timed("dust_rules", dust_bench)
+
+    # seed-distance BFS over a corpus-sized synthetic graph (250k
+    # nodes, ~360k edges, 25 seeds, 8 hops of delta-frontier joins)
+    def seeddist_bench():
+        from osmospark.functions.linkgraph import seed_distance
+        i = F.col("id")
+        ids = spark.range(n_pages)
+        edges = (ids.filter(i % 3 != 0)
+                 .select(i.alias("src"), ((i + 1) % n_pages).alias("dst"))
+                 .union(ids.filter(i % 5 == 0).select(
+                     i.alias("src"), ((i * 7 + 3) % n_pages).alias("dst")))
+                 .union(ids.filter(i % 11 == 0).select(
+                     i.alias("src"), ((i * 3) % n_pages).alias("dst"))))
+        seeds = ids.filter(i % 10007 == 0).select(i.alias("node_id"))
+        return _count(seed_distance(edges, seeds, max_hops=8))
+
+    timed("seed_distance", seeddist_bench)
+
     # DSIR data selection: corpus scored against a target distribution
     # (the 20% delta family) — two unigram models + one doc-keyed agg
     def dsir_bench():

@@ -175,3 +175,50 @@ def robots_sitemaps(robots_texts: DataFrame) -> DataFrame:
             .select("host", F.col("ordinal").cast("bigint").alias("ordinal"),
                     "sitemap")
             .orderBy("host", "ordinal"))
+
+
+def adaptive_delay(fetch_log: DataFrame, base_delay_ms: int = 100,
+                   mult_permille: int = 1500,
+                   max_delay_ms: int = 10_000,
+                   pctl: int = 95) -> DataFrame:
+    """Latency-adaptive per-host crawl delay — the politeness feedback
+    loop production crawlers run on top of robots' static Crawl-delay
+    (e.g. Heritrix's delay-factor: wait k × recent response time, so a
+    struggling server automatically sheds crawler load): per host,
+    take the ``pctl``-th latency percentile from the fetch log and set
+    ``delay_ms = clamp(base, p·mult‰, max)``. Input: (host,
+    latency_ms) observations. Output: (host, n_fetches, p_ms,
+    delay_ms), all bigint, ordered.
+
+    Scale shape: the exact-percentile discipline of score_deciles
+    applied per host — ONE (host, latency) histogram aggregation
+    (map-side partials; cardinality ≤ hosts × distinct-latencies, and
+    latencies are ms integers so that's bounded), CDF windows over
+    the histogram only, then a host-keyed min-conditional aggregate.
+    A mega-host's million fetches collapse to its distinct latency
+    values before any window sees them; the log itself never sorts.
+    """
+    from pyspark.sql import Window
+
+    lat = F.col("latency_ms").cast("bigint")
+    hist = (fetch_log.select("host", lat.alias("latency_ms"))
+            .groupBy("host", "latency_ms")
+            .agg(F.count("*").alias("_n")))
+    w = (Window.partitionBy("host").orderBy("latency_ms")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = hist.select(
+        "host", "latency_ms",
+        F.sum("_n").over(w).alias("_cum"),
+        F.sum("_n").over(Window.partitionBy("host")).alias("_tot"))
+    agg = (cdf.groupBy("host")
+           .agg(F.max("_tot").alias("n_fetches"),
+                F.min(F.when(F.col("_cum") * 100 >= F.col("_tot") * pctl,
+                             F.col("latency_ms"))).alias("p_ms")))
+    return (agg.select(
+        "host", F.col("n_fetches").cast("bigint").alias("n_fetches"),
+        F.col("p_ms").cast("bigint").alias("p_ms"),
+        F.greatest(F.lit(base_delay_ms).cast("bigint"),
+                   F.least(F.lit(max_delay_ms).cast("bigint"),
+                           F.expr(f"(p_ms * {mult_permille}) div 1000")))
+        .cast("bigint").alias("delay_ms"))
+        .orderBy("host"))

@@ -207,3 +207,46 @@ def corpus_pipeline(documents: DataFrame,
     return (token_counts(documents)
             .join(survivors, "doc_id")
             .orderBy("doc_id"))
+
+
+def canonical_docs(documents: DataFrame,
+                   jaccard_threshold: float = 0.5,
+                   score_col: str = "n_chars",
+                   max_iters: int = 20,
+                   algorithm: str = "propagate") -> DataFrame:
+    """Representative selection over near-duplicate clusters — the
+    step after dedup clustering in every corpus pipeline: instead of
+    dropping all-but-lowest-id (what ``corpus_pipeline`` does), keep
+    the HIGHEST-QUALITY member of each cluster (C4/RefinedWeb keep the
+    longest / best-scored variant, not an arbitrary one). Singleton
+    docs are their own cluster and always canonical.
+
+    Output: (doc_id, cluster_id, score, is_canonical) for EVERY input
+    document; exactly one canonical row per cluster — max score, ties
+    to the lowest doc_id.
+
+    Scale shape: rides ``dup_clusters`` (banded LSH + min-label CC),
+    then ONE cluster-keyed aggregation picks representatives via a
+    (score, −doc_id, doc_id) struct max — map-side partial max, no
+    window over the corpus; the join back is cluster-keyed on frames
+    that carry only ids and one integer score.
+    """
+    clusters = dup_clusters(documents, jaccard_threshold,
+                            max_iters=max_iters, algorithm=algorithm)
+    m = (documents.select("doc_id",
+                          F.col(score_col).cast("bigint").alias("score"))
+         .join(clusters, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                 "score"))
+    rep = (m.groupBy("cluster_id")
+           .agg(F.max(F.struct(F.col("score"),
+                               (-F.col("doc_id")).alias("_neg"),
+                               F.col("doc_id").alias("_d")))
+                .alias("_best"))
+           .select("cluster_id", F.col("_best._d").alias("_rep")))
+    return (m.join(rep, "cluster_id")
+            .select("doc_id", "cluster_id", "score",
+                    (F.col("doc_id") == F.col("_rep"))
+                    .alias("is_canonical"))
+            .orderBy("doc_id"))

@@ -1484,3 +1484,43 @@ def test_holdout_split_host_pure_function(spark):
                     else "val" if r.bucket < 900 else "test")
         assert r.split == expected
     assert all(len(s) == 1 for s in by_host.values())
+
+
+def test_canonical_docs_keeps_best_per_cluster(spark):
+    """Docs 1/2/3 are near-identical (one cluster), doc 4 standalone.
+    Scores (length proxy) make doc 2 the best member → only doc 2 is
+    canonical in the cluster; ties would fall to the lowest doc_id;
+    the singleton is canonical by itself."""
+    from osmospark.functions.pipeline import canonical_docs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running across the wide open field toward town")
+    docs = spark.createDataFrame(
+        [(1, base, 10), (2, base + " extra tail words here", 99),
+         (3, base + " tiny", 10), (4, "completely different text about "
+          "spark shuffles and broadcast joins at scale", 50)],
+        "doc_id long, text string, n_chars long")
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in canonical_docs(docs, jaccard_threshold=0.5).collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    assert got[4] == (4, True)
+
+
+def test_adaptive_delay_p95_clamped(spark):
+    """Host a: 100 fetches, latencies 1..100 → p95 = 95, delay =
+    95·1500‰ = 142 (above base 100, below max). Host b: constant 2 ms
+    → p95 = 2, delay clamps UP to base. Host c: one 60 s outlier p95 →
+    clamps DOWN to max."""
+    from osmospark.frontier.politeness import adaptive_delay
+
+    rows = [("a", i) for i in range(1, 101)]
+    rows += [("b", 2)] * 10
+    rows += [("c", 60_000)] * 3
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    got = {r.host: (r.n_fetches, r.p_ms, r.delay_ms)
+           for r in adaptive_delay(log).collect()}
+    assert got["a"] == (100, 95, 142)
+    assert got["b"] == (10, 2, 100)
+    assert got["c"] == (3, 60_000, 10_000)
