@@ -130,6 +130,7 @@ class FrontierEngine:
         max_redirects: int = 5,
         priority_df: DataFrame | None = None,
         host_budget_df: DataFrame | None = None,
+        host_delay_df: DataFrame | None = None,
         url_predicate: str | None = None,
     ) -> None:
         self.spark = spark
@@ -268,6 +269,17 @@ class FrontierEngine:
                                   F.col("slots").cast("int")
                                   .alias("_budget"))
             if host_budget_df is not None else None)
+        # optional per-host adaptive delays (host, delay_ms) — e.g.
+        # politeness.adaptive_delay output (p95-latency feedback).
+        # Converted to a per-round slot cap exactly like a robots
+        # crawl-delay (round_seconds·1000 div delay_ms, floor 1) and
+        # least-combined with whatever slots the host already has.
+        # Hosts absent keep the default. Hosts-sized → broadcast join.
+        self.host_delay_df = (
+            host_delay_df.select("host",
+                                 F.col("delay_ms").cast("bigint")
+                                 .alias("_delay_ms"))
+            if host_delay_df is not None else None)
         # optional pre-fetch URL filter: a SQL boolean over column
         # ``url`` (e.g. urlnorm.default_url_predicate() — skip asset
         # extensions / session-id URLs). Applied to seeds and to every
@@ -551,6 +563,19 @@ class FrontierEngine:
                             F.least(F.col("_slots"), F.col("_budget")),
                             F.col("_slots")))
                         .drop("_budget"))
+        if self.host_delay_df is not None:
+            delay_slots = F.greatest(
+                F.lit(1),
+                F.least(F.lit(slots * 100),
+                        (F.lit(int(self.round_seconds * 1000))
+                         / F.col("_delay_ms")).cast("int")))
+            frontier = (frontier
+                        .join(F.broadcast(self.host_delay_df),
+                              "host", "left")
+                        .withColumn("_slots", F.coalesce(
+                            F.least(F.col("_slots"), delay_slots),
+                            F.col("_slots")))
+                        .drop("_delay_ms"))
         order = [F.col("depth").desc(),
                  F.col("sort_index").asc_nulls_last(),
                  F.col("url").asc()]

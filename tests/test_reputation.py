@@ -299,3 +299,72 @@ def test_mirror_hosts_hand_planted(spark):
             mirror_hosts(pages.union(pages), min_shared=2,
                          max_fp_hosts=2).collect()]
     assert got2 == got
+
+
+def test_host_delay_caps_per_round_admission(spark):
+    """adaptive_delay-shaped (host, delay_ms) feedback → engine: with
+    round_seconds=60, a 30 s delay yields 2 slots and a 60 s delay 1
+    slot; an un-listed host keeps the default concurrency. The cap is
+    least() with the existing slots, so a fast host (1 ms) is identity."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 120, n_hosts=4, weight=1).cache()
+    pages.count()
+    hosts = [f"host{i:04d}.test" for i in range(3)]
+    seeds = [f"http://{h}/p/{i}" for h in hosts for i in (3, 5, 7)]
+    delays = spark.createDataFrame(
+        [(hosts[0], 60_000), (hosts[1], 30_000), (hosts[2], 1)],
+        "host string, delay_ms long")
+
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=5, round_seconds=60.0,
+                         host_delay_df=delays)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=1, max_rounds=1)
+    got = sorted(r.url for r in rec.select("url").collect())
+    assert got == sorted([f"http://{hosts[0]}/p/3",
+                          f"http://{hosts[1]}/p/3",
+                          f"http://{hosts[1]}/p/5",
+                          f"http://{hosts[2]}/p/3",
+                          f"http://{hosts[2]}/p/5",
+                          f"http://{hosts[2]}/p/7"])
+
+
+def test_host_delay_feedback_loop_end_to_end(spark):
+    """The full loop: a fetch-latency log → adaptive_delay → engine.
+    Slow host (p95 60 s → delay clamps to max 10 s → 6 slots at
+    round_seconds=60) vs fast host (delay clamps to base 100 ms →
+    600 slots ≥ concurrency → identity). Deferral, not dropping: a
+    second round fetches the slow host's remainder."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+    from osmospark.frontier.politeness import adaptive_delay
+
+    pages = synth_corpus_df(spark, 240, n_hosts=4, weight=1).cache()
+    pages.count()
+    slow, fast = "host0000.test", "host0001.test"
+    seeds = [f"http://{h}/p/{i}" for h in (slow, fast)
+             for i in range(3, 11)]                      # 8 seeds/host
+    log = spark.createDataFrame(
+        [(slow, 60_000)] * 5 + [(fast, 3)] * 5,
+        "host string, latency_ms long")
+    delays = adaptive_delay(log)
+
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=8, round_seconds=60.0,
+                         host_delay_df=delays)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=0, max_rounds=1)
+    per_host = {h: sum(1 for r in rec.collect()
+                       if f"//{h}/" in r.url) for h in (slow, fast)}
+    assert per_host == {slow: 6, fast: 8}
+
+    eng2 = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                          concurrency=8, round_seconds=60.0,
+                          host_delay_df=delays)
+    rec2, _ = eng2.run_crawl(seeds, "a", extract_spec=None,
+                             max_depth=0, max_rounds=2)
+    per_host2 = {h: sum(1 for r in rec2.collect()
+                        if f"//{h}/" in r.url) for h in (slow, fast)}
+    assert per_host2 == {slow: 8, fast: 8}
