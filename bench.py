@@ -301,18 +301,18 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
     timed("dust_rules", dust_bench)
 
-    # seed-distance BFS over a corpus-sized synthetic graph (250k
-    # nodes, ~360k edges, 25 seeds, 8 hops of delta-frontier joins)
+    # seed-distance BFS over a corpus-sized 4-ary expander (250k
+    # nodes, 1M edges): frontiers GROW each hop (25 seeds -> full
+    # coverage by hop ~8), so the row measures real delta-frontier
+    # join throughput, not per-hop fixed cost
     def seeddist_bench():
         from osmospark.functions.linkgraph import seed_distance
         i = F.col("id")
         ids = spark.range(n_pages)
-        edges = (ids.filter(i % 3 != 0)
-                 .select(i.alias("src"), ((i + 1) % n_pages).alias("dst"))
-                 .union(ids.filter(i % 5 == 0).select(
-                     i.alias("src"), ((i * 7 + 3) % n_pages).alias("dst")))
-                 .union(ids.filter(i % 11 == 0).select(
-                     i.alias("src"), ((i * 3) % n_pages).alias("dst"))))
+        edges = (ids.select(
+            i.alias("src"),
+            F.explode(F.array(*[(i * 4 + F.lit(k)) % n_pages
+                                for k in (1, 2, 3, 4)])).alias("dst")))
         seeds = ids.filter(i % 10007 == 0).select(i.alias("node_id"))
         return _count(seed_distance(edges, seeds, max_hops=8))
 

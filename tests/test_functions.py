@@ -1524,3 +1524,79 @@ def test_adaptive_delay_p95_clamped(spark):
     assert got["a"] == (100, 95, 142)
     assert got["b"] == (10, 2, 100)
     assert got["c"] == (3, 60_000, 10_000)
+
+
+def test_paragraph_dedup_identity_on_all_unique(spark):
+    """A corpus whose paragraphs are all distinct must pass through
+    byte-identical (the operator only ever removes repeats)."""
+    from osmospark.functions.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\nbeta {i}\n\ngamma {i}") for i in range(30)],
+        "doc_id long, text string")
+    got = paragraph_dedup(docs).collect()
+    assert all(r.clean_text == f"alpha {r.doc_id}\nbeta {r.doc_id}"
+               f"\n\ngamma {r.doc_id}" and r.n_kept == r.n_paras == 4
+               for r in got)
+
+
+def test_inverted_index_tf_sums_to_token_count(spark):
+    """With min_df=1, per-doc Σtf equals the doc's token count and
+    every positions list has len == tf with offsets < token count."""
+    from osmospark.functions.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j * 3) % 5}" for j in range(9)))
+         for i in range(20)],
+        "doc_id long, text string")
+    rows = inverted_index(docs, min_df=1).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tf
+        assert len(r.positions) == r.tf
+        assert all(0 <= p < 9 for p in r.positions)
+    assert per_doc == {i: 9 for i in range(20)}
+
+
+def test_dust_rules_observation_order_and_dup_invariant(spark):
+    """Repeating observations and permuting row order cannot change
+    the mined rules (the first aggregation collapses duplicates)."""
+    from osmospark.urlnorm import dust_rules
+
+    rows = []
+    for page in (1, 2, 3):
+        for sid in ("x", "y"):
+            rows.append((f"http://a.test/p?page={page}&sid={sid}",
+                         100 + page))
+    df1 = spark.createDataFrame(rows, "url string, fp long")
+    df2 = spark.createDataFrame(rows[::-1] + rows * 2,
+                                "url string, fp long")
+    r1 = [tuple(r) for r in dust_rules(df1).collect()]
+    r2 = [tuple(r) for r in dust_rules(df2).collect()]
+    assert r1 == r2 and len(r1) == 2
+
+
+def test_seed_distance_bfs_invariants_on_pseudorandom_graph(spark):
+    """On a deterministic pseudo-random graph: dist(seed)=0; every
+    non-seed reached node has an in-neighbor at dist-1; no edge jumps
+    levels (dist(v) <= dist(u)+1 for reached u)."""
+    from osmospark.functions.linkgraph import seed_distance
+
+    n = 60
+    edges = [(u, (u * 13 + 5) % n) for u in range(n)]
+    edges += [(u, (u * u + 1) % n) for u in range(0, n, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (17,)], "node_id long")
+    dist = {r.node_id: r.dist
+            for r in seed_distance(e, seeds, max_hops=12).collect()}
+    assert dist[0] == 0 and dist[17] == 0
+    adj_in = {}
+    for u, v in edges:
+        adj_in.setdefault(v, []).append(u)
+    for node, d in dist.items():
+        if d == 0:
+            continue
+        assert any(dist.get(u) == d - 1 for u in adj_in.get(node, []))
+    for u, v in edges:
+        if u in dist and v in dist:
+            assert dist[v] <= dist[u] + 1
