@@ -38,14 +38,25 @@ def _norm_words(col):
 
 def _word_grams(col, n: int):
     """n-word grams with the same short-text fallback as dedup._shingles:
-    texts under n words yield one pseudo-gram (the normalized text)."""
+    texts under n words yield one pseudo-gram (the normalized text).
+
+    zip_with-chain formulation, NOT transform-over-indices with
+    slice(words, i, n) in the lambda: higher-order-function lambdas are
+    interpreted and re-evaluate referenced subtrees per element, so the
+    slice form re-splits the text once per gram — O(W²) (measured 22.8 s
+    vs 0.5 s on 2000×1000-word docs). zip_with evaluates its array
+    ARGUMENTS once, and the trailing n−1 null-padded pairs (concat
+    propagates null) are filtered off."""
     words = _norm_words(col)
     m = F.size(words)
     norm = F.concat_ws(" ", words)
-    return F.when(m >= n, F.transform(
-        F.sequence(F.lit(1), m - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )).otherwise(F.array(norm))
+    g = words
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(words, j + 1, m),
+                       lambda x, y: F.concat(x, F.lit(" "), y))
+    if n > 1:
+        g = F.filter(g, lambda x: x.isNotNull())
+    return F.when(m >= n, g).otherwise(F.array(norm))
 
 
 def _dup_mass_frac(arr):
@@ -574,10 +585,11 @@ def span_dedup_remove(documents: DataFrame, span_words: int = 10
                 .alias("cv")))
     ws = _norm_words(F.col("text"))
     cv = F.coalesce(F.col("cv"), F.array().cast("array<int>"))
+    # transform over ws itself with the (element, index) lambda — an
+    # element_at(ws, i+1) inside the interpreted lambda would re-split
+    # the text per word position, O(W²) (see _word_grams)
     kept = F.filter(
-        F.transform(F.sequence(F.lit(0), F.size(ws) - 1),
-                    lambda i: F.when(~F.array_contains(cv, i),
-                                     F.element_at(ws, i + 1))),
+        F.transform(ws, lambda x, i: F.when(~F.array_contains(cv, i), x)),
         lambda x: x.isNotNull())
     return (documents.join(cov, "doc_id", "left")
             .select("doc_id",

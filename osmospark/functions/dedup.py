@@ -35,12 +35,17 @@ def _norm_text(col):
 
 
 def _shingles(col):
+    # zip_with chain, not transform-over-indices: a slice(words, i, W)
+    # inside an interpreted HOF lambda re-splits the text per shingle —
+    # O(W²) (see curation._word_grams; same measured cliff)
     words = F.split(_norm_text(col), " ")
     n = F.size(words)
-    return F.when(n >= SHINGLE_W, F.transform(
-        F.sequence(F.lit(1), n - SHINGLE_W + 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_W)),
-    )).otherwise(F.array(_norm_text(col)))
+    g = words
+    for j in range(1, SHINGLE_W):
+        g = F.zip_with(g, F.slice(words, j + 1, n),
+                       lambda x, y: F.concat(x, F.lit(" "), y))
+    g = F.filter(g, lambda x: x.isNotNull())
+    return F.when(n >= SHINGLE_W, g).otherwise(F.array(_norm_text(col)))
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -265,11 +270,13 @@ def partial_duplicates(documents: DataFrame,
     loudly). At 100 TB the shuffle carries (fingerprint, doc_id) longs
     — a few winnow minima per doc, cheaper than the shingle stream —
     and the exact verify touches only the candidate pairs."""
-    from .textstats import winnow_fp_expr
+    from .textstats import winnow_hashes_expr, winnow_mins_expr
 
-    exploded = documents.select(
-        "doc_id", F.lit(0).alias("band"),
-        F.explode(winnow_fp_expr(F.col("text"))).alias("band_key"))
+    exploded = (documents
+                .withColumn("_hs", winnow_hashes_expr(F.col("text")))
+                .select("doc_id", F.lit(0).alias("band"),
+                        F.explode(winnow_mins_expr(F.col("_hs")))
+                        .alias("band_key")))
     pairs = _banded_pairs(exploded, max_bucket_size, "partial-dup winnow")
     return (containment(documents, pairs)
             .filter(F.greatest("c_ab_permille", "c_ba_permille")

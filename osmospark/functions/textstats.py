@@ -85,28 +85,52 @@ WINNOW_K = 3   # k-gram width (words)
 WINNOW_W = 4   # winnowing window over the k-gram hash sequence
 
 
-def winnow_fp_expr(text_col, k: int = WINNOW_K, w: int = WINNOW_W):
-    """The winnow fingerprint set as an ``array<bigint>`` COLUMN
-    expression (sorted distinct window minima) — shared by
-    ``winnow_fingerprints`` (string-joined per-doc output) and
-    ``dedup.partial_duplicates`` (exploded for candidate pairing)."""
+def winnow_hashes_expr(text_col, k: int = WINNOW_K):
+    """The k-gram md5 hash array as a column expression (stage 1 of
+    winnowing). MUST be bound to a NAMED column before the window-min
+    stage consumes it: higher-order-function lambdas are interpreted,
+    so an inline subtree here would be RE-EVALUATED once per window —
+    O(W²) md5 calls per document (measured 15.7 s → 0.56 s at sf0.1
+    for the 5000-doc corpus when named; a ~28× cliff). Referencing the
+    named column ≥2 times in the consumer blocks CollapseProject from
+    inlining it back."""
     norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
     words = F.split(norm, " ")
     n = F.size(words)
-    grams = F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )).otherwise(F.array(norm))
-    hs = F.transform(
+    # zip_with chain, not slice-in-lambda: the slice form re-splits the
+    # text once per gram — O(W²) (see curation._word_grams)
+    g = words
+    for j in range(1, k):
+        g = F.zip_with(g, F.slice(words, j + 1, n),
+                       lambda x, y: F.concat(x, F.lit(" "), y))
+    g = F.filter(g, lambda x: x.isNotNull())
+    grams = F.when(n >= k, g).otherwise(F.array(norm))
+    return F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
         .cast("bigint"))
-    m = F.size(hs)
+
+
+def winnow_mins_expr(hs_col, w: int = WINNOW_W):
+    """Stage 2 of winnowing: sorted distinct window minima over a
+    NAMED hash-array column (see ``winnow_hashes_expr`` for why it
+    must be named, not inlined)."""
+    m = F.size(hs_col)
     mins = F.when(m >= w, F.transform(
         F.sequence(F.lit(1), m - w + 1),
-        lambda i: F.array_min(F.slice(hs, i, w)),
-    )).otherwise(F.array(F.array_min(hs)))
+        lambda i: F.array_min(F.slice(hs_col, i, w)),
+    )).otherwise(F.array(F.array_min(hs_col)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fp_expr(text_col, k: int = WINNOW_K, w: int = WINNOW_W):
+    """The winnow fingerprint set as a single inline ``array<bigint>``
+    expression (sorted distinct window minima). ONLY for tiny inputs /
+    oracle parity checks: the inline form re-evaluates the hash array
+    per window (see ``winnow_hashes_expr``); hot paths go through the
+    two-stage named-column form (``winnow_fingerprints``,
+    ``dedup.partial_duplicates``)."""
+    return winnow_mins_expr(winnow_hashes_expr(text_col, k), w)
 
 
 def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
@@ -117,16 +141,19 @@ def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K,
     are the document fingerprint. Guarantees any shared run of
     w + k - 1 words between two documents shares at least one fingerprint.
 
-    All built-in expressions (transform/slice/array_min) inside
-    whole-stage codegen — the same portable md5→bigint hash as the minhash
-    pipeline so the DuckDB oracle agrees exactly."""
-    fp = winnow_fp_expr(F.col("text"), k, w)
-    return documents.select(
-        "doc_id",
-        F.size(fp).alias("n_fp"),
-        F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))
-        .alias("fingerprint"),
-    )
+    All built-in expressions (transform/slice/array_min) — the same
+    portable md5→bigint hash as the minhash pipeline so the DuckDB
+    oracle agrees exactly. Two-stage named-column evaluation (hash
+    array materialized once per row; see ``winnow_hashes_expr``)."""
+    fp = winnow_mins_expr(F.col("_hs"), w)
+    return (documents
+            .withColumn("_hs", winnow_hashes_expr(F.col("text"), k))
+            .select(
+                "doc_id",
+                F.size(fp).alias("n_fp"),
+                F.concat_ws(",", F.transform(
+                    fp, lambda x: x.cast("string"))).alias("fingerprint"),
+            ))
 
 
 def tfidf_topterms(documents: DataFrame, k: int = 5,
