@@ -232,7 +232,16 @@ def paragraph_dedup(documents: DataFrame,
                 .withColumn("h", F.md5(F.col("para")))
                 .withColumn("ok", (F.col("doc_id")
                                    * F.lit(max_paras_per_doc)
-                                   + F.col("idx")).cast("bigint")))
+                                   + F.when(
+                                       F.col("idx") < max_paras_per_doc,
+                                       F.col("idx"))
+                                   .otherwise(F.raise_error(F.format_string(
+                                       "paragraph_dedup: doc %s has >= "
+                                       f"{max_paras_per_doc} paragraphs — "
+                                       "order-key encoding would collide; "
+                                       "raise max_paras_per_doc",
+                                       F.col("doc_id")))
+                                   .cast("int"))).cast("bigint")))
     first = nonempty.groupBy("h").agg(F.min("ok").alias("ok"))
     kept_ne = nonempty.join(first, ["h", "ok"], "left_semi") \
         .select("doc_id", "idx", "para")

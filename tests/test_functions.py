@@ -1600,3 +1600,19 @@ def test_seed_distance_bfs_invariants_on_pseudorandom_graph(spark):
     for u, v in edges:
         if u in dist and v in dist:
             assert dist[v] <= dist[u] + 1
+
+
+def test_paragraph_dedup_bound_guard_raises(spark):
+    """A doc exceeding max_paras_per_doc must raise (silent order-key
+    collision would corrupt first-occurrence selection), and the guard
+    must not fire on in-bound corpora."""
+    import pytest
+    from osmospark.functions.curation import paragraph_dedup
+
+    ok = spark.createDataFrame([(1, "a\nb\nc")], "doc_id long, text string")
+    assert paragraph_dedup(ok, max_paras_per_doc=4).count() == 1
+    bad = spark.createDataFrame(
+        [(1, "\n".join(f"p{i}" for i in range(6)))],
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="order-key encoding"):
+        paragraph_dedup(bad, max_paras_per_doc=4).collect()
