@@ -1911,6 +1911,28 @@ def q_adaptive_delay(spark, sf_dir):
     return adaptive_delay(log)
 
 
+def q_apply_dust_rules(spark, sf_dir):
+    """The DUST loop closed: mine rules from the synthetic fetch log
+    (q_dust_rules' exact input), then canonicalize the log's distinct
+    URLs with them — every url's learned sid strips (changed=true,
+    page survives). Oracle re-mines AND re-applies relationally."""
+    from osmospark.urlnorm import apply_dust_rules, dust_rules
+    d = F.col("doc_id")
+    page = F.pmod(F.floor(d / 20), F.lit(5))
+    log = (_documents(spark, sf_dir)
+           .select(d.alias("doc_id"),
+                   F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                   .alias("s"))
+           .select(F.format_string(
+               "http://h%02d.test/a?page=%d&sid=s%d",
+               F.pmod(d, F.lit(20)), page, F.col("s"))
+               .alias("url"),
+               (F.pmod(d, F.lit(20)) * 5 + page)
+               .cast("bigint").alias("fp")))
+    rules = dust_rules(log, min_support=2)
+    return apply_dust_rules(log.select("url").distinct(), rules)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2020,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "canonical_docs": q_canonical_docs,
         "adaptive_delay": q_adaptive_delay,
+        "apply_dust_rules": q_apply_dust_rules,
     }
 
 
@@ -3021,6 +3044,53 @@ def oracle_sql() -> dict[str, str]:
         '{"s1":"2","s2":"two","cb2":"two","cb3[0]":"one","cb3[1]":"on",'
         '"cb3[2]":"on","ta":"text area test","sub1":"submit"}')
     submit_expected_get = '{"it1":"test","sub1":"button"}'
+
+    # dust_rules oracle body — shared by the apply_dust_rules
+    # oracle, which consumes the mined rules
+    dust_rules_sql = """
+            WITH obs AS MATERIALIZED (
+              SELECT printf('http://h%02d.test/a?page=%d&sid=s%d',
+                            doc_id % 20, (doc_id // 20) % 5, s.i)
+                       AS url,
+                     (doc_id % 20) * 5 + (doc_id // 20) % 5 AS fp
+              FROM documents, (VALUES (0), (1), (2)) s(i)),
+            px AS MATERIALIZED (
+              SELECT url, fp,
+                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
+                     split_part(url, '?', 1) AS base,
+                     string_split(regexp_extract(url, '\\?([^#]*)', 1),
+                                  '&') AS params
+              FROM obs
+              WHERE regexp_extract(url, '\\?([^#]*)', 1) <> ''),
+            ex AS (
+              SELECT host,
+                     unnest(list_distinct(list_transform(params,
+                         x -> split_part(x, '=', 1)))) AS param,
+                     base, params, fp, url
+              FROM px),
+            res AS (
+              SELECT DISTINCT host, param,
+                     base || '?' || array_to_string(list_filter(params,
+                         x -> split_part(x, '=', 1) <> param), '&')
+                       AS residual,
+                     fp, url
+              FROM ex),
+            g AS (
+              SELECT host, param, residual,
+                     count(DISTINCT url) AS nu,
+                     count(DISTINCT fp) AS nf
+              FROM res GROUP BY 1, 2, 3
+              HAVING count(DISTINCT url) >= 2)
+            SELECT host, param,
+                   CAST(coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0)
+                        AS BIGINT) AS support,
+                   CAST(coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
+                        AS BIGINT) AS violations,
+                   (coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0) >= 2
+                    AND coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
+                        = 0) AS is_rule
+            FROM g GROUP BY host, param ORDER BY host, param
+    """
 
     return {
         "crawl_extract": crawl_extract_sql,
@@ -4563,49 +4633,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dust_rules: re-mine the rules from the identical synthetic
         # log — residual = url minus every pair of one param name
-        "dust_rules": """
-            WITH obs AS MATERIALIZED (
-              SELECT printf('http://h%02d.test/a?page=%d&sid=s%d',
-                            doc_id % 20, (doc_id // 20) % 5, s.i)
-                       AS url,
-                     (doc_id % 20) * 5 + (doc_id // 20) % 5 AS fp
+        "dust_rules": dust_rules_sql,
+        # apply_dust_rules: the mined rules (same CTE) re-applied to
+        # the log's distinct urls
+        "apply_dust_rules": f"""
+            WITH rl AS MATERIALIZED ({dust_rules_sql}),
+            strip AS (SELECT host, list(param) AS ps
+                      FROM rl WHERE is_rule GROUP BY host),
+            uu AS (
+              SELECT DISTINCT printf(
+                  'http://h%02d.test/a?page=%d&sid=s%d',
+                  doc_id % 20, (doc_id // 20) % 5, s.i) AS url
               FROM documents, (VALUES (0), (1), (2)) s(i)),
-            px AS MATERIALIZED (
-              SELECT url, fp,
+            ap AS (
+              SELECT url,
                      regexp_extract(url, '//([^/?#]+)', 1) AS host,
                      split_part(url, '?', 1) AS base,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS qs,
                      string_split(regexp_extract(url, '\\?([^#]*)', 1),
                                   '&') AS params
-              FROM obs
-              WHERE regexp_extract(url, '\\?([^#]*)', 1) <> ''),
-            ex AS (
-              SELECT host,
-                     unnest(list_distinct(list_transform(params,
-                         x -> split_part(x, '=', 1)))) AS param,
-                     base, params, fp, url
-              FROM px),
-            res AS (
-              SELECT DISTINCT host, param,
-                     base || '?' || array_to_string(list_filter(params,
-                         x -> split_part(x, '=', 1) <> param), '&')
-                       AS residual,
-                     fp, url
-              FROM ex),
-            g AS (
-              SELECT host, param, residual,
-                     count(DISTINCT url) AS nu,
-                     count(DISTINCT fp) AS nf
-              FROM res GROUP BY 1, 2, 3
-              HAVING count(DISTINCT url) >= 2)
-            SELECT host, param,
-                   CAST(coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0)
-                        AS BIGINT) AS support,
-                   CAST(coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
-                        AS BIGINT) AS violations,
-                   (coalesce(sum(CASE WHEN nf = 1 THEN 1 END), 0) >= 2
-                    AND coalesce(sum(CASE WHEN nf > 1 THEN 1 END), 0)
-                        = 0) AS is_rule
-            FROM g GROUP BY host, param ORDER BY host, param
+              FROM uu),
+            j AS (SELECT ap.*, s.ps
+                  FROM ap LEFT JOIN strip s USING (host)),
+            k AS (
+              SELECT url, qs, ps, base,
+                     list_filter(params, x -> NOT list_contains(
+                         ps, split_part(x, '=', 1))) AS kept
+              FROM j),
+            c AS (
+              SELECT url,
+                     CASE WHEN ps IS NULL OR qs = '' THEN url
+                          WHEN len(kept) > 0
+                            THEN base || '?' || array_to_string(kept, '&')
+                          ELSE base END AS canonical_url
+              FROM k)
+            SELECT url, canonical_url,
+                   (canonical_url <> url) AS changed
+            FROM c ORDER BY url
         """,
         # inverted_index: ordinality unnest rebuilds positions, then
         # the same (word, doc) and word-level aggregations

@@ -270,3 +270,45 @@ def dust_rules(fetches, min_support: int = 2, col: str = "url",
                     ((F.col("support") >= min_support)
                      & (F.col("violations") == 0)).alias("is_rule"))
             .orderBy("host", "param"))
+
+
+def apply_dust_rules(urls, rules, col: str = "url"):
+    """Apply mined DUST rules (the consume side of ``dust_rules``):
+    strip every query parameter a host's learned rules mark
+    content-irrelevant, producing the canonical fetch key the frontier
+    dedups on — so session/tracking aliases stop consuming seen-state
+    and fetch slots. Input: a url frame and a ``dust_rules`` output
+    frame (only ``is_rule`` rows are applied). Output: (url,
+    canonical_url, changed), ordered by url.
+
+    Scale shape: rules collapse to a hosts-sized (host → param array)
+    table, broadcast onto the url stream; the strip itself is a
+    map-only array filter + rejoin. URLs of hosts without rules, and
+    URLs with no query string, pass through verbatim.
+    """
+    from pyspark.sql import functions as F
+
+    strip = (rules.filter(F.col("is_rule"))
+             .groupBy("host")
+             .agg(F.collect_set("param").alias("_strip")))
+    u = F.col(col)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    base = F.split_part(u, F.lit("?"), F.lit(1))
+    params = F.split(qs, "&")
+    kept = F.filter(
+        params,
+        lambda x: ~F.array_contains(F.col("_strip"),
+                                    F.split_part(x, F.lit("="),
+                                                 F.lit(1))))
+    rebuilt = F.when(F.size(kept) > 0,
+                     F.concat(base, F.lit("?"),
+                              F.array_join(kept, "&"))).otherwise(base)
+    canonical = F.when(F.col("_strip").isNull() | (qs == ""), u) \
+        .otherwise(rebuilt)
+    return (urls
+            .select(u.alias("url"),
+                    F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"))
+            .join(F.broadcast(strip), "host", "left")
+            .select("url", canonical.alias("canonical_url"),
+                    (canonical != u).alias("changed"))
+            .orderBy("url"))

@@ -1616,3 +1616,31 @@ def test_paragraph_dedup_bound_guard_raises(spark):
         "doc_id long, text string")
     with pytest.raises(Exception, match="order-key encoding"):
         paragraph_dedup(bad, max_paras_per_doc=4).collect()
+
+
+def test_apply_dust_rules_strips_only_learned_params(spark):
+    """Host a learned sid+utm: both strip (order of surviving params
+    preserved), all-stripped urls collapse to the bare path, paramless
+    urls and unknown hosts pass through unchanged; non-rule rows in
+    the rules frame are ignored."""
+    from osmospark.urlnorm import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("a.test", "sid", 5, 0, True), ("a.test", "utm", 3, 0, True),
+         ("a.test", "page", 0, 3, False), ("b.test", "sid", 1, 0, False)],
+        "host string, param string, support long, violations long, "
+        "is_rule boolean")
+    urls = spark.createDataFrame(
+        [("http://a.test/p?page=2&sid=x&utm=fb",),
+         ("http://a.test/p?sid=x",),
+         ("http://a.test/p",),
+         ("http://b.test/p?sid=x",),
+         ("http://c.test/p?sid=x",)], "url string")
+    got = {r.url: (r.canonical_url, r.changed)
+           for r in apply_dust_rules(urls, rules).collect()}
+    assert got["http://a.test/p?page=2&sid=x&utm=fb"] == \
+        ("http://a.test/p?page=2", True)
+    assert got["http://a.test/p?sid=x"] == ("http://a.test/p", True)
+    assert got["http://a.test/p"] == ("http://a.test/p", False)
+    assert got["http://b.test/p?sid=x"] == ("http://b.test/p?sid=x", False)
+    assert got["http://c.test/p?sid=x"] == ("http://c.test/p?sid=x", False)
