@@ -132,6 +132,7 @@ class FrontierEngine:
         host_budget_df: DataFrame | None = None,
         host_delay_df: DataFrame | None = None,
         url_predicate: str | None = None,
+        url_rewrites_df: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -280,6 +281,16 @@ class FrontierEngine:
                                  F.col("delay_ms").cast("bigint")
                                  .alias("_delay_ms"))
             if host_delay_df is not None else None)
+        # optional per-host query-param strip rules (host, param) —
+        # e.g. urlnorm.dust_rules output filtered to is_rule. Applied
+        # map-only to seeds and every round's discovered links BEFORE
+        # url_hash / URL-seen / politeness, so session/tracking aliases
+        # of one page collapse to a single canonical frontier key and
+        # never consume state or fetch slots. Hosts-sized → broadcast.
+        self._rewrites = (
+            url_rewrites_df.groupBy("host")
+            .agg(F.collect_set("param").alias("_strip"))
+            if url_rewrites_df is not None else None)
         # optional pre-fetch URL filter: a SQL boolean over column
         # ``url`` (e.g. urlnorm.default_url_predicate() — skip asset
         # extensions / session-id URLs). Applied to seeds and to every
@@ -526,6 +537,33 @@ class FrontierEngine:
         # BEFORE dropping the old handle (ContextCleaner then reclaims the
         # old blocks). One bounded job per round: n_buckets rows.
         self._seen_state = _checkpoint_truncated(new_state)
+
+    def _rewrite_urls(self, frontier: DataFrame) -> DataFrame:
+        """Apply per-host DUST param-strip rules (url_rewrites_df) to a
+        frontier frame: map-only broadcast join + array filter + rejoin,
+        then url_hash recomputed from the canonical url. Paramless URLs
+        and rule-less hosts pass through byte-identical. Host is
+        unchanged by a param strip, so bucketing/politeness keys hold."""
+        if self._rewrites is None:
+            return frontier
+        u = F.col("url")
+        qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+        base = F.split_part(u, F.lit("?"), F.lit(1))
+        params = F.split(qs, "&")
+        kept = F.filter(
+            params,
+            lambda x: ~F.array_contains(F.col("_strip"),
+                                        F.split_part(x, F.lit("="),
+                                                     F.lit(1))))
+        rebuilt = F.when(F.size(kept) > 0,
+                         F.concat(base, F.lit("?"),
+                                  F.array_join(kept, "&"))).otherwise(base)
+        new_url = F.when(F.col("_strip").isNull() | (qs == ""), u) \
+            .otherwise(rebuilt)
+        return (frontier.join(F.broadcast(self._rewrites), "host", "left")
+                .withColumn("url", new_url)
+                .withColumn("url_hash", F.xxhash64("url"))
+                .drop("_strip"))
 
     def _rank_politeness(self, frontier: DataFrame) -> DataFrame:
         """Per-host fetch-slot ranking (SURVEY §2.6): adds ``_rank``/``_slots``
@@ -1032,7 +1070,7 @@ class FrontierEngine:
                 s["url_hash"] = xxhash64_py(s["url"].encode())
                 from ..urlnorm import url_host
                 s["host"] = url_host(s["url"])
-            frontier = self._frontier_df(seeds)
+            frontier = self._rewrite_urls(self._frontier_df(seeds))
             if self.url_predicate is not None:
                 frontier = frontier.filter(F.expr(self.url_predicate))
 
@@ -1146,6 +1184,7 @@ class FrontierEngine:
 
                 conts = out.filter(F.col("row_kind") == "cont") \
                            .filter(F.col("depth") <= max_depth)
+                conts = self._rewrite_urls(conts)
                 if self.url_predicate is not None:
                     conts = conts.filter(F.expr(self.url_predicate))
                 conts = conts.withColumn("url_hash", F.xxhash64("url")) \

@@ -368,3 +368,54 @@ def test_host_delay_feedback_loop_end_to_end(spark):
     per_host2 = {h: sum(1 for r in rec2.collect()
                         if f"//{h}/" in r.url) for h in (slow, fast)}
     assert per_host2 == {slow: 8, fast: 8}
+
+
+def test_url_rewrites_collapse_aliases_to_canonical(spark):
+    """DUST rules → engine: session/tracking-aliased seeds rewrite to
+    the canonical corpus URL before hashing, so (a) the aliased page
+    IS fetched (without rewrites the alias key misses the corpus) and
+    (b) two aliases of one page dedup to a single fetch. A kept param
+    (not in the rules) must survive the strip."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 60, n_hosts=2, weight=1).cache()
+    pages.count()
+    h0, h1 = "host0000.test", "host0001.test"
+    rules = spark.createDataFrame(
+        [(h0, "sid"), (h0, "utm"), (h1, "sid")], "host string, param string")
+    seeds = [f"http://{h0}/p/3?sid=a&utm=x",      # alias 1 of /p/3
+             f"http://{h0}/p/3?utm=y&sid=b",      # alias 2 of /p/3
+             f"http://{h1}/p/5?sid=z",            # alias of h1 /p/5
+             f"http://{h1}/p/7"]                  # already canonical
+
+    eng = FrontierEngine(spark, pages, dedup=True,
+                         url_rewrites_df=rules)
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=0, max_rounds=1)
+    got = sorted(r.url for r in rec.select("url").collect())
+    assert got == sorted([f"http://{h0}/p/3",     # ONE fetch for 2 aliases
+                          f"http://{h1}/p/5",
+                          f"http://{h1}/p/7"])
+
+    # control: without rewrites the aliased keys miss the corpus
+    eng0 = FrontierEngine(spark, pages, dedup=True)
+    rec0, _ = eng0.run_crawl(seeds, "a", extract_spec=None,
+                             max_depth=0, max_rounds=1)
+    assert sorted(r.url for r in rec0.select("url").collect()) == \
+        [f"http://{h1}/p/7"]
+
+    # a param outside the rules survives: no corpus page matches, but
+    # the frontier row must carry the partially-stripped url
+    eng2 = FrontierEngine(spark, pages, dedup=True,
+                          url_rewrites_df=rules)
+    rec2, frontier2 = eng2.run_crawl(
+        [f"http://{h0}/p/3?sid=a&page=2"], "a", extract_spec=None,
+        max_depth=0, max_rounds=1)
+    assert rec2.count() == 0
+    # re-running on the SAME engine with the other alias (sid differs,
+    # page same) is a URL-seen hit — zero new admissions proves both
+    # aliases hashed to the same partially-stripped canonical key
+    rec3, _ = eng2.run_crawl([f"http://{h0}/p/3?sid=zz&page=2"], "a",
+                             extract_spec=None, max_depth=0, max_rounds=1)
+    assert rec3.count() == 0
