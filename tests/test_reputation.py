@@ -419,3 +419,33 @@ def test_url_rewrites_collapse_aliases_to_canonical(spark):
     rec3, _ = eng2.run_crawl([f"http://{h0}/p/3?sid=zz&page=2"], "a",
                              extract_spec=None, max_depth=0, max_rounds=1)
     assert rec3.count() == 0
+
+
+def test_trap_detect_feeds_budget_starvation(spark):
+    """The trap loop closed: trap_detect over a crawl's URL log →
+    slots=0 budgets for flagged hosts → the engine defers every
+    frontier row of the trap host (fetches nothing from it) while
+    healthy hosts crawl normally."""
+    from pyspark.sql import functions as F
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 60, n_hosts=2, weight=1).cache()
+    pages.count()
+    trap, ok = "host0000.test", "host0001.test"
+    log_rows = [(trap, f"http://{trap}/cal/2024/{i}") for i in range(12)]
+    log_rows += [(ok, f"http://{ok}/page-{'abcdefghijkl'[i]}")
+                 for i in range(12)]
+    verdicts = trap_detect(
+        spark.createDataFrame(log_rows, "host string, url string"),
+        min_urls=8, max_template_permille=200)
+    budget = verdicts.filter(F.col("is_trap")).select(
+        "host", F.lit(0).alias("slots"))
+
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                         concurrency=4, host_budget_df=budget)
+    seeds = [f"http://{h}/p/{i}" for h in (trap, ok) for i in (3, 5)]
+    rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                           max_depth=0, max_rounds=2)
+    got = sorted(r.url for r in rec.select("url").collect())
+    assert got == sorted([f"http://{ok}/p/3", f"http://{ok}/p/5"])
