@@ -23,9 +23,22 @@ from .similarity import (
     lsh_topk,
     recall_at_k,
 )
-from .curation import c4_quality_filter, span_dedup_remove, span_dedup_stats
+from .curation import (
+    c4_quality_filter,
+    ccnet_buckets,
+    holdout_split,
+    paragraph_dedup,
+    span_dedup_remove,
+    span_dedup_stats,
+)
+from .linkgraph import seed_distance
 from .maintext import classify_blocks, main_text
-from .pipeline import cluster_pairs, corpus_pipeline, dup_clusters
+from .pipeline import (
+    canonical_docs,
+    cluster_pairs,
+    corpus_pipeline,
+    dup_clusters,
+)
 from .tokenizer import (
     bpe_token_counts,
     bpe_tokens,
@@ -34,6 +47,7 @@ from .tokenizer import (
 )
 from .textstats import (
     fingerprints,
+    inverted_index,
     lang_id,
     quality_scores,
     token_counts,
@@ -49,11 +63,13 @@ __all__ = [
     "brute_force_topk", "embedding_near_duplicates", "ivf_build",
     "ivf_kmeans_assign", "ivf_topk", "ivf_topk_pruned", "kmeans_codebook",
     "lsh_topk", "recall_at_k",
-    "c4_quality_filter", "span_dedup_remove", "span_dedup_stats",
+    "c4_quality_filter", "ccnet_buckets", "holdout_split",
+    "paragraph_dedup", "span_dedup_remove", "span_dedup_stats",
+    "seed_distance",
     "classify_blocks", "main_text",
-    "cluster_pairs", "corpus_pipeline", "dup_clusters",
+    "canonical_docs", "cluster_pairs", "corpus_pipeline", "dup_clusters",
     "bpe_token_counts", "bpe_tokens", "train_bpe", "train_bpe_df",
-    "fingerprints", "lang_id", "quality_scores", "token_counts",
-    "winnow_fingerprints",
+    "fingerprints", "inverted_index", "lang_id", "quality_scores",
+    "token_counts", "winnow_fingerprints",
     "lang_id_model", "train_lang_profiles",
 ]
