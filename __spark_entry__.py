@@ -1933,6 +1933,24 @@ def q_apply_dust_rules(spark, sf_dir):
     return apply_dust_rules(log.select("url").distinct(), rules)
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation over a sliding-window authority graph: each doc
+    cites authorities (doc_id+j) mod 50 for j in 0..3, so an authority
+    pair at circular distance d is co-cited by 10·(4−d) sources at 500
+    docs — min_common=15 keeps exactly the d∈{1,2} pairs. Oracle
+    replays the distinct-edge self-join and the pair rollup."""
+    from osmospark.functions.linkgraph import cocitation
+    d = F.col("doc_id")
+    e = (_documents(spark, sf_dir)
+         .select(d.alias("doc_id"),
+                 F.explode(F.array(*[F.lit(j) for j in range(4)]))
+                 .alias("j"))
+         .select(d.alias("src"),
+                 (F.pmod(d + F.col("j"), F.lit(50)) + 1_000_000)
+                 .alias("dst")))
+    return cocitation(e, min_common=15)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2043,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "adaptive_delay": q_adaptive_delay,
         "apply_dust_rules": q_apply_dust_rules,
+        "cocitation": q_cocitation,
     }
 
 
@@ -4789,6 +4808,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(100, least(10000,
                         (p_ms * 1500) // 1000)) AS BIGINT) AS delay_ms
             FROM a ORDER BY host
+        """,
+        # cocitation: distinct-edge self-join on the source key + pair
+        # rollup over the sliding-window authority graph
+        "cocitation": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS k,
+                     (doc_id + s.i) % 50 + 1000000 AS v
+              FROM documents, (VALUES (0), (1), (2), (3)) s(i)),
+            p AS (SELECT x.v AS a, y.v AS b
+                  FROM e x JOIN e y ON x.k = y.k AND x.v < y.v)
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+            FROM p GROUP BY a, b HAVING count(*) >= 15
+            ORDER BY a, b
         """,
         # holdout_split: same md5-hex bucket arithmetic on the host
         "holdout_split": """

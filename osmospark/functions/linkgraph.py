@@ -461,3 +461,59 @@ def seed_distance(edges: DataFrame, seeds: DataFrame,
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.orderBy("node_id")
+
+
+def cocitation(edges: DataFrame, min_common: int = 2,
+               max_source_fanout: int = 10_000,
+               mode: str = "cocitation") -> DataFrame:
+    """Co-citation similarity (Small 1972, the classic link-structure
+    relatedness signal): two targets are related if the same SOURCES
+    link to both — the complement of content similarity (mirror_hosts)
+    for spam-ring and topic-cluster detection. ``mode='coupling'``
+    computes bibliographic coupling instead (two sources are related
+    if they cite the same targets) by transposing the edge role.
+
+    Output: (a, b, n_common) with a < b and n_common = number of
+    distinct sources citing both (resp. shared targets), filtered to
+    ``n_common >= min_common``, ordered.
+
+    Scale shape: (src, dst) dedup first (map-side partials), then the
+    dedup family's skew discipline — a hub source citing f targets
+    emits f²/2 pairs, so sources over ``max_source_fanout`` are
+    dropped via a keys-only broadcast LEFT ANTI whose sizing aggregate
+    rides the pairs job (never collected; the drop count is logged, a
+    cache hit afterwards). The pair aggregation shuffles only
+    (a, b) id tuples with map-side combine.
+    """
+    import logging
+
+    if mode == "cocitation":
+        e = edges.select(F.col("src").cast("bigint").alias("k"),
+                         F.col("dst").cast("bigint").alias("v"))
+    elif mode == "coupling":
+        e = edges.select(F.col("dst").cast("bigint").alias("k"),
+                         F.col("src").cast("bigint").alias("v"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    e = e.distinct().persist()
+    hot = (e.groupBy("k").count()
+           .filter(F.col("count") > max_source_fanout)
+           .select("k").persist())
+    joinable = e.join(F.broadcast(hot), "k", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    out = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                  & (F.col("a.v") < F.col("b.v")))
+           .select(F.col("a.v").alias("a"), F.col("b.v").alias("b"))
+           .groupBy("a", "b")
+           .agg(F.count("*").cast("bigint").alias("n_common"))
+           .filter(F.col("n_common") >= min_common)
+           .orderBy("a", "b"))
+    out = out.localCheckpoint(eager=True)
+    n_hot = hot.count()
+    if n_hot:
+        logging.getLogger("osmospark.linkgraph").warning(
+            "cocitation: dropped %d sources over fanout cap %d",
+            n_hot, max_source_fanout)
+    e.unpersist()
+    hot.unpersist()
+    return out

@@ -1644,3 +1644,27 @@ def test_apply_dust_rules_strips_only_learned_params(spark):
     assert got["http://a.test/p"] == ("http://a.test/p", False)
     assert got["http://b.test/p?sid=x"] == ("http://b.test/p?sid=x", False)
     assert got["http://c.test/p?sid=x"] == ("http://c.test/p?sid=x", False)
+
+
+def test_cocitation_counts_caps_and_coupling(spark):
+    """s1/s2/s3 all cite {10,11} → (10,11) n_common=3; pairs via the
+    single extra citation s1→12 fall under min_common=2; duplicate
+    edges count once; a 60-fanout hub source is dropped by the cap so
+    none of its pairs appear. Coupling mode: s1/s2/s3 pairwise share
+    {10,11} → n_common=2 each."""
+    from osmospark.functions.linkgraph import cocitation
+
+    rows = [(s, d) for s in (1, 2, 3) for d in (10, 11)]
+    rows += [(1, 12), (1, 10)]                      # extra + duplicate
+    rows += [(4, 1000 + i) for i in range(60)]      # hub over cap
+    e = spark.createDataFrame(rows, "src long, dst long")
+
+    got = {(r.a, r.b): r.n_common
+           for r in cocitation(e, min_common=2,
+                               max_source_fanout=50).collect()}
+    assert got == {(10, 11): 3}
+
+    cpl = {(r.a, r.b): r.n_common
+           for r in cocitation(e, min_common=2, max_source_fanout=50,
+                               mode="coupling").collect()}
+    assert cpl == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
