@@ -1668,3 +1668,34 @@ def test_cocitation_counts_caps_and_coupling(spark):
            for r in cocitation(e, min_common=2, max_source_fanout=50,
                                mode="coupling").collect()}
     assert cpl == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+def test_word_grams_match_python_reference_randomized(spark):
+    """The zip_with gram chain must equal the straightforward Python
+    n-gram definition on 60 seeded-random texts (mixed whitespace,
+    unicode, shorts) for n in {2,3,10} — a regression pin for the
+    HOF-lambda rewrite (PLANS.md §24)."""
+    import random
+    from osmospark.functions.curation import _word_grams
+
+    rng = random.Random(42)
+    alphabet = ["word", "Wort", "mot", "x1", "λόγος", "a", "Bb", "ccc"]
+    texts = []
+    for i in range(60):
+        k = rng.randint(0, 14)
+        sep = rng.choice([" ", "  ", " \t ", "   "])
+        texts.append((i, sep.join(rng.choice(alphabet) for _ in range(k))))
+    df = spark.createDataFrame(texts, "id long, text string")
+
+    def ref(text, n):
+        ws = " ".join(text.lower().split()).split(" ")
+        norm = " ".join(ws)
+        if len(ws) < n or norm == "":
+            return [norm]
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    for n in (2, 3, 10):
+        got = {r.id: r.g for r in df.select(
+            "id", _word_grams(F.col("text"), n).alias("g")).collect()}
+        for i, text in texts:
+            assert got[i] == ref(text, n), (n, i, text, got[i], ref(text, n))
