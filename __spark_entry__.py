@@ -1951,6 +1951,23 @@ def q_cocitation(spark, sf_dir):
     return cocitation(e, min_common=15)
 
 
+def q_graph_stats(spark, sf_dir):
+    """Degree histograms over the seed_distance wrapper's graph
+    families (chain gaps + jumps + cycles give non-trivial in-degree
+    spread). Oracle replays both two-level aggregations."""
+    from osmospark.functions.linkgraph import graph_stats
+    docs = _documents(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    chain = (docs.filter(d % 3 != 0)
+             .select(d.alias("src"), ((d + 1) % n).alias("dst")))
+    jump = (docs.filter(d % 5 == 0)
+            .select(d.alias("src"), ((d * 7 + 3) % n).alias("dst")))
+    back = (docs.filter(d % 11 == 0)
+            .select(d.alias("src"), ((d * 3) % n).alias("dst")))
+    return graph_stats(chain.union(jump).union(back))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2062,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_delay": q_adaptive_delay,
         "apply_dust_rules": q_apply_dust_rules,
         "cocitation": q_cocitation,
+        "graph_stats": q_graph_stats,
     }
 
 
@@ -4821,6 +4839,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
             FROM p GROUP BY a, b HAVING count(*) >= 15
             ORDER BY a, b
+        """,
+        # graph_stats: node-degree agg -> degree histogram, both
+        # directions, over the seed_distance edge families
+        "graph_stats": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            e AS MATERIALIZED (
+              SELECT doc_id AS src, (doc_id + 1) % c AS dst
+              FROM documents, nn WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 7 + 3) % c
+              FROM documents, nn WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 3) % c
+              FROM documents, nn WHERE doc_id % 11 = 0),
+            od AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*) AS degree FROM e GROUP BY dst)
+            SELECT 'out' AS direction, CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM od GROUP BY degree
+            UNION ALL
+            SELECT 'in', CAST(degree AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM idg GROUP BY degree
+            ORDER BY direction, degree
         """,
         # holdout_split: same md5-hex bucket arithmetic on the host
         "holdout_split": """

@@ -517,3 +517,30 @@ def cocitation(edges: DataFrame, min_common: int = 2,
     e.unpersist()
     hot.unpersist()
     return out
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Degree-distribution histograms — the first diagnostic run on any
+    crawled link graph (power-law tails locate hubs and link farms;
+    a missing tail means the crawler never escaped its seeds). Output:
+    (direction, degree, n_nodes) with direction ∈ out|in, ordered.
+
+    Scale shape: two (node)-keyed degree aggregations (map-side
+    partials) each collapsing immediately into a degree-keyed
+    histogram whose cardinality is bounded by the max degree — the
+    edge table is scanned twice and nothing node-sized survives past
+    the second aggregation. No windows, no joins.
+    """
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+
+    def hist(key, direction):
+        return (e.groupBy(key).agg(F.count("*").alias("degree"))
+                .groupBy("degree")
+                .agg(F.count("*").cast("bigint").alias("n_nodes"))
+                .select(F.lit(direction).alias("direction"),
+                        F.col("degree").cast("bigint").alias("degree"),
+                        "n_nodes"))
+
+    return (hist("src", "out").unionByName(hist("dst", "in"))
+            .orderBy("direction", "degree"))

@@ -1699,3 +1699,17 @@ def test_word_grams_match_python_reference_randomized(spark):
             "id", _word_grams(F.col("text"), n).alias("g")).collect()}
         for i, text in texts:
             assert got[i] == ref(text, n), (n, i, text, got[i], ref(text, n))
+
+
+def test_graph_stats_hand_computed(spark):
+    """Star 0→{1,2,3} plus 1→2: out degrees {0:3, 1:1} → histogram
+    rows (out,1,1),(out,3,1); in degrees {1:1, 2:2, 3:1} →
+    (in,1,2),(in,2,1)."""
+    from osmospark.functions.linkgraph import graph_stats
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (1, 2)],
+                              "src long, dst long")
+    got = [(r.direction, r.degree, r.n_nodes)
+           for r in graph_stats(e).collect()]
+    assert got == [("in", 1, 2), ("in", 2, 1),
+                   ("out", 1, 1), ("out", 3, 1)]
