@@ -449,3 +449,49 @@ def test_trap_detect_feeds_budget_starvation(spark):
                            max_depth=0, max_rounds=2)
     got = sorted(r.url for r in rec.select("url").collect())
     assert got == sorted([f"http://{ok}/p/3", f"http://{ok}/p/5"])
+
+
+def test_all_feedback_loops_compose_in_one_crawl(spark):
+    """priority_df + host_budget_df + host_delay_df + url_rewrites_df
+    active simultaneously: rewrites collapse an aliased seed onto its
+    canonical page, the budget (1 slot) and delay (2 slots) caps
+    least-combine to 1 admission for host 0, and within that one slot
+    the priority score — not DFS order — picks the winner. Host 1 is
+    uncapped and fetches all its seeds. Round 2 drains host 0's
+    deferrals under the same caps."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+    from osmospark.urlnorm import xxhash64_py
+
+    pages = synth_corpus_df(spark, 120, n_hosts=2, weight=1).cache()
+    pages.count()
+    h0, h1 = "host0000.test", "host0001.test"
+    seeds = [f"http://{h0}/p/3",
+             f"http://{h0}/p/5?sid=x",            # alias → /p/5
+             f"http://{h0}/p/7",
+             f"http://{h1}/p/3", f"http://{h1}/p/5"]
+    rewrites = spark.createDataFrame([(h0, "sid")], "host string, param string")
+    budget = spark.createDataFrame([(h0, 1)], "host string, slots int")
+    delays = spark.createDataFrame([(h0, 30_000)], "host string, delay_ms long")
+    # priority: the CANONICAL form of the aliased seed outranks DFS
+    prio = spark.createDataFrame(
+        [(xxhash64_py(f"http://{h0}/p/5".encode()), 10_000)],
+        "url_hash long, priority long")
+
+    def crawl(rounds):
+        eng = FrontierEngine(spark, pages, dedup=True, politeness=True,
+                             concurrency=5, round_seconds=60.0,
+                             priority_df=prio, host_budget_df=budget,
+                             host_delay_df=delays, url_rewrites_df=rewrites)
+        rec, _ = eng.run_crawl(seeds, "a", extract_spec=None,
+                               max_depth=0, max_rounds=rounds)
+        return sorted(r.url for r in rec.select("url").collect())
+
+    # round 1: host0 admits exactly ONE url — the priority-scored
+    # canonical /p/5 (reached only via the rewrite); host1 admits both
+    assert crawl(1) == sorted([f"http://{h0}/p/5",
+                               f"http://{h1}/p/3", f"http://{h1}/p/5"])
+    # three rounds drain host0's deferred seeds one per round
+    assert crawl(3) == sorted([f"http://{h0}/p/3", f"http://{h0}/p/5",
+                               f"http://{h0}/p/7",
+                               f"http://{h1}/p/3", f"http://{h1}/p/5"])
