@@ -1968,6 +1968,24 @@ def q_graph_stats(spark, sf_dir):
     return graph_stats(chain.union(jump).union(back))
 
 
+def q_communities_lpa(spark, sf_dir):
+    """Deterministic LPA over 50 pods of 10 docs (two intra-pod ring
+    families make each pod densely connected, no cross-pod edges):
+    3 synchronous iterations with min-label tie-breaks. Oracle unrolls
+    the 3 iterations as CTEs with row_number argmax."""
+    from osmospark.functions.linkgraph import communities_lpa
+    d = F.col("doc_id")
+    pod = F.floor(d / 10) * 10
+    docs = _documents(spark, sf_dir).select("doc_id")
+    e1 = docs.select(d.alias("src"),
+                     (pod + F.pmod(F.pmod(d, F.lit(10)) + 1,
+                                   F.lit(10))).alias("dst"))
+    e2 = docs.select(d.alias("src"),
+                     (pod + F.pmod(F.pmod(d, F.lit(10)) + 3,
+                                   F.lit(10))).alias("dst"))
+    return communities_lpa(e1.union(e2), iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2080,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_dust_rules": q_apply_dust_rules,
         "cocitation": q_cocitation,
         "graph_stats": q_graph_stats,
+        "communities_lpa": q_communities_lpa,
     }
 
 
@@ -4863,6 +4882,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT)
             FROM idg GROUP BY degree
             ORDER BY direction, degree
+        """,
+        # communities_lpa: 3 synchronous LPA iterations unrolled —
+        # neighbor-label counts + row_number argmax (count DESC,
+        # label ASC) per round over the pod-ring graph
+        "communities_lpa": """
+            WITH e AS MATERIALIZED (
+              SELECT doc_id AS src,
+                     (doc_id // 10) * 10 + (doc_id % 10 + 1) % 10 AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     (doc_id // 10) * 10 + (doc_id % 10 + 3) % 10
+              FROM documents),
+            und AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e)),
+            n AS (SELECT DISTINCT src AS node_id FROM und),
+            l0 AS (SELECT node_id, node_id AS label FROM n),
+            c1 AS (SELECT u.src AS node_id, l.label AS nl, count(*) AS c
+                   FROM und u JOIN l0 l ON l.node_id = u.dst
+                   GROUP BY 1, 2),
+            l1 AS MATERIALIZED (
+              SELECT node_id, nl AS label FROM (
+                SELECT node_id, nl, row_number() OVER (
+                    PARTITION BY node_id ORDER BY c DESC, nl ASC) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS (SELECT u.src AS node_id, l.label AS nl, count(*) AS c
+                   FROM und u JOIN l1 l ON l.node_id = u.dst
+                   GROUP BY 1, 2),
+            l2 AS MATERIALIZED (
+              SELECT node_id, nl AS label FROM (
+                SELECT node_id, nl, row_number() OVER (
+                    PARTITION BY node_id ORDER BY c DESC, nl ASC) AS rn
+                FROM c2) WHERE rn = 1),
+            c3 AS (SELECT u.src AS node_id, l.label AS nl, count(*) AS c
+                   FROM und u JOIN l2 l ON l.node_id = u.dst
+                   GROUP BY 1, 2),
+            l3 AS (
+              SELECT node_id, nl AS label FROM (
+                SELECT node_id, nl, row_number() OVER (
+                    PARTITION BY node_id ORDER BY c DESC, nl ASC) AS rn
+                FROM c3) WHERE rn = 1)
+            SELECT node_id, CAST(label AS BIGINT) AS label
+            FROM l3 ORDER BY node_id
         """,
         # holdout_split: same md5-hex bucket arithmetic on the host
         "holdout_split": """

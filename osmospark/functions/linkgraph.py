@@ -544,3 +544,54 @@ def graph_stats(edges: DataFrame) -> DataFrame:
 
     return (hist("src", "out").unionByName(hist("dst", "in"))
             .orderBy("direction", "degree"))
+
+
+def communities_lpa(edges: DataFrame, iters: int = 3,
+                    checkpoint_every: int = 5) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with
+    DETERMINISTIC tie-breaking — community detection over the link
+    graph (finds densely-linked clusters: link farms, forums, site
+    sections) where connected components (``dup_clusters``) only finds
+    reachability. Labels start as node ids; each iteration every node
+    adopts the most frequent label among its neighbors (undirected),
+    ties to the SMALLEST label, isolated nodes keep their own. The
+    fixed tie-break + synchronous updates make the result a pure
+    function of (graph, iters) — bit-identical on any engine or
+    partitioning, hence oracle-replayable (randomized/async LPA is
+    not). Output: (node_id, label), ordered.
+
+    Scale shape: per iteration ONE join of the undirected edge list to
+    the labels table on the neighbor key plus one (node, label)
+    aggregation with map-side partials, then a node-keyed argmax via
+    struct-max (no windows over the corpus). The edge table shuffles
+    on its natural keys; labels stay nodes-sized;
+    ``checkpoint_every`` flattens lineage like ``link_rank``.
+    """
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+    und = (e.select("src", "dst")
+           .union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+           .distinct())
+    nodes = und.select(F.col("src").alias("node_id")).distinct()
+    labels = nodes.withColumn("label", F.col("node_id"))
+    for i in range(iters):
+        nb = (und.join(labels.withColumnRenamed("node_id", "dst")
+                       .withColumnRenamed("label", "_nl"), "dst")
+              .select(F.col("src").alias("node_id"), "_nl"))
+        cnt = nb.groupBy("node_id", "_nl").agg(F.count("*").alias("_c"))
+        new = (cnt.groupBy("node_id")
+               .agg(F.max(F.struct(F.col("_c"),
+                                   (-F.col("_nl")).alias("_neg")))
+                    .alias("_b"))
+               .select("node_id", (-F.col("_b._neg")).alias("label")))
+        labels = (nodes.join(new, "node_id", "left")
+                  .join(labels.withColumnRenamed("label", "_old"),
+                        "node_id")
+                  .select("node_id",
+                          F.coalesce("label", "_old").alias("label")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iters:
+            from ..frontier.engine import _checkpoint_truncated
+            labels = _checkpoint_truncated(labels)
+    return labels.orderBy("node_id")

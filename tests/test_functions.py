@@ -1713,3 +1713,20 @@ def test_graph_stats_hand_computed(spark):
            for r in graph_stats(e).collect()]
     assert got == [("in", 1, 2), ("in", 2, 1),
                    ("out", 1, 1), ("out", 3, 1)]
+
+
+def test_communities_lpa_deterministic_hand_traced(spark):
+    """Star 0–{1..5} plus triangle {10,11,12}: the triangle converges
+    to community label 10 by iteration 2 (min-label tie-breaks); the
+    star exhibits synchronous LPA's classic two-coloring oscillation,
+    which the fixed tie-break makes exactly reproducible — after 3
+    iterations hub=1, leaves=0. Hand-traced through all 3 rounds."""
+    from osmospark.functions.linkgraph import communities_lpa
+
+    rows = [(0, i) for i in range(1, 6)] + [(10, 11), (10, 12), (11, 12)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node_id: r.label
+           for r in communities_lpa(e, iters=3).collect()}
+    assert got[0] == 1
+    assert all(got[i] == 0 for i in range(1, 6))
+    assert got[10] == got[11] == got[12] == 10
