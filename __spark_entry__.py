@@ -1986,6 +1986,20 @@ def q_communities_lpa(spark, sf_dir):
     return communities_lpa(e1.union(e2), iters=3)
 
 
+def q_cap_per_host(spark, sf_dir):
+    """Per-host doc cap over a 7-host synthetic host column, k=30
+    (~71 docs/host at sf0.01, so every host's cap binds): keep the
+    md5-order first 30 per host via the decomposed running count.
+    Oracle: the single-window row_number formulation — every driver
+    row also proves the decomposition."""
+    from osmospark.functions.curation import cap_per_host
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "text",
+        F.format_string("h%02d", F.pmod(F.col("doc_id"),
+                                        F.lit(7))).alias("host"))
+    return cap_per_host(docs, 30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2099,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "graph_stats": q_graph_stats,
         "communities_lpa": q_communities_lpa,
+        "cap_per_host": q_cap_per_host,
     }
 
 
@@ -4927,6 +4942,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM c3) WHERE rn = 1)
             SELECT node_id, CAST(label AS BIGINT) AS label
             FROM l3 ORDER BY node_id
+        """,
+        # cap_per_host: the SINGLE-window naive formulation (row_number
+        # in md5 order) vs the operator's decomposed running count
+        "cap_per_host": """
+            WITH b AS (
+              SELECT doc_id, printf('h%02d', doc_id % 7) AS host,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                       ::BIGINT AS h
+              FROM documents),
+            r AS (SELECT doc_id, host,
+                         row_number() OVER (
+                             PARTITION BY host ORDER BY h, doc_id)
+                           - 1 AS rank
+                  FROM b)
+            SELECT doc_id, host, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank < 30 ORDER BY host, doc_id
         """,
         # holdout_split: same md5-hex bucket arithmetic on the host
         "holdout_split": """

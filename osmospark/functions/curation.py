@@ -297,7 +297,8 @@ def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
 
 
 def budget_sample(documents: DataFrame, budgets: DataFrame,
-                  host_col: str = "host", n_ranges: int = 16) -> DataFrame:
+                  host_col: str = "host", n_ranges: int = 16,
+                  weight_col: str | None = None) -> DataFrame:
     """Token-budget mixture sampling: per host (domain / data source),
     take documents in a deterministic pseudo-random order until the
     host's token budget is reached — the mixture-weights step that
@@ -324,10 +325,14 @@ def budget_sample(documents: DataFrame, budgets: DataFrame,
     Output: (doc_id, host, n_tokens, cum_before) for kept docs."""
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("bigint")
+    # weight_col overrides the default token weighting (e.g. a literal
+    # 1 column turns the token budget into an exact per-host DOC cap —
+    # see cap_per_host)
+    w = (F.col(weight_col).cast("bigint") if weight_col is not None
+         else F.size(_norm_words(F.col("text"))).cast("bigint"))
     base = documents.select(
         "doc_id", F.col(host_col).alias("host"),
-        F.size(_norm_words(F.col("text"))).cast("bigint")
-        .alias("n_tokens"),
+        w.alias("n_tokens"),
         h.alias("h"))
     # 15 hex digits = 60 bits; contiguous ranges via the top bits
     span = (1 << 60) // n_ranges
@@ -827,3 +832,22 @@ def holdout_split(documents: DataFrame, host_col: str = "host",
     return (documents.select("doc_id", F.col(host_col).alias("host"),
                              bucket.alias("bucket"), split.alias("split"))
             .orderBy("doc_id"))
+
+
+def cap_per_host(documents: DataFrame, k: int,
+                 host_col: str = "host") -> DataFrame:
+    """Exact per-host document cap (the pages-per-domain cap in
+    RefinedWeb/C4-style pipelines): keep the first ``k`` documents of
+    each host in the deterministic md5-of-doc_id order — exactly
+    ``budget_sample`` with unit weights, so a mega-host never sorts
+    in one task (the decomposed per-(host, hash-range) running sum)
+    and the keep set is reproducible on any engine or partitioning.
+    Output: (doc_id, host, rank) with rank = docs before it, < k.
+    """
+    budgets = (documents.select(F.col(host_col).alias("host")).distinct()
+               .withColumn("token_budget", F.lit(k).cast("bigint")))
+    out = budget_sample(documents.withColumn("_one", F.lit(1)),
+                        budgets, host_col=host_col, weight_col="_one")
+    return (out.select("doc_id", "host",
+                       F.col("cum_before").alias("rank"))
+            .orderBy("host", "doc_id"))

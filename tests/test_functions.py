@@ -1730,3 +1730,26 @@ def test_communities_lpa_deterministic_hand_traced(spark):
     assert got[0] == 1
     assert all(got[i] == 0 for i in range(1, 6))
     assert got[10] == got[11] == got[12] == 10
+
+
+def test_cap_per_host_exact_k_and_determinism(spark):
+    """30 docs on one host, 3 on another, k=5: exactly 5 and 3 kept;
+    the keep set is the md5-order prefix (re-running and permuting
+    input order yields identical rows); ranks are 0..k-1."""
+    from osmospark.functions.curation import cap_per_host
+
+    rows = [(i, "big.test", "w " * 4) for i in range(30)]
+    rows += [(100 + i, "small.test", "w " * 4) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out1 = [(r.doc_id, r.host, r.rank)
+            for r in cap_per_host(docs, 5).collect()]
+    hosts = {}
+    for _, h, rank in out1:
+        hosts.setdefault(h, []).append(rank)
+    assert sorted(hosts["big.test"]) == [0, 1, 2, 3, 4]
+    assert sorted(hosts["small.test"]) == [0, 1, 2]
+    docs2 = spark.createDataFrame(rows[::-1],
+                                  "doc_id long, host string, text string")
+    out2 = [(r.doc_id, r.host, r.rank)
+            for r in cap_per_host(docs2, 5).collect()]
+    assert out1 == out2
