@@ -36,6 +36,7 @@ from osmospark.functions.curation import (  # noqa: E402
     decontaminate, pack_sequences, repetition_scores, scrub_pii,
     stratified_sample, vocab_stats,
 )
+from osmospark.urlnorm import HOST_SQL  # noqa: E402
 
 # shared constants so the Spark queries, the oracles and the tests agree
 DECON_N = 5                   # decontamination n-gram width
@@ -3116,9 +3117,13 @@ def oracle_sql() -> dict[str, str]:
         '"cb3[2]":"on","ta":"text area test","sub1":"submit"}')
     submit_expected_get = '{"it1":"test","sub1":"button"}'
 
+    # DuckDB mirror of urlnorm.host_expr (imported so the two can't
+    # drift): authority minus userinfo/port/IPv6-brackets, lowercased
+    host_sql = HOST_SQL.format(u="url")
+
     # dust_rules oracle body — shared by the apply_dust_rules
     # oracle, which consumes the mined rules
-    dust_rules_sql = """
+    dust_rules_sql = f"""
             WITH obs AS MATERIALIZED (
               SELECT printf('http://h%02d.test/a?page=%d&sid=s%d',
                             doc_id % 20, (doc_id // 20) % 5, s.i)
@@ -3127,7 +3132,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents, (VALUES (0), (1), (2)) s(i)),
             px AS MATERIALIZED (
               SELECT url, fp,
-                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
+                     {host_sql} AS host,
                      split_part(url, '?', 1) AS base,
                      string_split(regexp_extract(url, '\\?([^#]*)', 1),
                                   '&') AS params
@@ -4232,7 +4237,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # url_features: identical URL synthesis + the same regexp
         # grammar (no parse_url on either side, by design)
-        "url_features": """
+        "url_features": f"""
             WITH u AS MATERIALIZED (
               SELECT CASE doc_id % 5
                 WHEN 0 THEN 'http://img.h' || (doc_id % 7)
@@ -4248,7 +4253,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             f AS (
               SELECT url,
-                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
+                     {host_sql} AS host,
                      regexp_extract(url,
                        '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
                      regexp_extract(url, '\\?([^#]*)', 1) AS query
@@ -4261,9 +4266,9 @@ def oracle_sql() -> dict[str, str]:
                              - length(replace(query, '&', '')) + 1 END
                         AS BIGINT) AS n_params,
                    lower(regexp_extract(path,
-                     '\\.([a-zA-Z0-9]{1,5})$', 1)) AS ext,
+                     '\\.([a-zA-Z0-9]{{1,5}})$', 1)) AS ext,
                    lower(regexp_extract(path,
-                     '\\.([a-zA-Z0-9]{1,5})$', 1)) IN
+                     '\\.([a-zA-Z0-9]{{1,5}})$', 1)) IN
                      ('jpg','jpeg','png','gif','webp','bmp','ico','svg',
                       'mp3','mp4','avi','mov','pdf','zip','gz','tar',
                       'css','js','woff','woff2','ttf','exe','dmg')
@@ -4657,12 +4662,13 @@ def oracle_sql() -> dict[str, str]:
                                      chr(10)) AS ps
                           FROM documents))),
             ne AS MATERIALIZED (
-              SELECT doc_id, idx, para, md5(para) AS h,
-                     doc_id * 1000000 + idx AS ok
+              SELECT doc_id, idx, para, md5(para) AS h
               FROM p WHERE length(trim(para)) > 0),
-            f AS (SELECT h, min(ok) AS ok FROM ne GROUP BY h),
+            f AS (SELECT h, min({'d': doc_id, 'i': idx}) AS fo
+                  FROM ne GROUP BY h),
             ke AS (SELECT ne.doc_id, ne.idx, ne.para
-                   FROM ne JOIN f ON f.h = ne.h AND f.ok = ne.ok),
+                   FROM ne JOIN f ON f.h = ne.h
+                    AND ne.doc_id = f.fo.d AND ne.idx = f.fo.i),
             k AS (SELECT * FROM ke
                   UNION ALL
                   SELECT doc_id, idx, para FROM p
@@ -4718,16 +4724,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents, (VALUES (0), (1), (2)) s(i)),
             ap AS (
               SELECT url,
-                     regexp_extract(url, '//([^/?#]+)', 1) AS host,
-                     split_part(url, '?', 1) AS base,
-                     regexp_extract(url, '\\?([^#]*)', 1) AS qs,
-                     string_split(regexp_extract(url, '\\?([^#]*)', 1),
+                     {host_sql} AS host,
+                     split_part(split_part(url, '#', 1), '?', 1) AS base,
+                     substr(url,
+                            length(split_part(url, '#', 1)) + 1) AS frag,
+                     regexp_extract(split_part(url, '#', 1),
+                                    '\\?([^#]*)', 1) AS qs,
+                     string_split(regexp_extract(split_part(url, '#', 1),
+                                                 '\\?([^#]*)', 1),
                                   '&') AS params
               FROM uu),
             j AS (SELECT ap.*, s.ps
                   FROM ap LEFT JOIN strip s USING (host)),
             k AS (
-              SELECT url, qs, ps, base,
+              SELECT url, qs, ps, base, frag,
                      list_filter(params, x -> NOT list_contains(
                          ps, split_part(x, '=', 1))) AS kept
               FROM j),
@@ -4735,8 +4745,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT url,
                      CASE WHEN ps IS NULL OR qs = '' THEN url
                           WHEN len(kept) > 0
-                            THEN base || '?' || array_to_string(kept, '&')
-                          ELSE base END AS canonical_url
+                            THEN base || '?'
+                                 || array_to_string(kept, '&') || frag
+                          ELSE base || frag END AS canonical_url
               FROM k)
             SELECT url, canonical_url,
                    (canonical_url <> url) AS changed

@@ -282,15 +282,21 @@ class FrontierEngine:
                                  .alias("_delay_ms"))
             if host_delay_df is not None else None)
         # optional per-host query-param strip rules (host, param) —
-        # e.g. urlnorm.dust_rules output filtered to is_rule. Applied
-        # map-only to seeds and every round's discovered links BEFORE
-        # url_hash / URL-seen / politeness, so session/tracking aliases
-        # of one page collapse to a single canonical frontier key and
-        # never consume state or fetch slots. Hosts-sized → broadcast.
-        self._rewrites = (
-            url_rewrites_df.groupBy("host")
-            .agg(F.collect_set("param").alias("_strip"))
-            if url_rewrites_df is not None else None)
+        # e.g. urlnorm.dust_rules output. Applied map-only to seeds and
+        # every round's discovered links BEFORE url_hash / URL-seen /
+        # politeness, so session/tracking aliases of one page collapse
+        # to a single canonical frontier key and never consume state or
+        # fetch slots. Hosts-sized → broadcast. If the frame carries
+        # dust_rules' ``is_rule`` verdict column it is applied here —
+        # params with violations>0 (proven to CHANGE content) must
+        # never be stripped, so passing raw dust_rules output is safe.
+        if url_rewrites_df is not None:
+            if "is_rule" in url_rewrites_df.columns:
+                url_rewrites_df = url_rewrites_df.filter(F.col("is_rule"))
+            self._rewrites = (url_rewrites_df.groupBy("host")
+                              .agg(F.collect_set("param").alias("_strip")))
+        else:
+            self._rewrites = None
         # optional pre-fetch URL filter: a SQL boolean over column
         # ``url`` (e.g. urlnorm.default_url_predicate() — skip asset
         # extensions / session-id URLs). Applied to seeds and to every
@@ -546,20 +552,10 @@ class FrontierEngine:
         unchanged by a param strip, so bucketing/politeness keys hold."""
         if self._rewrites is None:
             return frontier
-        u = F.col("url")
-        qs = F.regexp_extract(u, r"\?([^#]*)", 1)
-        base = F.split_part(u, F.lit("?"), F.lit(1))
-        params = F.split(qs, "&")
-        kept = F.filter(
-            params,
-            lambda x: ~F.array_contains(F.col("_strip"),
-                                        F.split_part(x, F.lit("="),
-                                                     F.lit(1))))
-        rebuilt = F.when(F.size(kept) > 0,
-                         F.concat(base, F.lit("?"),
-                                  F.array_join(kept, "&"))).otherwise(base)
-        new_url = F.when(F.col("_strip").isNull() | (qs == ""), u) \
-            .otherwise(rebuilt)
+        from ..urlnorm import strip_params_expr
+        # frontier URLs are canonicalize()d (fragment already stripped);
+        # the shared expression preserves fragments on raw inputs too.
+        new_url = strip_params_expr(F.col("url"), F.col("_strip"))
         return (frontier.join(F.broadcast(self._rewrites), "host", "left")
                 .withColumn("url", new_url)
                 .withColumn("url_hash", F.xxhash64("url"))

@@ -204,8 +204,7 @@ def normalize_text(documents: DataFrame,
     ).orderBy("doc_id")
 
 
-def paragraph_dedup(documents: DataFrame,
-                    max_paras_per_doc: int = 1_000_000) -> DataFrame:
+def paragraph_dedup(documents: DataFrame) -> DataFrame:
     """CCNet-style corpus-wide paragraph deduplication (Wenzek et al.
     2020 dedup by paragraph hash): every non-blank paragraph (split on
     newline) is kept only at its GLOBALLY FIRST occurrence — first =
@@ -217,33 +216,24 @@ def paragraph_dedup(documents: DataFrame,
 
     Scale shape: NO window over the paragraph hash — a boilerplate
     paragraph repeated 10^7 times would sort through one task. The
-    first occurrence is ``min(doc_id·1e6 + idx)`` per hash: ONE
-    aggregation with map-side partials (16-byte rows), then a
-    semi-join back on (hash, order-key). Text moves twice (explode +
+    first occurrence is ``min(struct(doc_id, idx))`` per hash
+    (lexicographic struct min — map-side partials, ~20-byte rows;
+    NO arithmetic encoding, so hash-scale doc_ids like xxhash64
+    outputs can never overflow or wrap the order key), then a
+    semi-join back on (hash, doc_id, idx). Text moves twice (explode +
     reassembly groupBy on doc_id), which is the floor for an operator
-    that rewrites documents; ``max_paras_per_doc`` bounds the order-
-    key encoding and is asserted."""
+    that rewrites documents."""
     sep = "\n"
     paras = documents.select(
         "doc_id", F.posexplode(F.split(F.col("text"), sep))
         .alias("idx", "para"))
     blank = F.length(F.trim(F.col("para"))) == 0
-    nonempty = (paras.filter(~blank)
-                .withColumn("h", F.md5(F.col("para")))
-                .withColumn("ok", (F.col("doc_id")
-                                   * F.lit(max_paras_per_doc)
-                                   + F.when(
-                                       F.col("idx") < max_paras_per_doc,
-                                       F.col("idx"))
-                                   .otherwise(F.raise_error(F.format_string(
-                                       "paragraph_dedup: doc %s has >= "
-                                       f"{max_paras_per_doc} paragraphs — "
-                                       "order-key encoding would collide; "
-                                       "raise max_paras_per_doc",
-                                       F.col("doc_id")))
-                                   .cast("int"))).cast("bigint")))
-    first = nonempty.groupBy("h").agg(F.min("ok").alias("ok"))
-    kept_ne = nonempty.join(first, ["h", "ok"], "left_semi") \
+    nonempty = paras.filter(~blank).withColumn("h", F.md5(F.col("para")))
+    first = (nonempty.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "idx")).alias("_fo"))
+             .select("h", F.col("_fo.doc_id").alias("doc_id"),
+                     F.col("_fo.idx").alias("idx")))
+    kept_ne = nonempty.join(first, ["h", "doc_id", "idx"], "left_semi") \
         .select("doc_id", "idx", "para")
     kept = kept_ne.unionByName(paras.filter(blank))
     stats = paras.groupBy("doc_id").agg(
@@ -778,7 +768,8 @@ def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
     ``avg_bits_milli``; lower = more fluent) plus a language column.
     Output: (doc_id, lang, score, bucket) with bucket ∈ head|middle|
     tail by strictly-below rank within the language; ties share a
-    bucket, cutoffs in per-mille.
+    bucket, cutoffs in per-mille. Documents with NULL lang or NULL
+    score bucket as 'unknown' (they cannot rank within any language).
 
     Scale shape: the score_deciles pattern PARTITIONED BY LANGUAGE —
     per-(lang, score) histogram (one aggregation, map-side partials,
@@ -788,7 +779,13 @@ def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
     """
     from pyspark.sql import Window
 
-    hist = (scored.groupBy(lang_col, score_col)
+    # NULL lang/score rows stay out of the histogram: they neither
+    # rank nor shift the ranks of real documents (they bucket
+    # 'unknown' through the left join below).
+    hist = (scored
+            .filter(F.col(lang_col).isNotNull()
+                    & F.col(score_col).isNotNull())
+            .groupBy(lang_col, score_col)
             .agg(F.count("*").alias("_n")))
     w = (Window.partitionBy(lang_col).orderBy(score_col)
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -796,12 +793,16 @@ def ccnet_buckets(scored: DataFrame, lang_col: str = "lang",
         lang_col, score_col,
         F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_lt"),
         F.sum("_n").over(Window.partitionBy(lang_col)).alias("_tot"))
-    bucket = (F.when(F.col("_lt") * 1000 < head_permille * F.col("_tot"),
-                     "head")
+    bucket = (F.when(F.col("_tot").isNull(), "unknown")
+              .when(F.col("_lt") * 1000 < head_permille * F.col("_tot"),
+                    "head")
               .when(F.col("_lt") * 1000 < middle_permille * F.col("_tot"),
                     "middle")
               .otherwise("tail"))
-    return (scored.join(F.broadcast(cdf), [lang_col, score_col])
+    # LEFT join: documents with NULL lang or NULL score can never match
+    # the equi-join keys — route them to an explicit 'unknown' bucket
+    # instead of silently vanishing from the output (r4 advisor).
+    return (scored.join(F.broadcast(cdf), [lang_col, score_col], "left")
             .select("doc_id", F.col(lang_col).alias("lang"),
                     F.col(score_col).cast("bigint").alias("score"),
                     bucket.alias("bucket"))

@@ -69,6 +69,57 @@ def url_host(url: str) -> str:
     return urlsplit(url).hostname or ""
 
 
+def host_expr(col):
+    """JVM host expression matching ``url_host()`` / ``urlsplit().hostname``
+    — authority minus userinfo and port, IPv6 brackets stripped,
+    lowercased. ONE shared expression for ``dust_rules``,
+    ``apply_dust_rules``, ``url_features`` and the frontier engine, so a
+    host mined from 'http://Example.com:8080/x' ('example.com') always
+    equi-joins the engine's ``url_host``-derived frontier host.
+    (Previously the raw authority regex kept case/port/userinfo, so
+    rules mined for any non-default-port or mixed-case host silently
+    never matched the engine's broadcast rewrite join.)"""
+    from pyspark.sql import functions as F
+
+    auth = F.regexp_extract(col, "//([^/?#]+)", 1)
+    bare = F.regexp_replace(
+        F.regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]*$", "")
+    return F.lower(F.regexp_replace(bare, r"^\[|\]$", ""))
+
+
+# DuckDB mirror of host_expr (RE2 ∩ Java regex syntax only)
+HOST_SQL = ("lower(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_extract({u}, '//([^/?#]+)', 1),"
+            " '^[^@/]*@', ''), ':[0-9]*$', ''), '^\\[|\\]$', ''))")
+
+
+def strip_params_expr(u, strip_col):
+    """Shared DUST rewrite expression: ``u`` with every query parameter
+    named in the array column ``strip_col`` removed (other params kept
+    in order), the ``#fragment`` — if any — preserved. NULL strip set
+    or no query string → ``u`` unchanged, byte-identical. Used by both
+    ``apply_dust_rules`` and ``FrontierEngine._rewrite_urls`` so the
+    two can never drift. Pure map-side expression — no shuffle."""
+    from pyspark.sql import functions as F
+
+    pre = F.split_part(u, F.lit("#"), F.lit(1))
+    frag = F.substring(u, F.length(pre) + 1, 1 << 30)
+    qs = F.regexp_extract(pre, r"\?([^#]*)", 1)
+    base = F.split_part(pre, F.lit("?"), F.lit(1))
+    params = F.split(qs, "&")
+    kept = F.filter(
+        params,
+        lambda x: ~F.array_contains(strip_col,
+                                    F.split_part(x, F.lit("="),
+                                                 F.lit(1))))
+    rebuilt = F.concat(
+        F.when(F.size(kept) > 0,
+               F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(base),
+        frag)
+    return F.when(strip_col.isNull() | (qs == ""), u).otherwise(rebuilt)
+
+
 # --------------------------------------------------------------------------
 # XXH64 (public XXHash algorithm; seed 42 = Spark's default for xxhash64)
 # --------------------------------------------------------------------------
@@ -175,7 +226,7 @@ def url_features(urls, col: str = "url"):
     digits_removed = F.regexp_replace(u, "[0-9]", "")
     return urls.select(
         u.alias("url"),
-        F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"),
+        host_expr(u).alias("host"),
         (F.length(path)
          - F.length(F.regexp_replace(path, "/", "")))
         .cast("bigint").alias("path_depth"),
@@ -242,7 +293,7 @@ def dust_rules(fetches, min_support: int = 2, col: str = "url",
     obs = (fetches
            .filter(qs != "")
            .select(u.alias("url"), F.col(fp_col).alias("_fp"),
-                   F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"),
+                   host_expr(u).alias("host"),
                    base.alias("_base"), params.alias("_params"),
                    F.explode(names).alias("param")))
     residual = F.concat(
@@ -292,22 +343,9 @@ def apply_dust_rules(urls, rules, col: str = "url"):
              .groupBy("host")
              .agg(F.collect_set("param").alias("_strip")))
     u = F.col(col)
-    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
-    base = F.split_part(u, F.lit("?"), F.lit(1))
-    params = F.split(qs, "&")
-    kept = F.filter(
-        params,
-        lambda x: ~F.array_contains(F.col("_strip"),
-                                    F.split_part(x, F.lit("="),
-                                                 F.lit(1))))
-    rebuilt = F.when(F.size(kept) > 0,
-                     F.concat(base, F.lit("?"),
-                              F.array_join(kept, "&"))).otherwise(base)
-    canonical = F.when(F.col("_strip").isNull() | (qs == ""), u) \
-        .otherwise(rebuilt)
+    canonical = strip_params_expr(u, F.col("_strip"))
     return (urls
-            .select(u.alias("url"),
-                    F.regexp_extract(u, "//([^/?#]+)", 1).alias("host"))
+            .select(u.alias("url"), host_expr(u).alias("host"))
             .join(F.broadcast(strip), "host", "left")
             .select("url", canonical.alias("canonical_url"),
                     (canonical != u).alias("changed"))

@@ -1602,20 +1602,27 @@ def test_seed_distance_bfs_invariants_on_pseudorandom_graph(spark):
             assert dist[v] <= dist[u] + 1
 
 
-def test_paragraph_dedup_bound_guard_raises(spark):
-    """A doc exceeding max_paras_per_doc must raise (silent order-key
-    collision would corrupt first-occurrence selection), and the guard
-    must not fire on in-bound corpora."""
-    import pytest
+def test_paragraph_dedup_hash_scale_doc_ids(spark):
+    """Regression (r4 advisor): the old arithmetic order key
+    (doc_id·1e6 + idx) overflowed bigint for hash-scale doc_ids
+    (xxhash64-derived, |id| > ~9.2e12) — ANSI mode aborted the job and
+    non-ANSI silently wrapped, corrupting global-first-occurrence
+    selection. The struct-min key has no encodable range: first
+    occurrence = lexicographic (doc_id, idx) min, at any id magnitude
+    and any paragraph count."""
     from osmospark.functions.curation import paragraph_dedup
 
-    ok = spark.createDataFrame([(1, "a\nb\nc")], "doc_id long, text string")
-    assert paragraph_dedup(ok, max_paras_per_doc=4).count() == 1
-    bad = spark.createDataFrame(
-        [(1, "\n".join(f"p{i}" for i in range(6)))],
+    big, neg = 9_223_370_000_000_000_123, -9_223_370_000_000_000_999
+    docs = spark.createDataFrame(
+        [(neg, "dup\nunique-neg"), (5, "dup\nunique-5"),
+         (big, "dup\nunique-big")],
         "doc_id long, text string")
-    with pytest.raises(Exception, match="order-key encoding"):
-        paragraph_dedup(bad, max_paras_per_doc=4).collect()
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # first occurrence of "dup" = lowest doc_id (the negative one)
+    assert got[neg]["clean_text"] == "dup\nunique-neg"
+    assert got[5]["clean_text"] == "unique-5"
+    assert got[big]["clean_text"] == "unique-big"
+    assert got[big]["n_paras"] == 2 and got[big]["n_kept"] == 1
 
 
 def test_apply_dust_rules_strips_only_learned_params(spark):
@@ -1644,6 +1651,84 @@ def test_apply_dust_rules_strips_only_learned_params(spark):
     assert got["http://a.test/p"] == ("http://a.test/p", False)
     assert got["http://b.test/p?sid=x"] == ("http://b.test/p?sid=x", False)
     assert got["http://c.test/p?sid=x"] == ("http://c.test/p?sid=x", False)
+
+
+def test_dust_rules_host_normalized_like_engine(spark):
+    """Regression (r4 advisor): dust_rules used the raw authority
+    regex (kept case, port, userinfo) while the frontier's host is
+    urlsplit().hostname (lowercase, portless) — rules mined for
+    'Example.com:8080' could never equi-join the engine's broadcast
+    rewrite. The shared host_expr must match url_host() exactly, for
+    mixed case, non-default ports, userinfo and IPv6 brackets."""
+    from osmospark.urlnorm import apply_dust_rules, dust_rules, url_host
+
+    base = "http://User:pw@Example.COM:8080/p"
+    rows = [(f"{base}?page={p}&sid={s}", 100 + p)
+            for p in (1, 2) for s in ("x", "y")]
+    df = spark.createDataFrame(rows, "url string, fp long")
+    rules = dust_rules(df, min_support=2)
+    got = {(r.host, r.param): r.is_rule for r in rules.collect()}
+    assert url_host(base) == "example.com"
+    assert got[("example.com", "sid")] is True     # normalized host
+    assert got[("example.com", "page")] is False
+
+    # and the apply side extracts the SAME host, so the loop closes
+    out = {r.url: r.canonical_url
+           for r in apply_dust_rules(
+               df.select("url").distinct(), rules).collect()}
+    assert out[f"{base}?page=1&sid=x"] == f"{base}?page=1"
+
+    hosts = {r.host for r in dust_rules(spark.createDataFrame(
+        [("http://[2001:DB8::1]:8080/p?a=1&sid=x", 1),
+         ("http://[2001:DB8::1]:8080/p?a=1&sid=y", 1)],
+        "url string, fp long")).collect()}
+    assert hosts == {"2001:db8::1"}
+    assert url_host("http://[2001:DB8::1]:8080/p") == "2001:db8::1"
+
+
+def test_apply_dust_rules_preserves_fragment(spark):
+    """Regression (r4 advisor): the rebuilt URL dropped #fragment from
+    query-bearing URLs on rule hosts even when nothing was stripped.
+    Fragments must survive every branch: param stripped, all params
+    stripped, and nothing stripped."""
+    from osmospark.urlnorm import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [("a.test", "sid", 5, 0, True)],
+        "host string, param string, support long, violations long, "
+        "is_rule boolean")
+    urls = spark.createDataFrame(
+        [("http://a.test/p?page=2&sid=x#sec-3",),
+         ("http://a.test/p?sid=x#top",),
+         ("http://a.test/p?page=1#frag",),
+         ("http://a.test/p#only",)], "url string")
+    got = {r.url: (r.canonical_url, r.changed)
+           for r in apply_dust_rules(urls, rules).collect()}
+    assert got["http://a.test/p?page=2&sid=x#sec-3"] == \
+        ("http://a.test/p?page=2#sec-3", True)
+    assert got["http://a.test/p?sid=x#top"] == ("http://a.test/p#top", True)
+    assert got["http://a.test/p?page=1#frag"] == \
+        ("http://a.test/p?page=1#frag", False)
+    assert got["http://a.test/p#only"] == ("http://a.test/p#only", False)
+
+
+def test_ccnet_buckets_null_lang_or_score_routed_unknown(spark):
+    """Regression (r4 advisor): NULL-lang/NULL-score docs vanished
+    through the inner CDF join. They must surface in an explicit
+    'unknown' bucket; non-NULL docs bucket exactly as before."""
+    from osmospark.functions.curation import ccnet_buckets
+
+    rows = [(i, "en", 10 * i) for i in range(1, 11)]
+    rows += [(90, None, 5), (91, "en", None), (92, None, None)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_bits_milli long")
+    got = {r.doc_id: r.bucket
+           for r in ccnet_buckets(scored, head_permille=250,
+                                  middle_permille=750).collect()}
+    assert len(got) == 13                    # nothing vanishes
+    assert [got[i] for i in range(1, 11)] == (
+        ["head"] * 3 + ["middle"] * 5 + ["tail"] * 2)
+    assert got[90] == got[91] == got[92] == "unknown"
 
 
 def test_cocitation_counts_caps_and_coupling(spark):

@@ -370,6 +370,35 @@ def test_host_delay_feedback_loop_end_to_end(spark):
     assert per_host2 == {slow: 8, fast: 8}
 
 
+def test_url_rewrites_raw_dust_output_filters_is_rule(spark):
+    """Regression (r4 advisor): passing dust_rules output DIRECTLY
+    (the natural call) used to strip params with violations>0 too —
+    params proven to change content. The engine must filter is_rule
+    itself: sid (rule) strips, page (violated) survives, so the
+    rewritten seed hits the canonical corpus URL /p/3."""
+    from osmospark.corpus import synth_corpus_df
+    from osmospark.frontier import FrontierEngine
+
+    pages = synth_corpus_df(spark, 60, n_hosts=2, weight=1).cache()
+    pages.count()
+    h0 = "host0000.test"
+    raw_rules = spark.createDataFrame(
+        [(h0, "sid", 5, 0, True), (h0, "page", 0, 4, False)],
+        "host string, param string, support long, violations long, "
+        "is_rule boolean")
+    eng = FrontierEngine(spark, pages, dedup=True,
+                         url_rewrites_df=raw_rules)
+    rec, _ = eng.run_crawl([f"http://{h0}/p/3?sid=a"], "a",
+                           extract_spec=None, max_depth=0, max_rounds=1)
+    assert [r.url for r in rec.select("url").collect()] == \
+        [f"http://{h0}/p/3"]
+    # the violated param must NOT strip: ?page=1 misses the corpus key
+    # (had page been stripped, /p/5 WOULD match and fetch — count 1)
+    rec2, _ = eng.run_crawl([f"http://{h0}/p/5?page=1"], "a",
+                            extract_spec=None, max_depth=0, max_rounds=1)
+    assert rec2.count() == 0
+
+
 def test_url_rewrites_collapse_aliases_to_canonical(spark):
     """DUST rules → engine: session/tracking-aliased seeds rewrite to
     the canonical corpus URL before hashing, so (a) the aliased page
