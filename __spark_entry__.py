@@ -2272,11 +2272,14 @@ def _trust_rank_sql(iters: int = 3, damping: int = 85,
 def _kmeans_ctes(cells: int, iters: int, scale: int,
                  prefix: str = "", vec_expr: str = "embedding"):
     """The shared CTE chain replaying similarity.kmeans_codebook:
-    quantize to bigint micro-units, init from the ``cells`` lowest
-    vec_ids, then per iteration one assignment block (squared-L2
-    argmin, ties → lowest cell) and one centroid-update block
-    (per-dimension integer sums with truncating division; empty cells
-    keep the previous centroid). Returns (ctes, sq) where ``sq`` is
+    quantize to bigint micro-units, init by STRIDED sampling — the id
+    range splits into ``cells`` equal-width strides, each seeding with
+    its lowest vec_id (HUGEINT arithmetic = Spark's decimal(38,0)),
+    underfilled ranges topped up with the lowest unpicked ids — then
+    per iteration one assignment block (squared-L2 argmin, ties →
+    lowest cell) and one centroid-update block (per-dimension integer
+    sums with truncating division; empty cells keep the previous
+    centroid). Returns (ctes, sq) where ``sq`` is
     the squared-distance expression over aliases ``q``/``c`` and the
     final codebook CTE is ``{prefix}c{iters}``. ``prefix`` namespaces
     the CTEs so several chains coexist (PQ subspaces); ``vec_expr``
@@ -2292,11 +2295,26 @@ def _kmeans_ctes(cells: int, iters: int, scale: int,
             f"""{p}dims AS MATERIALIZED (
         SELECT unnest(range(1,
             (SELECT len(qv) FROM {p}q LIMIT 1) + 1)) AS i)""",
+            f"""{p}st AS MATERIALIZED (
+        SELECT min(vec_id) AS lo,
+               greatest(1::HUGEINT,
+                        (max(vec_id)::HUGEINT - min(vec_id) + 1)
+                        // {cells}) AS stride
+        FROM {p}q)""",
+            f"""{p}pk AS MATERIALIZED (
+        SELECT min(vec_id) AS vec_id, arg_min(qv, vec_id) AS qv
+        FROM {p}q, {p}st
+        GROUP BY least({cells} - 1,
+                       (vec_id::HUGEINT - lo) // stride))""",
+            f"""{p}fl AS MATERIALIZED (
+        SELECT vec_id, qv FROM {p}q ANTI JOIN {p}pk USING (vec_id)
+        ORDER BY vec_id
+        LIMIT greatest(0, {cells} - (SELECT count(*) FROM {p}pk)))""",
             f"""{p}c0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                qv AS c
-        FROM (SELECT vec_id, qv FROM {p}q ORDER BY vec_id
-              LIMIT {cells}))"""]
+        FROM (SELECT vec_id, qv FROM {p}pk
+              UNION ALL SELECT vec_id, qv FROM {p}fl))"""]
     for k in range(1, iters + 1):
         ctes.append(f"""{p}a{k} AS MATERIALIZED (
         SELECT vec_id, qv, cell FROM (
@@ -2499,19 +2517,28 @@ def _bpe_tokenize_sql() -> str:
     inlines plain CTEs, and each step referencing the previous via two
     scalar subqueries makes the inlined tree grow ~3× per merge —
     un-materialized, 24 steps exhaust file handles on the leaf scans."""
-    from osmospark.functions.tokenizer import BPE_MERGES
+    from osmospark.functions.tokenizer import BPE_MAX_VOCAB, BPE_MERGES
     ctes = [f"""v0 AS MATERIALIZED (
         SELECT u AS word, count(*) AS cnt,
                regexp_replace(u, '(.)', '(\\1)', 'g') AS seq
         FROM (SELECT unnest(regexp_split_to_array({_BPE_NORM}, ' ')) AS u
               FROM documents)
-        WHERE u <> '' GROUP BY u)"""]
+        WHERE u <> '' GROUP BY u)""",
+            # the trainer's max_vocab cap (count DESC, word ASC — a
+            # total order): pair counts see ONLY these words, exactly
+            # like train_bpe_df's capped collect. The capped set is
+            # stable across merge steps (merges change seq, never
+            # word/cnt), so one t0 serves every p{{k}}. Encoding below
+            # stays full-vocab, like the Spark replace chain.
+            f"""t0 AS MATERIALIZED (
+        SELECT word FROM v0
+        ORDER BY cnt DESC, word ASC LIMIT {BPE_MAX_VOCAB})"""]
     for k in range(BPE_MERGES):
         ctes.append(f"""p{k} AS MATERIALIZED (
         SELECT w.s[i.x] AS a, w.s[i.x + 1] AS b, sum(w.cnt) AS c
         FROM (SELECT cnt,
                      regexp_extract_all(seq, '\\(([^)]*)\\)', 1) AS s
-              FROM v{k}) w,
+              FROM v{k} SEMI JOIN t0 USING (word)) w,
              unnest(range(1, len(w.s))) AS i(x)
         GROUP BY 1, 2)""")
         ctes.append(f"""c{k} AS MATERIALIZED (

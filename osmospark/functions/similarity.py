@@ -403,7 +403,15 @@ def kmeans_codebook(embeddings: DataFrame, cells: int = 8,
     the last ulps with summation order; integer sums commute exactly).
 
     - quantize: qv[i] = round(embedding[i] · scale) as bigint (map-only);
-    - init: the ``cells`` lowest vec_ids (deterministic, no RNG);
+    - init: deterministic STRIDED sampling (no RNG) — the id range
+      splits into ``cells`` equal-width strides and each stride seeds
+      with its lowest vec_id (the ``ivf_centroid_ids`` every-n/k-th
+      pattern; r4 verdict: first-``cells``-ids init is degenerate when
+      low ids cluster on one shard/site). Underfilled ranges (clustered
+      ids) top up with the lowest unpicked ids, so the codebook always
+      has min(cells, n) entries. Arithmetic is decimal(38,0)/HUGEINT on
+      both engines, so hash-scale ids spanning more than int64 cannot
+      overflow the stride bucketing;
     - per iteration: assignment is a MAP-ONLY literal-codebook squared-L2
       projection (argmin = first index of the array min, ties → lowest
       cell), then ONE groupBy(cell) with 64 map-side partial integer
@@ -420,8 +428,26 @@ def kmeans_codebook(embeddings: DataFrame, cells: int = 8,
         "vec_id",
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda v: F.round(v * scale).cast("bigint")).alias("qv"))
-    init = e.orderBy("vec_id").limit(cells).collect()
-    codebook = [list(r["qv"]) for r in init]
+    rng = e.agg(F.min("vec_id").alias("lo"),
+                F.max("vec_id").alias("hi")).first()
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    stride = max(1, (hi - lo + 1) // cells)     # Python int: no overflow
+    dec = "cast({} as decimal(38,0))"
+    bucket = F.least(
+        F.lit(cells - 1).cast("bigint"),
+        F.expr(f"({dec.format('vec_id')} - {dec.format(lo)})"
+               f" div {dec.format(stride)}"))
+    init = (e.groupBy(bucket.alias("_b"))
+            .agg(F.min(F.struct("vec_id", "qv")).alias("_s"))
+            .select(F.col("_s.vec_id").alias("vec_id"),
+                    F.col("_s.qv").alias("qv"))
+            .collect())
+    if len(init) < cells:
+        ids = [int(r["vec_id"]) for r in init]
+        init += (e.filter(~F.col("vec_id").isin(ids))
+                 .orderBy("vec_id").limit(cells - len(init)).collect())
+    codebook = [list(r["qv"])
+                for r in sorted(init, key=lambda r: int(r["vec_id"]))]
     dim = len(codebook[0])
     for _ in range(iters):
         dists = F.array(*[
@@ -521,19 +547,37 @@ def pq_encode(embeddings: DataFrame, codebooks: list,
     return e.select("vec_id", F.array(*codes).alias("codes"))
 
 
+PQ_TOPK_SALT = 64
+
+
 def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
             m: int = 4, ks: int = 8, iters: int = 2,
-            scale: int = KMEANS_SCALE) -> DataFrame:
+            scale: int = KMEANS_SCALE,
+            candidates: DataFrame | None = None,
+            salt_buckets: int = PQ_TOPK_SALT) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: the corpus is scanned as
     ``m``-byte codes; per query a lookup table of
     ``m × ks`` integer subspace distances is built DRIVER-SIDE from
     the query's exact (quantized) vector and broadcast, so the scan
     computes each candidate's approximate distance with ``m`` array
     lookups and adds — no floats, no per-row trig, no shuffle of the
-    corpus (one window for the final per-query top-k, candidate rows
-    only at real scale when composed with IVF pruning). The
-    query-vector collect is bounded by the query set, like
+    corpus. The query-vector collect is bounded by the query set, like
     ``ivf_topk_pruned``'s probe resolution.
+
+    Scale shape of the FINAL top-k (r4 verdict fix — the old single
+    ``row_number`` window per query put all n scored rows through one
+    task's sort): two-phase salted ranking, the engine's politeness-
+    admission pattern. Phase 1 ranks within (query_id, salt) — a row
+    outside its bucket's top ``k`` cannot be in the query's global top
+    ``k``, so it drops before the per-query shuffle; phase 2 ranks the
+    ≤ ``salt_buckets × k`` survivors. The (adc_u, vec_id) order is
+    total and salt-invariant, so the result is IDENTICAL to the
+    single-window plan at any ``salt_buckets``.
+
+    ``candidates`` — an optional (query_id, vec_id) frame (e.g. the
+    IVF cell-pruned candidate set from ``ivf_kmeans_assign``) — is the
+    composed scale path: only listed pairs are scored, so the ADC scan
+    touches candidate rows instead of the full corpus per query.
 
     Output (query_id, rank, neighbor_id, adc_u): rank by ascending
     integer ADC distance, ties → lowest neighbor_id; self excluded."""
@@ -543,6 +587,14 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
     books = pq_codebooks(embeddings, m, ks, iters, scale)
     sub = len(books[0][0])
     enc = pq_encode(embeddings, books, scale)
+    if candidates is not None:
+        # per-query pruned scoring: each query scores only its own
+        # candidate rows (columnar semi-restriction, no broadcast of
+        # the corpus — candidates is the (query, vec) pair table).
+        enc = enc.join(
+            candidates.select(F.col("query_id").cast("long"),
+                              F.col("vec_id").cast("long")),
+            "vec_id")
     qrows = (embeddings.filter(F.col("vec_id").isin(query_ids))
              .select("vec_id",
                      F.transform(F.col("embedding").cast("array<double>"),
@@ -561,11 +613,22 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
     adc = reduce(add, [
         F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
         for s in range(m)])
-    scored = (enc.crossJoin(F.broadcast(luts))
+    if candidates is not None:
+        paired = enc.join(F.broadcast(luts), "query_id")
+    else:
+        paired = enc.crossJoin(F.broadcast(luts))
+    scored = (paired
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id", adc.alias("adc_u")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_u").asc(), F.col("vec_id").asc())
+    order = [F.col("adc_u").asc(), F.col("vec_id").asc()]
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
+        w1 = Window.partitionBy("query_id", "_pqsalt").orderBy(*order)
+        scored = (scored.withColumn("_pqsalt", salt)
+                  .withColumn("_r1", F.row_number().over(w1))
+                  .filter(F.col("_r1") <= k)
+                  .drop("_pqsalt", "_r1"))
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank",

@@ -108,15 +108,25 @@ def train_bpe(vocab: dict[str, int],
     return merges
 
 
+BPE_MAX_VOCAB = 1_000_000
+
+
 def train_bpe_df(documents: DataFrame, num_merges: int = BPE_MERGES,
-                 max_vocab: int | None = None,
+                 max_vocab: int | None = BPE_MAX_VOCAB,
                  text_col: str = "text") -> list[tuple[str, str]]:
     """Train merges from a corpus: one word-keyed aggregation (map-side
     partials, shuffles only words — the ``vocab_stats`` plan shape),
-    then the vocabulary-sized result collects to the driver for the
-    offline merge loop. ``max_vocab`` caps the collected rows
-    deterministically (count DESC, word ASC) for corpora whose distinct
-    word count is itself huge."""
+    then the result collects to the driver for the offline merge loop.
+
+    ``max_vocab`` (default 1M) caps the collected rows deterministically
+    (count DESC, word ASC — a total order, word is unique): at web scale
+    the distinct-word count is 10^8+, and an unbounded collect would put
+    the whole vocabulary through the driver. The cap is a TakeOrdered
+    (no global sort) and only bounds the TRAINING vocabulary — encoding
+    (``bpe_token_counts``/``bpe_tokens``) applies the learned merges to
+    every document regardless. Merges are unchanged whenever the corpus
+    vocabulary fits the cap. Pass ``max_vocab=None`` to explicitly
+    opt out and collect everything."""
     words = (documents
              .select(F.explode(F.split(
                  normalize_for_bpe(F.col(text_col)), " ")).alias("w"))

@@ -338,12 +338,13 @@ def test_pq_topk_recall_and_code_bounds(spark):
 
     centers = [[10.0] * 8, [-10.0] * 8,
                [10.0] * 4 + [-10.0] * 4]
-    # interleave vec_ids across clusters: k-means seeds from the LOWEST
-    # ids, so the head of the table must be cluster-diverse
+    # contiguous id blocks per cluster (the natural web layout): the
+    # STRIDED k-means init samples ids 0/6/12/18 — spanning all three
+    # blocks — where a first-ids init would seed one cluster only
     rows = []
     for ci, c in enumerate(centers):
         for j in range(8):
-            rows.append((j * 3 + ci,
+            rows.append((ci * 8 + j,
                          [x + 0.01 * j * ((i % 3) - 1)
                           for i, x in enumerate(c)]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -351,14 +352,52 @@ def test_pq_topk_recall_and_code_bounds(spark):
     assert len(books) == 2 and all(len(b) == 4 for b in books)
     codes = pq_encode(emb, books).collect()
     assert all(0 <= c < 4 for r in codes for c in r.codes)
-    out = pq_topk(emb, [0, 1, 2], k=5, m=2, ks=4, iters=2).collect()
+    out = pq_topk(emb, [0, 8, 16], k=5, m=2, ks=4, iters=2).collect()
     assert len(out) == 15
     for r in out:
-        assert r.neighbor_id % 3 == r.query_id % 3, \
+        assert r.neighbor_id // 8 == r.query_id // 8, \
             f"{r.query_id}'s neighbor {r.neighbor_id} left its cluster"
         assert r.neighbor_id != r.query_id
     with _pt.raises(ValueError):
         pq_codebooks(emb, m=3)
+
+
+def test_pq_topk_salted_and_pruned_paths(spark):
+    """Scale-shape pins for the r4-verdict pq_topk fix. (a) The
+    two-phase salted top-k is result-identical to the single-window
+    plan (salt_buckets=1) — the (adc_u, vec_id) order is total, so
+    bucket-local pruning can't change the global top-k. (b) The
+    physical plan really windows on (query_id, _pqsalt) before the
+    per-query window, so no stage sorts corpus-sized rows per query.
+    (c) The composed IVF path: a full candidates frame reproduces the
+    unpruned answer; a restricted frame scores only listed pairs."""
+    from osmospark.functions.similarity import pq_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
+                   salt_buckets=1).collect()
+    salted_df = pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
+                        salt_buckets=8)
+    assert salted_df.collect() == base
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_pqsalt" in plan          # phase-1 window key present
+
+    full = spark.createDataFrame(
+        [(q, v) for q in (0, 1) for v in range(40)],
+        "query_id long, vec_id long")
+    assert pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
+                   candidates=full).collect() == base
+    cand = spark.createDataFrame(
+        [(0, v) for v in (3, 5, 9, 12, 17)] + [(1, v) for v in (2, 4)],
+        "query_id long, vec_id long")
+    got = pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
+                  candidates=cand).collect()
+    allowed = {(0, 3), (0, 5), (0, 9), (0, 12), (0, 17), (1, 2), (1, 4)}
+    assert {(r.query_id, r.neighbor_id) for r in got} <= allowed
+    assert sum(1 for r in got if r.query_id == 0) == 4
+    assert sum(1 for r in got if r.query_id == 1) == 2
 
 
 def test_semdedup_groups_keep_farthest_from_centroid(spark):
@@ -951,6 +990,25 @@ def test_train_bpe_hand_computed():
     assert train_bpe({"a": 9}, 4) == []
 
 
+def test_train_bpe_df_max_vocab_caps_training_vocab(spark):
+    """The default max_vocab bounds the driver collect (r4 verdict:
+    unbounded default = 10^8+ rows through the driver at web scale).
+    Cap semantics: training sees only the top-max_vocab words by
+    (count DESC, word ASC). Planted corpus: 'qq' is the single most
+    frequent word, but pair (a,b) aggregates across four rarer words —
+    so cap=1 learns (q,q) while uncapped learns (a,b); the default cap
+    (1M ≫ vocab) is merge-identical to None on any in-cap corpus."""
+    from osmospark.functions.tokenizer import BPE_MAX_VOCAB, train_bpe_df
+
+    words = ["qq"] * 10 + ["abc", "abd", "abe", "abf"] * 3
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string")
+    assert BPE_MAX_VOCAB >= 1_000_000
+    assert train_bpe_df(docs, 1, max_vocab=1) == [("q", "q")]
+    assert train_bpe_df(docs, 1, max_vocab=None) == [("a", "b")]
+    assert train_bpe_df(docs, 3) == train_bpe_df(docs, 3, max_vocab=None)
+
+
 def test_bpe_encode_segmentation_property(spark):
     """Encoding is segmentation-only: concatenating a doc's tokens
     reproduces its normalized text with spaces removed, token counts
@@ -1056,14 +1114,42 @@ def test_kmeans_codebook_separates_planted_clusters(spark):
     rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(0, 8, 2)]
     rows += [(i, [0.0, 1.0 + 0.01 * i]) for i in range(1, 8, 2)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    # init = two lowest vec_ids: 0 (cluster A), 1 (cluster B)
+    # strided init = vec 0 and vec 4 (both cluster A); two Lloyd
+    # iterations still pull the centroids apart: cluster B captures
+    # cell 0, cluster A cell 1 (hand-traced integer arithmetic)
     got = {r.vec_id: r.cell
            for r in ivf_kmeans_assign(emb, cells=2, iters=2).collect()}
-    assert all(got[i] == 0 for i in range(0, 8, 2))
-    assert all(got[i] == 1 for i in range(1, 8, 2))
+    assert all(got[i] == 1 for i in range(0, 8, 2))
+    assert all(got[i] == 0 for i in range(1, 8, 2))
     cb = kmeans_codebook(emb, cells=2, iters=2)
-    # centroid 0 ~ mean of cluster A x-coords in micro-units
-    assert abs(cb[0][0] - 1_030_000) < 20_000 and cb[0][1] == 0
+    # centroid 1 ~ mean of cluster A x-coords in micro-units
+    assert abs(cb[1][0] - 1_030_000) < 20_000 and cb[1][1] == 0
+    assert cb[1][1] == 0 and cb[0][0] == 0
+
+
+def test_kmeans_strided_init_spreads_clustered_ids(spark):
+    """r4 verdict #6: first-``cells``-ids init is degenerate when low
+    ids cluster on one shard/site. Strided init must seed from BOTH id
+    regions of a corpus whose ids clump at 0..7 and 10^6..10^6+7 —
+    verified directly at iters=0 (the returned codebook IS the init)."""
+    from osmospark.functions.similarity import kmeans_codebook
+
+    a, b = [1.0, 0.0], [0.0, 1.0]
+    rows = [(i, a) for i in range(8)]
+    rows += [(1_000_000 + i, b) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = kmeans_codebook(emb, cells=2, iters=0)
+    assert cb == [[1_000_000, 0], [0, 1_000_000]]  # one seed per region
+    # underfilled strides top up deterministically with the lowest
+    # unpicked ids: ids {0..3, 100, 101}, cells=4, stride 25 → strides
+    # pick 0 and 100, top-up adds 1 and 2 → init ids {0, 1, 2, 100}
+    vecs = {0: [1.0, 0.0], 1: [2.0, 0.0], 2: [3.0, 0.0], 3: [4.0, 0.0],
+            100: [0.0, 1.0], 101: [0.0, 2.0]}
+    sparse = spark.createDataFrame(sorted(vecs.items()),
+                                   "vec_id long, embedding array<float>")
+    cb4 = kmeans_codebook(sparse, cells=4, iters=0)
+    want = [[int(x * 1_000_000) for x in vecs[i]] for i in (0, 1, 2, 100)]
+    assert cb4 == want
 
 
 def test_kmeans_empty_cell_keeps_previous_centroid(spark):
