@@ -535,6 +535,73 @@ def q_crawl_frontier_budget(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+# crawl_frontier_feedback: all four engine feedback loops composed in
+# one run. Budgets {h0:4, h1:3, h2:2} and adaptive delays {h0:30s,
+# h1:10s} least-combine to effective per-host slots {h0:2, h1:3,
+# h2:2} — DELAY binds h0 (2 < budget 4), BUDGET binds h1 (3 < delay 6)
+# and h2; dropping either loop changes the admitted set. Seeds are
+# session-id ALIASES (2 per doc, plus raw is_rule=false rows in the
+# rules frame) that only match the corpus after the DUST rewrite, and
+# the planted priority bijection decides admission order within hosts.
+FEEDBACK_BUDGETS = {0: 4, 1: 3, 2: 2}
+FEEDBACK_DELAYS_MS = {0: 30_000, 1: 10_000}   # → 2 and 6 slots at 60 s
+FEEDBACK_SLOTS = {h: min(FEEDBACK_BUDGETS[h],
+                         60_000 // FEEDBACK_DELAYS_MS.get(h, 1))
+                  for h in (0, 1, 2)}
+FEEDBACK_SEED_DOCS = 12
+
+
+def q_crawl_frontier_feedback(spark, sf_dir):
+    """The composed continuous-crawl feedback loop proven RELATIONALLY
+    (r4 verdict #5): priority + per-host budgets + adaptive delays +
+    DUST rewrites all active in ONE crawl. 24 aliased seeds
+    (?sid=a0/a1) collapse to 12 canonical docs through the mined-rule
+    rewrite BEFORE hashing (without it every seed misses the corpus);
+    admission then runs per-host windows at the least-combined
+    budget/delay slot caps {h0:2, h1:3, h2:2} ordered by the planted
+    priority bijection. The oracle replays 3 unrolled
+    admission/defer/discover rounds at those effective caps — if the
+    engine ignored the delay table h0 would admit 4/round, if it
+    ignored budgets h1 would admit 6, if rewrites or is_rule filtering
+    broke the seed set itself changes."""
+    import math as _math
+    from osmospark.frontier import FrontierEngine
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    assert _math.gcd(13, n) == 1
+    url = F.concat(F.lit("http://h"),
+                   F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+                   F.lit(".docs.local/d/"), F.col("doc_id").cast("string"))
+    pr = docs.select(
+        F.xxhash64(url).alias("url_hash"),
+        F.pmod(F.col("doc_id") * 13 + 7, F.lit(n)).cast("bigint")
+        .alias("priority"))
+    budget = spark.createDataFrame(
+        [(f"h{h}.docs.local", s) for h, s in FEEDBACK_BUDGETS.items()],
+        "host string, slots int")
+    delays = spark.createDataFrame(
+        [(f"h{h}.docs.local", ms) for h, ms in FEEDBACK_DELAYS_MS.items()],
+        "host string, delay_ms long")
+    # raw dust_rules shape ON PURPOSE (is_rule filtering is engine-side):
+    # sid strips everywhere, the violated page param must survive
+    rules = spark.createDataFrame(
+        [(f"h{h}.docs.local", "sid", 5, 0, True) for h in (0, 1, 2)]
+        + [("h0.docs.local", "page", 0, 3, False)],
+        "host string, param string, support long, violations long, "
+        "is_rule boolean")
+    engine = FrontierEngine(
+        spark, doc_pages_multihost(spark, sf_dir), dedup=True,
+        politeness=True, concurrency=PRIORITY_SLOTS, priority_df=pr,
+        host_budget_df=budget, host_delay_df=delays,
+        url_rewrites_df=rules)
+    seeds = [f"http://h{i % 3}.docs.local/d/{i}?sid=a{j}"
+             for i in range(FEEDBACK_SEED_DOCS) for j in (0, 1)]
+    records, _ = engine.run_crawl(
+        seeds, "li > a", extract_spec=None, max_depth=PRIORITY_DEPTH,
+        max_rounds=PRIORITY_ROUNDS)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Distributed redirect closure (reference index.js:226-231 redirect
     hop log, needle follow-limit + loop failure, test/get.js:85-106):
@@ -2007,7 +2074,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS driver-window rotation (PLANS.md §29): the
+    driver's correctness harness has checked exactly the FIRST 50
+    entries in r3 and r4, so positions 1-50 this round are the queries
+    that have never earned a driver CORRECTNESS row (every r4 addition
+    plus the new composite crawl_frontier_feedback); the 50 queries
+    driver-greened in CORRECTNESS_r04 follow, then 8 deferred rows
+    whose semantics are dominated by an in-window sibling (e.g.
+    link_rank ⊂ link_rank_dangling, span_dedup ⊂ span_removal). Every
+    entry regardless of position stays under the local sf0.001 +
+    sf0.01 oracle gates in tests/test_entry_contract.py."""
     return {
+        # ---- window rows 1-50: never driver-checked before r5 ----
+        "crawl_frontier_feedback": q_crawl_frontier_feedback,
+        "pack_sequences": q_pack_sequences,
+        "scrub_pii": q_scrub_pii,
+        "bpe_tokenize": q_bpe_tokenize,
+        "c4_filters": q_c4_filters,
+        "link_rank_dangling": q_link_rank_dangling,
+        "lang_id_model": q_lang_id_model,
+        "ivf_kmeans": q_ivf_kmeans,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_streaming": q_dedup_incremental_streaming,
+        "span_removal": q_span_removal,
+        "host_reputation": q_host_reputation,
+        "trap_detect": q_trap_detect,
+        "tfidf_topterms": q_tfidf_topterms,
+        "lm_score": q_lm_score,
+        "recrawl_priority": q_recrawl_priority,
+        "allocate_budget": q_allocate_budget,
+        "anchor_texts": q_anchor_texts,
+        "hits": q_hits,
+        "warc_ingest": q_warc_ingest,
+        "sitemap_resolve": q_sitemap_resolve,
+        "robots_sitemaps": q_robots_sitemaps,
+        "url_features": q_url_features,
+        "quality_deciles": q_quality_deciles,
+        "host_quality": q_host_quality,
+        "importance_weights": q_importance_weights,
+        "main_text": q_main_text,
+        "feed_ingest": q_feed_ingest,
+        "feed_discover": q_feed_discover,
+        "trust_rank": q_trust_rank,
+        "mirror_hosts": q_mirror_hosts,
+        "partial_dups": q_partial_dups,
+        "semdedup": q_semdedup,
+        "ann_pq": q_ann_pq,
+        "spam_mass": q_spam_mass,
+        "budget_sample": q_budget_sample,
+        "normalize_text": q_normalize_text,
+        "link_farm_features": q_link_farm_features,
+        "paragraph_dedup": q_paragraph_dedup,
+        "seed_distance": q_seed_distance,
+        "dust_rules": q_dust_rules,
+        "inverted_index": q_inverted_index,
+        "ccnet_buckets": q_ccnet_buckets,
+        "holdout_split": q_holdout_split,
+        "canonical_docs": q_canonical_docs,
+        "adaptive_delay": q_adaptive_delay,
+        "apply_dust_rules": q_apply_dust_rules,
+        "graph_stats": q_graph_stats,
+        "communities_lpa": q_communities_lpa,
+        "cap_per_host": q_cap_per_host,
+        # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
         "crawl_frontier_streaming": q_crawl_frontier_streaming,
@@ -2058,63 +2187,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "repetition_scores": q_repetition_scores,
         "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "link_rank": q_link_rank,
-        "scrub_pii": q_scrub_pii,
-        "vocab_stats": q_vocab_stats,
-        "bpe_tokenize": q_bpe_tokenize,
-        "c4_filters": q_c4_filters,
-        "span_dedup": q_span_dedup,
-        "link_rank_dangling": q_link_rank_dangling,
-        "lang_id_model": q_lang_id_model,
-        "ivf_kmeans": q_ivf_kmeans,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_incremental_streaming": q_dedup_incremental_streaming,
-        "span_removal": q_span_removal,
-        "host_reputation": q_host_reputation,
-        "trap_detect": q_trap_detect,
-        "tfidf_topterms": q_tfidf_topterms,
-        "lm_score": q_lm_score,
-        "recrawl_priority": q_recrawl_priority,
-        "allocate_budget": q_allocate_budget,
-        "anchor_texts": q_anchor_texts,
-        "hits": q_hits,
-        "warc_ingest": q_warc_ingest,
-        "sitemap_ingest": q_sitemap_ingest,
-        "sitemap_resolve": q_sitemap_resolve,
-        "robots_sitemaps": q_robots_sitemaps,
-        "url_features": q_url_features,
-        "quality_deciles": q_quality_deciles,
-        "host_quality": q_host_quality,
-        "importance_weights": q_importance_weights,
-        "main_text": q_main_text,
-        "feed_ingest": q_feed_ingest,
-        "feed_discover": q_feed_discover,
-        "host_rank": q_host_rank,
-        "trust_rank": q_trust_rank,
-        "mirror_hosts": q_mirror_hosts,
-        "partial_dups": q_partial_dups,
-        "semdedup": q_semdedup,
-        "ann_pq": q_ann_pq,
-        "spam_mass": q_spam_mass,
-        "contamination": q_contamination,
-        "budget_sample": q_budget_sample,
-        "normalize_text": q_normalize_text,
-        "link_farm_features": q_link_farm_features,
-        "paragraph_dedup": q_paragraph_dedup,
-        "seed_distance": q_seed_distance,
-        "dust_rules": q_dust_rules,
-        "inverted_index": q_inverted_index,
-        "ccnet_buckets": q_ccnet_buckets,
-        "holdout_split": q_holdout_split,
-        "canonical_docs": q_canonical_docs,
-        "adaptive_delay": q_adaptive_delay,
-        "apply_dust_rules": q_apply_dust_rules,
-        "cocitation": q_cocitation,
-        "graph_stats": q_graph_stats,
-        "communities_lpa": q_communities_lpa,
-        "cap_per_host": q_cap_per_host,
+        # ---- deferred: dominated by an in-window sibling ----
+        "stratified_sample": q_stratified_sample,   # ⊂ budget_sample/
+        #                                             holdout_split family
+        "link_rank": q_link_rank,                   # ⊂ link_rank_dangling
+        "vocab_stats": q_vocab_stats,               # ⊂ token_counts/tfidf
+        "span_dedup": q_span_dedup,                 # ⊂ span_removal
+        "sitemap_ingest": q_sitemap_ingest,         # ⊂ sitemap_resolve
+        "host_rank": q_host_rank,                   # ⊂ trust_rank/spam_mass
+        "contamination": q_contamination,           # ⊂ decontaminate
+        "cocitation": q_cocitation,                 # ⊂ linkgraph family
     }
 
 
@@ -2713,6 +2795,53 @@ def _frontier_budget_sql(n_docs: str) -> str:
             f"        FROM ({admitted})")
 
 
+def _frontier_feedback_sql(n_docs: str) -> str:
+    """_frontier_budget_sql at the LEAST-COMBINED budget/delay slot
+    caps (FEEDBACK_SLOTS — delay binds h0, budget binds h1/h2) over
+    the 12 canonical docs the aliased seeds rewrite to. The replay
+    itself needs only the effective caps: the four loops are evidenced
+    because removing any one of them changes which rows these windows
+    admit (see q_crawl_frontier_feedback)."""
+    s = FEEDBACK_SLOTS
+    slots_case = (f"CASE h WHEN 0 THEN {s[0]} WHEN 1 THEN {s[1]} "
+                  f"ELSE {s[2]} END")
+    ctes = [
+        f"pr AS (SELECT doc_id AS doc, (doc_id * 13 + 7) % {n_docs} AS p,"
+        " doc_id % 3 AS h FROM documents)",
+        f"f0 AS (SELECT doc, 0 AS d FROM pr"
+        f" WHERE doc < {FEEDBACK_SEED_DOCS})",
+    ]
+    for r in range(PRIORITY_ROUNDS):
+        ctes.append(f"""a{r} AS (
+            SELECT doc, d FROM (
+                SELECT f.doc, f.d, pr.h,
+                       row_number() OVER (PARTITION BY pr.h
+                                          ORDER BY pr.p DESC) AS rn
+                FROM f{r} f JOIN pr ON pr.doc = f.doc)
+            WHERE rn <= {slots_case})""")
+        if r + 1 < PRIORITY_ROUNDS:
+            seen = " UNION ALL ".join(
+                f"SELECT doc FROM a{i}" for i in range(r + 1))
+            ctes.append(f"""f{r + 1} AS (
+            SELECT doc, max(d) AS d FROM (
+                SELECT u.nxt AS doc, a.d + 1 AS d
+                FROM a{r} a, unnest([(a.doc + 1) % {n_docs},
+                                     (a.doc * 7 + 3) % {n_docs}]) u(nxt)
+                WHERE a.d + 1 <= {PRIORITY_DEPTH}
+                UNION ALL
+                SELECT doc, d FROM f{r}
+                WHERE doc NOT IN (SELECT doc FROM a{r}))
+            WHERE doc NOT IN ({seen})
+            GROUP BY doc)""")
+    admitted = " UNION ALL ".join(
+        f"SELECT * FROM a{i}" for i in range(PRIORITY_ROUNDS))
+    joined = ",\n        ".join(ctes)
+    return (f"WITH {joined}\n"
+            "        SELECT 'http://h' || (doc % 3) || '.docs.local/d/'"
+            " || doc AS url, d::INT AS depth\n"
+            f"        FROM ({admitted})")
+
+
 def oracle_sql() -> dict[str, str]:
     n_docs = "(SELECT max(doc_id) + 1 FROM documents)"
     rows = N_MINHASH // LSH_BANDS
@@ -3202,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_cuckoo": crawl_frontier_sql,
         "crawl_frontier_priority": _frontier_priority_sql(n_docs),
         "crawl_frontier_budget": _frontier_budget_sql(n_docs),
+        "crawl_frontier_feedback": _frontier_feedback_sql(n_docs),
         "redirect_resolve": redirect_resolve_sql,
         "nested_set_follow": f"""
             SELECT 'doc ' || doc_id AS title,
