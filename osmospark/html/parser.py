@@ -436,6 +436,11 @@ _CDATA_END = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_TAGS}
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _USE_STD_PARSER = (os.environ.get("OSMOSPARK_STD_PARSER") == "1"
                    or not _HAVE_TOLERANT_RE)
+# opt-in libxml2 engine (the north-star parser; this sandbox has no
+# lxml, so the flag must be set explicitly in an environment that does
+# — see osmospark/html/lxml_backend.py). Checked lazily at first parse
+# so importing this module never requires lxml.
+_USE_LXML = os.environ.get("OSMOSPARK_LXML") == "1"
 # stdlib check_for_whole_start_tag's "end of input in or before attribute
 # value" character class
 _INCOMPLETE_NEXT = frozenset(
@@ -610,7 +615,12 @@ def parse_html(html, base_url: str | None = None) -> Document:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()
-    if _USE_STD_PARSER:
+    if _USE_LXML:
+        # explicit opt-in: fail loudly if the environment lacks lxml
+        # rather than silently benchmarking the wrong engine
+        from .lxml_backend import feed_lxml
+        feed_lxml(builder, html)
+    elif _USE_STD_PARSER:
         builder.feed(html)
         builder.close()
     else:
