@@ -375,15 +375,21 @@ def run_bench(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     timed("ann_ivf_pruned", lambda: _count(
         ivf_topk_pruned(spark, ivf_dir, list(range(16)), k=10)))
 
-    # PQ asymmetric-distance scan: m-byte codes + integer LUT adds —
-    # the compressed-domain ANN path (codebook training included in the
-    # timing: 4 subspace k-means runs)
-    def pq_bench():
-        from osmospark.functions.similarity import pq_topk
-        return _count(pq_topk(emb, list(range(16)), k=10,
-                              m=4, ks=8, iters=2))
+    # PQ: training (m subspace k-means runs — offline in a real serving
+    # tier, amortized across every query batch) is timed as its own row;
+    # the ADC scan row reuses the trained codebooks, so it measures what
+    # repeats at serving time: encode + m-byte-code LUT adds + top-k
+    from osmospark.functions.similarity import pq_codebooks, pq_topk
+    pq_books = []
 
-    timed("ann_pq", pq_bench)
+    def pq_train_bench():
+        pq_books.clear()
+        pq_books.extend(pq_codebooks(emb, m=4, ks=8, iters=2))
+        return len(pq_books)
+
+    timed("ann_pq_train", pq_train_bench)
+    timed("ann_pq", lambda: _count(
+        pq_topk(emb, list(range(16)), k=10, codebooks=pq_books)))
 
     total = round(sum(timings.values()), 3)
     urls_done = counts["crawl_extract"] + counts["crawl_frontier"]

@@ -554,7 +554,8 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
             m: int = 4, ks: int = 8, iters: int = 2,
             scale: int = KMEANS_SCALE,
             candidates: DataFrame | None = None,
-            salt_buckets: int = PQ_TOPK_SALT) -> DataFrame:
+            salt_buckets: int = PQ_TOPK_SALT,
+            codebooks: list | None = None) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: the corpus is scanned as
     ``m``-byte codes; per query a lookup table of
     ``m × ks`` integer subspace distances is built DRIVER-SIDE from
@@ -579,12 +580,19 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
     composed scale path: only listed pairs are scored, so the ADC scan
     touches candidate rows instead of the full corpus per query.
 
+    ``codebooks`` — pretrained ``pq_codebooks`` output — skips training
+    (a real serving tier trains once offline and reuses the broadcast
+    codebooks across every query batch; the m × iters training scans
+    dominate one-shot wall time otherwise).
+
     Output (query_id, rank, neighbor_id, adc_u): rank by ascending
     integer ADC distance, ties → lowest neighbor_id; self excluded."""
     from functools import reduce
     from operator import add
 
-    books = pq_codebooks(embeddings, m, ks, iters, scale)
+    books = (codebooks if codebooks is not None
+             else pq_codebooks(embeddings, m, ks, iters, scale))
+    m = len(books)
     sub = len(books[0][0])
     enc = pq_encode(embeddings, books, scale)
     if candidates is not None:

@@ -389,6 +389,12 @@ def test_pq_topk_salted_and_pruned_paths(spark):
         "query_id long, vec_id long")
     assert pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
                    candidates=full).collect() == base
+
+    # pretrained-codebook reuse (the serving-tier path) is identical
+    from osmospark.functions.similarity import pq_codebooks
+    books = pq_codebooks(emb, m=2, ks=4, iters=2)
+    assert pq_topk(emb, [0, 1], k=4, codebooks=books,
+                   salt_buckets=8).collect() == base
     cand = spark.createDataFrame(
         [(0, v) for v in (3, 5, 9, 12, 17)] + [(1, v) for v in (2, 4)],
         "query_id long, vec_id long")
