@@ -36,6 +36,8 @@ from osmospark.functions.curation import (  # noqa: E402
     decontaminate, pack_sequences, repetition_scores, scrub_pii,
     stratified_sample, vocab_stats,
 )
+from osmospark.frontier.politeness import (  # noqa: E402
+    DEFAULT_ROUND_SECONDS as _DEFAULT_ROUND_SECONDS)
 from osmospark.urlnorm import HOST_SQL  # noqa: E402
 
 # shared constants so the Spark queries, the oracles and the tests agree
@@ -545,8 +547,12 @@ def q_crawl_frontier_budget(spark, sf_dir):
 # the planted priority bijection decides admission order within hosts.
 FEEDBACK_BUDGETS = {0: 4, 1: 3, 2: 2}
 FEEDBACK_DELAYS_MS = {0: 30_000, 1: 10_000}   # → 2 and 6 slots at 60 s
+# effective slots derive from the SAME round window the engine defaults
+# to (politeness.DEFAULT_ROUND_SECONDS) — a changed engine default must
+# move the oracle's caps with it, not silently desync them
 FEEDBACK_SLOTS = {h: min(FEEDBACK_BUDGETS[h],
-                         60_000 // FEEDBACK_DELAYS_MS.get(h, 1))
+                         int(_DEFAULT_ROUND_SECONDS * 1000)
+                         // FEEDBACK_DELAYS_MS.get(h, 1))
                   for h in (0, 1, 2)}
 FEEDBACK_SEED_DOCS = 12
 

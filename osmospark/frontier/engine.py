@@ -44,7 +44,8 @@ from ..spec import Chain, collect_chains
 from ..urlnorm import xxhash64_py
 from . import bloom as bloom_mod
 from . import cuckoo as cuckoo_mod
-from .politeness import DEFAULT_CONCURRENCY, host_slots
+from .politeness import (DEFAULT_CONCURRENCY, DEFAULT_ROUND_SECONDS,
+                         host_slots)
 
 FRONTIER_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -123,7 +124,7 @@ class FrontierEngine:
         bloom_buckets: int = 32,
         bloom_bits_per_bucket: int = 1 << 20,
         broadcast_threshold: int = 100_000,
-        round_seconds: float = 60.0,
+        round_seconds: float = DEFAULT_ROUND_SECONDS,
         adaptive_shuffle: bool = True,
         dedup_via: str = "window",
         follow_redirects: bool = True,

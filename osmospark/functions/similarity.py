@@ -599,9 +599,13 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = DEFAULT_K,
         # per-query pruned scoring: each query scores only its own
         # candidate rows (columnar semi-restriction, no broadcast of
         # the corpus — candidates is the (query, vec) pair table).
+        # distinct() first: a multi-probe candidate union may list a
+        # pair twice, and a duplicate pair would otherwise occupy two
+        # consecutive ranks and displace a real neighbor from the
+        # top-k (the shuffle is over the bounded candidate list only).
         enc = enc.join(
             candidates.select(F.col("query_id").cast("long"),
-                              F.col("vec_id").cast("long")),
+                              F.col("vec_id").cast("long")).distinct(),
             "vec_id")
     qrows = (embeddings.filter(F.col("vec_id").isin(query_ids))
              .select("vec_id",

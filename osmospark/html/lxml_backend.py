@@ -34,8 +34,29 @@ from __future__ import annotations
 import re
 
 _EXPLICIT_HEAD_RX = re.compile(r"<head[\s/>]", re.IGNORECASE)
+# lxml refuses unicode input that still carries an XML encoding
+# declaration (ValueError before parsing, recover=True cannot help);
+# parse_html always decodes bytes → str first, so strip the
+# declaration — a PI the tokenizer engines ignore anyway
+_XMLDECL_RX = re.compile(r"^\s*<\?xml\b[^>]*\?>", re.IGNORECASE)
+# blind spots for head re-detection: '<head' inside comments or
+# script/style CDATA is never a start-tag token to the tokenizer
+# engines, so it must not count here either (unterminated blocks and
+# '<head' inside attribute values remain a documented residual
+# divergence — both are malformed-markup corners)
+_HEAD_BLIND_RX = re.compile(
+    r"<!--.*?-->|<script\b.*?</script\s*>|<style\b.*?</style\s*>",
+    re.IGNORECASE | re.DOTALL)
 
 _AVAILABLE: bool | None = None
+
+
+def detect_explicit_head(rawdata: str) -> bool:
+    """Source-level ``had_explicit_head`` re-detection (pure regex, no
+    lxml needed — unit-testable in lxml-less environments): does the
+    page carry a real ``<head`` start tag, ignoring '<head' text inside
+    comments and script/style bodies?"""
+    return bool(_EXPLICIT_HEAD_RX.search(_HEAD_BLIND_RX.sub("", rawdata)))
 
 
 def lxml_available() -> bool:
@@ -56,10 +77,11 @@ def feed_lxml(builder, rawdata: str) -> None:
 
     from .parser import VOID_ELEMENTS
 
+    src = _XMLDECL_RX.sub("", rawdata, count=1)
     root = None
-    if rawdata.strip():
+    if src.strip():
         root = etree.fromstring(
-            rawdata, etree.HTMLParser(recover=True, no_network=True))
+            src, etree.HTMLParser(recover=True, no_network=True))
     if root is not None:
         # iterative pre-order walk with explicit close events
         # (recursion-free: real pages nest arbitrarily deep)
@@ -93,5 +115,7 @@ def feed_lxml(builder, rawdata: str) -> None:
             for child in reversed(list(el)):
                 stack.append((child, False))
     # libxml synthesizes implicit heads, so the meta-injection flag is
-    # re-detected from the source exactly like the tokenizer engines
-    builder.had_explicit_head = bool(_EXPLICIT_HEAD_RX.search(rawdata))
+    # re-detected from the source exactly like the tokenizer engines —
+    # with comment and script/style bodies blinded first: a '<head'
+    # inside them is never a start-tag token to those engines
+    builder.had_explicit_head = detect_explicit_head(rawdata)

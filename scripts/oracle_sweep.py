@@ -13,17 +13,16 @@ instead of a claim: anyone can re-run
     python scripts/oracle_sweep.py --sf /root/testdata/sf0.01 \
         --out BENCH/oracle_sweep_r5_sf001.json
 
-and diff the ledger. Row values are normalized exactly as the local pytest
-gate does (floats to 9 significant digits, NaN folded, columns sorted by
-name, rows sorted) before hashing, so a hash match here is the same
-statement as a green driver row.
+and diff the ledger. Row values are normalized by osmospark.oraclecmp —
+the SAME module the pytest gate imports (floats to 9 significant digits,
+NaN folded, columns sorted by name, rows sorted) — so a hash match here is
+the same statement as a green driver row by construction, not by parallel
+maintenance of two copies.
 """
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
-import math
 import sys
 import time
 from pathlib import Path
@@ -31,33 +30,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
-
-
-def _norm(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
-
-
-def _digest(norm_rows) -> str:
-    h = hashlib.sha256()
-    for r in norm_rows:
-        h.update("\x1f".join(r).encode("utf-8", "replace"))
-        h.update(b"\x1e")
-    return h.hexdigest()[:16]
+from osmospark.oraclecmp import TABLES, digest, norm_rows  # noqa: E402
 
 
 def main() -> int:
@@ -90,6 +63,11 @@ def main() -> int:
     names = list(queries)
     if args.only:
         keep = set(args.only.split(","))
+        unknown = keep - set(names)
+        if unknown:
+            # a typo must not shrink the sweep to 0/0 and exit green
+            raise SystemExit(f"--only names not in the registry: "
+                             f"{sorted(unknown)}")
         names = [n for n in names if n in keep]
 
     results: dict[str, dict] = {}
@@ -109,10 +87,10 @@ def main() -> int:
             drows = res.fetchall()
             rec["rows_match"] = len(srows) == len(drows)
             rec["schema_match"] = sorted(scols) == sorted(dcols)
-            _, s_norm = _norm(scols, srows)
-            _, d_norm = _norm(dcols, drows)
-            rec["hash_match"] = _digest(s_norm) == _digest(d_norm)
-            rec["value_hash"] = _digest(s_norm)
+            _, s_norm = norm_rows(scols, srows)
+            _, d_norm = norm_rows(dcols, drows)
+            rec["hash_match"] = digest(s_norm) == digest(d_norm)
+            rec["value_hash"] = digest(s_norm)
         except Exception as exc:  # ledger, not a test: record and continue
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
         ok = bool(rec["rows_match"] and rec["schema_match"]

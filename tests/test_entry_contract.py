@@ -1,17 +1,15 @@
 """Local replica of the driver's correctness gate: run each queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.001, compare row counts,
-schemas (column names), and values (order-insensitive)."""
-
-import math
+schemas (column names), and values (order-insensitive). Normalization
+lives in osmospark.oraclecmp, shared with scripts/oracle_sweep.py."""
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from osmospark.oraclecmp import TABLES, norm_rows
 
 SF_DIR = __import__("os").environ.get("OSMO_TEST_SF", "/root/testdata/sf0.001")
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
@@ -20,23 +18,6 @@ def duck():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
-
-
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
 
 
 ORACLES = entry_mod.oracle_sql()
@@ -54,8 +35,8 @@ def test_query_matches_oracle(spark, duck, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    s_cols, s_norm = _norm_rows(scols, srows)
-    d_cols, d_norm = _norm_rows(dcols, drows)
+    s_cols, s_norm = norm_rows(scols, srows)
+    d_cols, d_norm = norm_rows(dcols, drows)
     assert len(s_norm) == len(d_norm), (
         f"{name}: row count {len(s_norm)} vs oracle {len(d_norm)}")
     mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]

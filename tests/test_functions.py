@@ -390,6 +390,12 @@ def test_pq_topk_salted_and_pruned_paths(spark):
     assert pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
                    candidates=full).collect() == base
 
+    # duplicate (query, vec) pairs — a multi-probe candidate union —
+    # must not occupy two ranks and displace a real neighbor (r5
+    # review finding): the pair table is distinct()ed before the join
+    assert pq_topk(emb, [0, 1], k=4, m=2, ks=4, iters=2,
+                   candidates=full.union(full)).collect() == base
+
     # pretrained-codebook reuse (the serving-tier path) is identical
     from osmospark.functions.similarity import pq_codebooks
     books = pq_codebooks(emb, m=2, ks=4, iters=2)
@@ -1128,9 +1134,10 @@ def test_kmeans_codebook_separates_planted_clusters(spark):
     assert all(got[i] == 1 for i in range(0, 8, 2))
     assert all(got[i] == 0 for i in range(1, 8, 2))
     cb = kmeans_codebook(emb, cells=2, iters=2)
-    # centroid 1 ~ mean of cluster A x-coords in micro-units
+    # centroid 1 ~ mean of cluster A x-coords in micro-units;
+    # centroid 0 ~ mean of cluster B y-coords (1.0..1.07 planted)
     assert abs(cb[1][0] - 1_030_000) < 20_000 and cb[1][1] == 0
-    assert cb[1][1] == 0 and cb[0][0] == 0
+    assert abs(cb[0][1] - 1_040_000) < 20_000 and cb[0][0] == 0
 
 
 def test_kmeans_strided_init_spreads_clustered_ids(spark):

@@ -154,3 +154,47 @@ def test_hypothesis_fuzz_identical():
         _assert_same(s)
 
     check_soup()
+
+
+@pytest.mark.parametrize("html,expect", [
+    ("<head><title>t</title></head>", True),
+    ("<p>no head here</p>", False),
+    # '<head' inside script/style CDATA or comments is never a start-tag
+    # token — the lxml engine's source re-detection must agree with the
+    # tokenizer engines (r5 review finding)
+    ('<script>var x="<head>";</script><p>hi</p>', False),
+    ("<!-- <head> --><p>hi</p>", False),
+    ("<style>/* <head> */</style><p>hi</p>", False),
+    ("<!-- c --><head></head><p>hi</p>", True),
+    ("<script>a</script><head></head>", True),
+    ("<HEAD><title>t</title></HEAD>", True),
+])
+def test_detect_explicit_head_matches_tokenizer(html, expect):
+    """lxml_backend.detect_explicit_head (pure regex, importable without
+    lxml) must agree with the fast tokenizer's had_explicit_head flag on
+    well-formed markup, including head-shaped text hidden in comments
+    and script/style bodies."""
+    from osmospark.html.lxml_backend import detect_explicit_head
+
+    b = P._TreeBuilder()
+    P._fast_feed(b, html)
+    assert b.had_explicit_head is expect, html
+    assert detect_explicit_head(html) is expect, html
+
+
+def test_xmldecl_strip_regex():
+    """The lxml engine strips a leading XML declaration before handing
+    the (already-decoded) string to libxml2 — lxml raises ValueError on
+    unicode input carrying an encoding declaration. Pure-regex check
+    here; the end-to-end parse is covered in test_parser_lxml.py where
+    lxml exists."""
+    from osmospark.html.lxml_backend import _XMLDECL_RX
+
+    page = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            "<html><head></head><body><p>hi</p></body></html>")
+    stripped = _XMLDECL_RX.sub("", page, count=1)
+    assert stripped.lstrip().startswith("<html>")
+    # no declaration → untouched; '<?xml' later in the page → untouched
+    assert _XMLDECL_RX.sub("", "<p>a</p>", count=1) == "<p>a</p>"
+    mid = "<p><?xml version='1.0'?></p>"
+    assert _XMLDECL_RX.sub("", mid, count=1) == mid

@@ -82,3 +82,15 @@ def test_goldens_under_lxml(monkeypatch):
     Runner(store=fixture_store()).run(chain)
     assert records == [
         {"title": "TITLE", "pages": [{"page": "1"}, {"page": "2"}]}]
+
+
+def test_xml_declaration_page_parses():
+    # lxml refuses unicode input with an XML encoding declaration;
+    # feed_lxml strips the declaration (a PI the tokenizer engines
+    # ignore) so common XHTML pages parse instead of killing the task
+    page = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            "<html><head><title>t</title></head>"
+            "<body><p>hi</p></body></html>")
+    a, b = _build(page, "lxml"), _build(page, "fast")
+    assert _text(a) == _text(b)
+    assert a.serialize() == b.serialize()
