@@ -4810,8 +4810,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY host
         """,
         # paragraph_dedup: same 8-word chunking regexp, then
-        # min-order-key first occurrence + ordered string_agg
-        # reassembly (ok = doc_id·1e6 + idx, same encoding)
+        # struct-min first occurrence (min{'d': doc_id, 'i': idx} —
+        # same lexicographic order as Spark's min(struct(doc_id, idx)))
+        # + ordered string_agg reassembly; coalesce(text, '') mirrors
+        # the NULL-text-is-empty rule
         "paragraph_dedup": """
             WITH p AS MATERIALIZED (
               SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.para AS para
@@ -4819,7 +4821,8 @@ def oracle_sql() -> dict[str, str]:
                            unnest(list_transform(range(1, len(ps) + 1),
                                i -> {'idx': i - 1, 'para': ps[i]})) AS u
                     FROM (SELECT doc_id,
-                                 string_split(regexp_replace(text,
+                                 string_split(regexp_replace(
+                                     coalesce(text, ''),
                                      '((?:\\S+ ){7}\\S+) ',
                                      '\\1' || chr(10), 'g'),
                                      chr(10)) AS ps

@@ -222,10 +222,14 @@ def paragraph_dedup(documents: DataFrame) -> DataFrame:
     outputs can never overflow or wrap the order key), then a
     semi-join back on (hash, doc_id, idx). Text moves twice (explode +
     reassembly groupBy on doc_id), which is the floor for an operator
-    that rewrites documents."""
+    that rewrites documents. NULL text is treated as empty text — a
+    corpus rewriter must never silently DELETE a document (split(NULL)
+    explodes to zero rows, which would drop the doc from the output
+    entirely; the NULL-handling discipline of ccnet_buckets)."""
     sep = "\n"
     paras = documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), sep))
+        "doc_id", F.posexplode(F.split(F.coalesce(F.col("text"),
+                                                  F.lit("")), sep))
         .alias("idx", "para"))
     blank = F.length(F.trim(F.col("para"))) == 0
     nonempty = paras.filter(~blank).withColumn("h", F.md5(F.col("para")))
@@ -295,7 +299,11 @@ def budget_sample(documents: DataFrame, budgets: DataFrame,
     turns "20% code, 30% web, …" into an actual document selection.
     A document is kept iff the tokens BEFORE it in its host's order
     stay under the budget (the straddling document is included);
-    hosts absent from ``budgets`` contribute nothing.
+    hosts absent from ``budgets`` contribute nothing. Host joins are
+    NULL-SAFE: documents with a NULL host form their own group and are
+    admitted under a NULL-host budget row (``cap_per_host`` derives its
+    budgets from the documents, so unparseable-host docs get capped
+    like any host instead of silently vanishing from the corpus).
 
     Order = (md5-hash of doc_id, doc_id) — the same portable md5
     convention as ``stratified_sample``, so the oracle replays it.
@@ -337,11 +345,20 @@ def budget_sample(documents: DataFrame, budgets: DataFrame,
     w_loc = (Window.partitionBy("host", "rng")
              .orderBy(F.col("h").asc(), F.col("doc_id").asc())
              .rowsBetween(Window.unboundedPreceding, -1))
-    scored = (base.join(offs, ["host", "rng"])
-              .join(F.broadcast(budgets.select(
-                  F.col("host"),
-                  F.col("token_budget").cast("bigint").alias("budget"))),
-                  "host")
+    # null-safe equi-joins (<=> is a hash-join key): a NULL host is a
+    # group like any other — a plain equi-join would silently delete
+    # every NULL-host document from the sample
+    offs_r = (offs.withColumnRenamed("host", "_oh")
+              .withColumnRenamed("rng", "_orng"))
+    bud_r = F.broadcast(budgets.select(
+        F.col("host").alias("_bh"),
+        F.col("token_budget").cast("bigint").alias("budget")))
+    scored = (base.join(offs_r,
+                        F.col("host").eqNullSafe(F.col("_oh"))
+                        & (F.col("rng") == F.col("_orng")))
+              .drop("_oh", "_orng")
+              .join(bud_r, F.col("host").eqNullSafe(F.col("_bh")))
+              .drop("_bh")
               .withColumn("cum_before",
                           (F.col("offset")
                            + F.coalesce(F.sum("n_tokens").over(w_loc),

@@ -430,6 +430,8 @@ def kmeans_codebook(embeddings: DataFrame, cells: int = 8,
                     lambda v: F.round(v * scale).cast("bigint")).alias("qv"))
     rng = e.agg(F.min("vec_id").alias("lo"),
                 F.max("vec_id").alias("hi")).first()
+    if rng["lo"] is None:
+        raise ValueError("kmeans_codebook: embeddings input is empty")
     lo, hi = int(rng["lo"]), int(rng["hi"])
     stride = max(1, (hi - lo + 1) // cells)     # Python int: no overflow
     dec = "cast({} as decimal(38,0))"
@@ -509,7 +511,10 @@ def pq_codebooks(embeddings: DataFrame, m: int = 4, ks: int = 8,
     distances are bit-exact across engines. Training cost: m small
     k-means runs over column slices — each is one scan + one
     ks-sized shuffle per iteration."""
-    dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+    head = embeddings.select(F.size("embedding").alias("d")).first()
+    if head is None:
+        raise ValueError("pq_codebooks: embeddings input is empty")
+    dim = head["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub = dim // m

@@ -218,6 +218,12 @@ def lm_score(documents: DataFrame, scale: int = 1024) -> DataFrame:
     BROADCAST; the token stream never shuffles for the model. One
     final groupBy(doc_id) with partial sums. Total tokens is a
     broadcast scalar.
+
+    Docs with ZERO tokens (empty or NULL text) produce no output row —
+    there is nothing to score and the average would be 0/0. Downstream
+    ``ccnet_buckets`` left-joins scores and routes score-less docs to
+    its explicit 'unknown' bucket, so the composed pipeline never
+    silently loses them.
     """
     ex = documents.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w"))

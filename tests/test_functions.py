@@ -1937,3 +1937,62 @@ def test_cap_per_host_exact_k_and_determinism(spark):
     out2 = [(r.doc_id, r.host, r.rank)
             for r in cap_per_host(docs2, 5).collect()]
     assert out1 == out2
+
+
+def test_paragraph_dedup_null_text_doc_survives(spark):
+    """A rewriter must never delete a document: NULL text is treated
+    as empty (split(NULL) would explode to zero rows and drop the doc
+    from the output entirely — r5 edge-probe finding)."""
+    from osmospark.functions.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep me\nkeep me"), (2, None), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+           for r in paragraph_dedup(docs).collect()}
+    assert set(got) == {1, 2, 3}          # every doc_id present
+    assert got[1] == ("keep me", 2, 1)
+    assert got[2] == ("", 1, 1)           # NULL text ≡ empty text
+    assert got[3] == ("", 1, 1)
+
+
+def test_cap_per_host_null_host_group(spark):
+    """Docs with a NULL host (unparseable URL) are capped as their own
+    group, not silently deleted: the host joins are null-safe (r5
+    edge-probe finding — the equi-join dropped every NULL-host doc)."""
+    from osmospark.functions.curation import budget_sample, cap_per_host
+
+    rows = [(i, "a.test", "w " * 4) for i in range(4)]
+    rows += [(100 + i, None, "w " * 4) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = cap_per_host(docs, 2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    assert len(by_host["a.test"]) == 2
+    assert len(by_host[None]) == 2        # capped, not dropped
+
+    # budget_sample proper: NULL-host docs admit only under an explicit
+    # NULL budget row ("hosts absent from budgets contribute nothing")
+    no_null = spark.createDataFrame([("a.test", 1000)],
+                                    "host string, token_budget long")
+    got = budget_sample(docs, no_null).collect()
+    assert {r.host for r in got} == {"a.test"}
+    with_null = spark.createDataFrame([("a.test", 1000), (None, 1000)],
+                                      "host string, token_budget long")
+    got = budget_sample(docs, with_null).collect()
+    assert {r.host for r in got} == {"a.test", None}
+
+
+def test_kmeans_and_pq_empty_input_raise(spark):
+    """Empty embeddings must fail with a crisp ValueError, not a
+    NoneType TypeError from the init collect (r5 edge-probe finding)."""
+    import pytest as _pytest
+
+    from osmospark.functions.similarity import kmeans_codebook, pq_codebooks
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_codebook(empty, cells=2, iters=1)
+    with _pytest.raises(ValueError, match="empty"):
+        pq_codebooks(empty, m=2, ks=2, iters=1)
