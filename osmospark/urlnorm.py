@@ -25,24 +25,46 @@ _PATH_SAFE = "/%:@!$&'()*+,;=~-._"
 
 def resolve(base: str | None, href: str) -> str:
     """Resolve href against a base document URL with the reference's scheme
-    defaults (reference lib/Command.js:303-338)."""
+    defaults (reference lib/Command.js:303-338). Total: a malformed href
+    (e.g. an unmatched IPv6 bracket, which makes ``urljoin`` raise) comes
+    back verbatim — hostile hrefs are guaranteed in web data and must
+    never kill the Arrow batch they ride in."""
     if href.startswith("//"):
         return "http:" + href
     if base:
-        return urljoin(base, href)
+        try:
+            return urljoin(base, href)
+        except ValueError:
+            return href
     if not href.startswith("http"):
         return "http://" + href
     return href
 
 
 def canonicalize(url: str) -> str:
-    parts = urlsplit(url)
+    """Canonical URL form — a TOTAL, IDEMPOTENT function. Hostile hrefs
+    (non-numeric or out-of-range ports, unmatched IPv6 brackets) make
+    ``urlsplit``/``.hostname``/``.port`` raise ValueError; this runs
+    inside Arrow UDFs over crawled pages, where one bad link must not
+    kill the task. Malformed inputs degrade to identity-preserving
+    forms (never to a DIFFERENT valid URL — 'http://h:bad/x' must not
+    collapse onto 'http://h/x'). IPv6 hosts keep their brackets, so the
+    output re-parses to the same authority."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:       # unmatched bracket: not parseable at all
+        return url
     scheme = (parts.scheme or "http").lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
-    netloc = host
-    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{port}"
+    try:
+        host = (parts.hostname or "").lower()
+        port = parts.port
+        netloc = f"[{host}]" if ":" in host else host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            netloc = f"{netloc}:{port}"
+    except ValueError:
+        # bad port / bad IPv6 literal: keep the authority text verbatim
+        # (minus userinfo, lowercased) — stable under re-canonicalization
+        netloc = parts.netloc.rsplit("@", 1)[-1].lower()
     path = quote(parts.path or "/", safe=_PATH_SAFE)
     if not path:
         path = "/"
@@ -66,7 +88,14 @@ def post_fetch_key(url: str, params) -> str:
 
 
 def url_host(url: str) -> str:
-    return urlsplit(url).hostname or ""
+    """Lowercased hostname, '' when there is none. Total: malformed
+    authorities (unmatched IPv6 bracket, bad port) return '' instead of
+    raising — this keys politeness groups inside UDFs over crawled
+    links, where one hostile href must not kill the task."""
+    try:
+        return urlsplit(url).hostname or ""
+    except ValueError:
+        return ""
 
 
 def host_expr(col):

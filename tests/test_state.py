@@ -63,6 +63,35 @@ def test_canonicalize():
     assert canonicalize("http://h/a%20b") == canonicalize("http://h/a b")
 
 
+def test_canonicalize_total_and_idempotent_on_hostile_urls():
+    """canonicalize runs inside Arrow UDFs over crawled links: hostile
+    authorities (non-numeric/out-of-range ports, IPv6 brackets — all of
+    which make urlsplit/.hostname/.port RAISE) must degrade without
+    killing the task, never collapse onto a DIFFERENT valid URL, and be
+    stable under re-canonicalization (redirect targets and seeds pass
+    through twice). r5 edge-probe finding: IPv6 output lost its
+    brackets and the second pass raised ValueError."""
+    from osmospark.urlnorm import url_host
+
+    # IPv6 keeps brackets; round-trips to itself; host matches url_host
+    u = canonicalize("http://[::1]:8080/x?b=2&a=1#f")
+    assert u == "http://[::1]:8080/x?a=1&b=2"
+    assert canonicalize(u) == u
+    assert url_host(u) == "::1"
+    assert canonicalize("HTTP://[2001:DB8::1]:80/p") == "http://[2001:db8::1]/p"
+
+    hostile = ["http://h:bad/x", "http://h:99999999/x", "http://[::1/x",
+               "http://]::1[/x", "http://user:pw@h:bad/x"]
+    for h in hostile:
+        c = canonicalize(h)          # must not raise
+        assert canonicalize(c) == c  # idempotent
+        assert url_host(h) in ("", "h")  # must not raise
+    # a bad port must NOT collapse onto the portless (valid) URL
+    assert canonicalize("http://h:bad/x") != canonicalize("http://h/x")
+    # resolve survives the unjoinable IPv6 fragment verbatim
+    assert resolve("http://base.test/a/", "http://[::1/x") == "http://[::1/x"
+
+
 def test_resolve_scheme_defaults():
     # reference lib/Command.js:332-338
     assert resolve(None, "//x.com/a") == "http://x.com/a"
