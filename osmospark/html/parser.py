@@ -220,13 +220,10 @@ class Element(Node):
 
     @property
     def inner_html(self) -> str:
-        return "".join(c.serialize() for c in self.children)
+        return "".join(_serialize_iter(c) for c in self.children)
 
     def serialize(self) -> str:
-        attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in self.attrs)
-        if self.tag in VOID_ELEMENTS:
-            return f"<{self.tag}{attrs}>"
-        return f"<{self.tag}{attrs}>{self.inner_html}</{self.tag}>"
+        return _serialize_iter(self)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Element(<{self.tag}> order={self.order})"
@@ -283,10 +280,37 @@ class Document(Node):
                 yield from child._walk()
 
     def serialize(self) -> str:
-        return "".join(c.serialize() for c in self.children)
+        return "".join(_serialize_iter(c) for c in self.children)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Document({self.location})"
+
+
+def _serialize_iter(root: Node) -> str:
+    """Recursion-free subtree serialization (explicit stack with close
+    events, same shape as the lxml replay walk): ``:html`` captures run
+    inside extraction UDFs over crawled pages, and a hostile page
+    nesting 10^4+ elements must not kill the task with RecursionError.
+    Byte-identical to the old recursive form."""
+    out: list[str] = []
+    stack: list[tuple[Node, bool]] = [(root, False)]
+    while stack:
+        node, closing = stack.pop()
+        if closing:
+            out.append(f"</{node.tag}>")
+            continue
+        if isinstance(node, Element):
+            attrs = "".join(f' {k}="{_escape_attr(v)}"'
+                            for k, v in node.attrs)
+            out.append(f"<{node.tag}{attrs}>")
+            if node.tag in VOID_ELEMENTS:
+                continue
+            stack.append((node, True))
+            for child in reversed(node.children):
+                stack.append((child, False))
+        else:                      # TextNode (comments/doctype drop)
+            out.append(node.serialize())
+    return "".join(out)
 
 
 class _TreeBuilder(_StdHTMLParser):

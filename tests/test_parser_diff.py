@@ -198,3 +198,18 @@ def test_xmldecl_strip_regex():
     assert _XMLDECL_RX.sub("", "<p>a</p>", count=1) == "<p>a</p>"
     mid = "<p><?xml version='1.0'?></p>"
     assert _XMLDECL_RX.sub("", mid, count=1) == mid
+
+
+def test_deep_nesting_serialize_no_recursion():
+    """A hostile page nesting 50k unclosed <div>s must parse AND
+    re-serialize (the :html capture path) without RecursionError —
+    serialization walks an explicit stack (r5 edge-probe finding).
+    Byte-identity with the recursive form is pinned by every golden in
+    this suite; here only depth-safety and well-formedness."""
+    deep = "<div>" * 50_000 + "x"
+    d = P.parse_html(deep)
+    s = d.serialize()
+    assert s.startswith("<html><body><div><div>")
+    assert s.endswith("x" + "</div>" * 50_000 + "</body></html>")
+    # inner_html on the root takes the same iterative path
+    assert d.root.inner_html.startswith("<body><div>")
