@@ -4323,22 +4323,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 10 <> 0),
             b AS (
               SELECT sitemap_url,
-                     unnest(regexp_extract_all(x, '<url>(.*?)</url>', 1))
-                       AS blk
+                     unnest(regexp_extract_all(x,
+                       '(?s)<url>(.*?)</url>', 1)) AS blk
               FROM xml)
             SELECT sitemap_url,
-                   regexp_extract(blk, '<loc>([^<]*)</loc>', 1) AS loc,
-                   CAST(nullif(regexp_extract(blk,
-                     '<lastmod>([^<]*)</lastmod>', 1), '') AS DATE)
-                     AS lastmod,
-                   nullif(regexp_extract(blk,
-                     '<changefreq>([^<]*)</changefreq>', 1), '')
+                   regexp_replace(regexp_extract(blk,
+                     '<loc>([^<]*)</loc>', 1),
+                     '^\\s+|\\s+$', '', 'g') AS loc,
+                   TRY_CAST(nullif(substr(regexp_replace(
+                     regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1),
+                     '^\\s+|\\s+$', '', 'g'), 1, 10), '')
+                     AS DATE) AS lastmod,
+                   nullif(regexp_replace(regexp_extract(blk,
+                     '<changefreq>([^<]*)</changefreq>', 1),
+                     '^\\s+|\\s+$', '', 'g'), '')
                      AS changefreq,
-                   CAST(CAST(nullif(regexp_extract(blk,
-                     '<priority>([^<]*)</priority>', 1), '')
+                   TRY_CAST(TRY_CAST(nullif(regexp_replace(
+                     regexp_extract(blk, '<priority>([^<]*)</priority>', 1),
+                     '^\\s+|\\s+$', '', 'g'), '')
                      AS DECIMAL(4,3)) * 1000 AS BIGINT) AS priority_milli
             FROM b
-            WHERE regexp_extract(blk, '<loc>([^<]*)</loc>', 1) <> ''
+            WHERE regexp_replace(regexp_extract(blk,
+              '<loc>([^<]*)</loc>', 1), '^\\s+|\\s+$', '', 'g') <> ''
             ORDER BY sitemap_url, loc
         """,
         # sitemap_resolve: relational replay of the reachable set —

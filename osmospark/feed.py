@@ -35,7 +35,12 @@ _LINK_TAG = "(?i)<link\\b[^>]*>"
 
 
 def _field(block, tag: str):
-    return F.regexp_extract(block, f"(?s)<{tag}>([^<]*)</{tag}>", 1)
+    # whitespace-trim (regexp — F.trim strips SPACES only): pretty-
+    # printed feeds pad values with newline+indent, and an untrimmed
+    # <link> would become a distinct bogus frontier URL
+    return F.regexp_replace(
+        F.regexp_extract(block, f"(?s)<{tag}>([^<]*)</{tag}>", 1),
+        r"^\s+|\s+$", "")
 
 
 def feed_entries(raw: DataFrame, col: str = "xml",
@@ -65,19 +70,23 @@ def feed_entries(raw: DataFrame, col: str = "xml",
         .otherwise(_field(blk, "link"))
     raw_ts = F.when(is_atom, _field(blk, "updated")) \
         .otherwise(_field(blk, "pubDate"))
+    # try_to_timestamp: an item with a MISSING or malformed date must
+    # yield published=NULL, not abort the whole query (ANSI
+    # to_timestamp throws on ''— any feed omitting pubDate killed the
+    # ingestion job)
     published = F.when(
         is_atom,
-        F.to_timestamp(F.regexp_replace(raw_ts, "Z$", ""),
-                       "yyyy-MM-dd'T'HH:mm:ss")
+        F.try_to_timestamp(F.regexp_replace(raw_ts, "Z$", ""),
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss"))
     ).otherwise(
         # weekday name + tz designator stripped first: Spark 3+'s
         # parser refuses day-of-week text fields, and the weekday is
         # redundant in RFC 822 dates anyway
-        F.to_timestamp(
+        F.try_to_timestamp(
             F.regexp_replace(
                 F.regexp_replace(raw_ts, "^[A-Za-z]{3}, ", ""),
                 " (GMT|UT|[+-]\\d{4})$", ""),
-            "dd MMM yyyy HH:mm:ss"))
+            F.lit("dd MMM yyyy HH:mm:ss")))
     entry_id = F.when(is_atom, _field(blk, "id")) \
         .otherwise(_field(blk, "guid"))
     return (ex.select(

@@ -31,12 +31,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_URL_BLOCK = "<url>(.*?)</url>"
-_SM_BLOCK = "<sitemap>(.*?)</sitemap>"
+# (?s): entry blocks span lines — virtually every real sitemap is
+# pretty-printed, and without DOTALL a multi-line <url> block never
+# matches (the whole document parses to ZERO entries, silently)
+_URL_BLOCK = "(?s)<url>(.*?)</url>"
+_SM_BLOCK = "(?s)<sitemap>(.*?)</sitemap>"
 
 
 def _field(block, tag: str):
-    return F.regexp_extract(block, f"<{tag}>([^<]*)</{tag}>", 1)
+    # whitespace-trim (regexp — F.trim strips SPACES only, not the
+    # newline+indent pretty-printed sitemaps put around values like
+    # "<loc>\n  http://… \n</loc>"); untrimmed locs would become
+    # distinct bogus frontier URLs (consumers trim per sitemaps.org)
+    return F.regexp_replace(
+        F.regexp_extract(block, f"<{tag}>([^<]*)</{tag}>", 1),
+        r"^\s+|\s+$", "")
 
 
 def sitemap_entries(raw: DataFrame, col: str = "xml",
@@ -51,11 +60,16 @@ def sitemap_entries(raw: DataFrame, col: str = "xml",
     return (ex.select(
         "sitemap_url",
         _field(blk, "loc").alias("loc"),
-        F.to_date(F.nullif(_field(blk, "lastmod"), F.lit("")),
-                  "yyyy-MM-dd").alias("lastmod"),
+        # lastmod may be a date OR a full W3C datetime (both allowed
+        # by the protocol): parse the 10-char date prefix, and a
+        # malformed value yields NULL instead of an ANSI parse abort
+        F.try_to_date(F.nullif(
+            F.substring(_field(blk, "lastmod"), 1, 10), F.lit("")),
+            "yyyy-MM-dd").alias("lastmod"),
         F.nullif(_field(blk, "changefreq"), F.lit("")).alias("changefreq"),
+        # try_cast: a non-numeric priority yields NULL, not an abort
         (F.nullif(_field(blk, "priority"), F.lit(""))
-         .cast("decimal(4,3)") * 1000).cast("bigint")
+         .try_cast("decimal(4,3)") * 1000).try_cast("bigint")
         .alias("priority_milli"))
         .filter(F.col("loc") != ""))
 

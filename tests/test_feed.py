@@ -65,3 +65,22 @@ def test_feed_ops_are_map_only(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "FlatMapInPandas" not in plan  # pure JVM expressions
+
+
+def test_pretty_printed_and_malformed_feeds(spark):
+    """Pretty-printed RSS pads <link>/<title> with newline+indent —
+    values must be trimmed (an untrimmed link is a bogus frontier
+    URL); truncated/non-XML/NULL feed bodies yield zero rows (r5 edge
+    probe)."""
+    pretty = ("<rss><channel><item>\n  <link>\n    http://h/x\n"
+              "  </link>\n  <title>\n    T1  </title>\n"
+              "</item></channel></rss>")
+    raw = spark.createDataFrame(
+        [("http://h/f.xml", pretty),
+         ("http://h/g.xml", "<rss><channel><item><link>http://h/y"),
+         ("http://h/h.xml", "junk"),
+         ("http://h/i.xml", None)],
+        "url string, xml string")
+    got = [(r.feed_url, r.kind, r.loc, r.title)
+           for r in feed_entries(raw).collect()]
+    assert got == [("http://h/f.xml", "rss", "http://h/x", "T1")]

@@ -116,3 +116,35 @@ def test_robots_to_sitemap_to_frontier_pipeline(spark):
     entries = resolve_sitemaps(corpus, seeds, max_depth=1)
     assert sorted(r.loc for r in entries.collect()) == [
         "http://a.test/1", "http://a.test/2"]
+
+
+def test_pretty_printed_and_malformed_sitemaps(spark):
+    """Real-world sitemaps pretty-print: <loc> values padded with
+    newline+indent must be trimmed (untrimmed they would become
+    distinct bogus frontier URLs); truncated XML, non-XML, NULL bodies
+    and empty <loc>s yield zero rows instead of errors (r5 edge
+    probe)."""
+    pretty = ("<urlset>\n  <url>\n    <loc>\n      http://a.test/p1\n"
+              "    </loc>\n    <changefreq>\n daily </changefreq>\n"
+              "    <lastmod>2026-03-01T12:30:00+00:00</lastmod>\n"
+              "    <priority>0.8</priority>\n"
+              "  </url>\n  <url>\n    <loc>http://a.test/p2</loc>\n"
+              "    <lastmod>bogus</lastmod>\n"
+              "    <priority>high</priority>\n  </url>\n</urlset>")
+    raw = spark.createDataFrame(
+        [("http://a.test/m.xml", pretty),
+         ("http://b.test/m.xml", "<urlset><url><loc>http://b/a</loc>"),
+         ("http://c.test/m.xml", "not xml at all"),
+         ("http://d.test/m.xml", None),
+         ("http://e.test/m.xml",
+          "<urlset><url><loc>  </loc></url></urlset>")],
+        "url string, xml string")
+    got = [(r.sitemap_url, r.loc, r.changefreq, str(r.lastmod),
+            r.priority_milli)
+           for r in sitemap_entries(raw).orderBy("loc").collect()]
+    # W3C datetime lastmod parses its date part; malformed lastmod /
+    # non-numeric priority yield NULL, never an ANSI abort
+    assert got == [
+        ("http://a.test/m.xml", "http://a.test/p1", "daily",
+         "2026-03-01", 800),
+        ("http://a.test/m.xml", "http://a.test/p2", None, "None", None)]
