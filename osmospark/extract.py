@@ -377,7 +377,7 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
     derives the URL-seen delta and admitted count from them)."""
     from .html import Attribute, Element, compile_selector
     from .interpreter import Runner
-    from .urlnorm import canonicalize, resolve
+    from .urlnorm import link_resolver
 
     spec_chain = Chain().set(extract_spec) if extract_spec else None
     follow_compiled = (compile_selector(follow_selector)
@@ -502,6 +502,9 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                         m_msg[i] = repr(exc)
                 if follow_compiled is not None:
                     idx = 0
+                    # splits the page URL once; per-link fast path equals
+                    # canonicalize(resolve(...)) / url_host exactly
+                    resolve_link = link_resolver(urls[i])
                     for node in follow_compiled.find(doc, relative=True):
                         if isinstance(node, Attribute):
                             href = node.value()
@@ -513,11 +516,11 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                             href = None
                         if not href:
                             continue
-                        target = canonicalize(resolve(urls[i], href))
+                        target, t_host = resolve_link(href)
                         c_url.append(target)
                         if hash_conts:
                             c_hash.append(xxhash64_py(target.encode()))
-                        c_host.append(url_host(target))
+                        c_host.append(t_host)
                         c_depth.append(depth + 1)
                         c_ref.append(urls[i])
                         c_sort.append(idx)

@@ -16,6 +16,7 @@ Resolution quirks mirror the reference request layer
 
 from __future__ import annotations
 
+import re
 import struct
 from urllib.parse import quote, urljoin, urlsplit, urlunsplit
 
@@ -96,6 +97,63 @@ def url_host(url: str) -> str:
         return urlsplit(url).hostname or ""
     except ValueError:
         return ""
+
+
+# fast-link-resolver guards: hrefs provably in canonical form already.
+# Character classes are unreserved-or-PATH_SAFE only, so quote() is the
+# identity; dot segments are excluded separately (urljoin removes them).
+_FAST_REL = re.compile(r"/[A-Za-z0-9._~/\-]*\Z").match
+_FAST_ABS = re.compile(
+    r"(https?)://([a-z0-9.\-]+)(/[A-Za-z0-9._~/\-]*)?\Z").match
+
+
+def link_resolver(base: str | None):
+    """Per-page closure mapping href → ``(canonical_target, host)``,
+    exactly equal to ``canonicalize(resolve(base, href))`` /
+    ``url_host(target)`` on every input (differential-tested, fuzzed).
+
+    The per-link hot path of the extraction kernel re-split the SAME
+    base URL for every link on the page (resolve + canonicalize +
+    url_host ≈ 12% of kernel time); this canonicalizes the base once
+    and takes a regex-gated O(len(href)) fast path for the two shapes
+    that dominate real link graphs — rooted paths ('/a/b') and bare
+    http(s)://host/path absolutes — falling back to the total slow
+    path for anything not provably canonical-as-is (dot segments,
+    '//x' protocol-relative, query strings, escapes, userinfo, ports,
+    uppercase hosts, hostile authorities).
+
+    Exactness of the rooted-path branch: ``resolve(base, '/p')`` is
+    ``urljoin``, which for a rooted path returns
+    ``base.scheme://base.netloc/p`` (dot-segment removal is a no-op —
+    '/.' is excluded); ``canonicalize`` of that derives scheme/netloc
+    from (base.scheme, base.netloc) alone — i.e. the canonical base's
+    own origin — and ``quote`` of the path is the identity over the
+    guard's character class, with no query/fragment possible. The
+    absolute branch needs no base: lowercase scheme+host with no
+    userinfo/port/query in the charset is already canonical, with ''
+    path canonicalized to '/'."""
+    origin = bhost = None
+    if base:
+        cbase = canonicalize(base)
+        try:
+            parts = urlsplit(cbase)
+            if parts.scheme in ("http", "https") and parts.netloc:
+                origin = f"{parts.scheme}://{parts.netloc}"
+                bhost = (parts.hostname or "").lower()
+        except ValueError:
+            pass
+
+    def res(href: str):
+        if (origin is not None and href[:1] == "/" and href[1:2] != "/"
+                and "/." not in href and _FAST_REL(href) is not None):
+            return origin + href, bhost
+        m = _FAST_ABS(href)
+        if m is not None and "/." not in href:
+            return (href if m.group(3) else href + "/"), m.group(2)
+        t = canonicalize(resolve(base, href))
+        return t, url_host(t)
+
+    return res
 
 
 def host_expr(col):

@@ -213,3 +213,81 @@ def test_deep_nesting_serialize_no_recursion():
     assert s.endswith("x" + "</div>" * 50_000 + "</body></html>")
     # inner_html on the root takes the same iterative path
     assert d.root.inner_html.startswith("<body><div>")
+
+
+class TestLinkResolverDifferential:
+    """link_resolver(base)(href) must equal the slow path
+    (canonicalize(resolve(base, href)), url_host(...)) on EVERY input —
+    the fast branches are regex-gated claims of already-canonical form,
+    and this suite is the proof obligation."""
+
+    @staticmethod
+    def _slow(base, href):
+        from osmospark.urlnorm import canonicalize, resolve, url_host
+        t = canonicalize(resolve(base, href))
+        return t, url_host(t)
+
+    def _check(self, base, href):
+        from osmospark.urlnorm import link_resolver
+        assert link_resolver(base)(href) == self._slow(base, href), (
+            base, href)
+
+    def test_corpus_links(self):
+        # every href the synthetic bench corpus actually emits
+        from osmospark.corpus import _synth_page, _host_sizes
+        import re as _re
+        sizes = _host_sizes(5000, 8, 1.2)
+        hosts = [f"host{h:04d}.test" for h in range(8)]
+        for h in range(8):
+            for i in range(0, min(sizes[h], 40)):
+                url, html = _synth_page(h, i, hosts, sizes, 4, 2, weight=0)
+                for href in _re.findall(r'href="([^"]*)"', html):
+                    self._check(url, href)
+
+    def test_edge_shapes(self):
+        bases = [
+            "http://example.com/a/b?x=1",
+            "https://Example.COM:443/a",
+            "http://example.com:8080/",
+            "http://u:p@example.com/x",
+            "http://[::1]/x",
+            "http://[::1/x",           # unmatched bracket (hostile)
+            "http://h:bad/x",          # unparseable port (hostile)
+            "HTTP://UPPER.example/x",
+            "example.com/no-scheme",
+            "", None,
+        ]
+        hrefs = [
+            "/p/1", "/", "/a/b/c", "/a//b", "/trailing/",
+            "/with~tilde", "/With/Case.html", "/a/../b", "/./a", "/a/.",
+            "//proto.relative/x", "rel/path", "../up", "?q=2", "#frag",
+            "http://other.test/x", "http://other.test", "https://o.t/p",
+            "HTTP://case.test/x", "http://h:80/x", "http://h:443/x",
+            "https://h:443/x", "http://u@h/x", "http://h/x?b=2&a=1",
+            "http://h/x#f", "http://h/%41", "http://[::2]/x",
+            "http://h:bad2/y", "javascript:void(0)", "mailto:a@b",
+            "/sp ace", "/percent%20enc", "/q?inside", "/ümlaut",
+        ]
+        for b in bases:
+            for h in hrefs:
+                self._check(b, h)
+
+    def test_hypothesis_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        alphabet = st.sampled_from(list(
+            "abcXYZ019./-_~:@?#&=%[]! +"))
+        href_s = st.text(alphabet=alphabet, min_size=1, max_size=24)
+        base_s = st.one_of(
+            st.none(),
+            st.just("http://base.test/dir/page"),
+            st.just("http://base.test:8080/dir/"),
+            href_s.map(lambda s: "http://base.test/" + s),
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(base=base_s, href=href_s)
+        def run(base, href):
+            self._check(base, href)
+
+        run()
