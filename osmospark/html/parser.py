@@ -533,14 +533,21 @@ _INCOMPLETE_NEXT = frozenset(
 # differential suite (tests/test_parser_diff.py) fuzzes both paths.
 # Name classes are strict subsets of the stdlib tolerant ones, and the
 # value class excludes '&' so skipping unescape() is exact.
-_SIMPLE_START = re.compile(
-    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+# The end-tag alternation (group 4) is byte-for-byte _ENDTAG_RE with the
+# leading '<' factored out, so the hot loop runs a single regex against
+# every '<' instead of a failed start-match followed by an end-match.
+_SIMPLE_TAG = re.compile(
+    r"<(?:([a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"((?:\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*=\"[^\"&<>]*\")*)"
-    r"\s*(/?)>")
+    r"\s*(/?)>"
+    r"|/\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>)")
 _SIMPLE_ATTR = re.compile(r"([a-zA-Z_:][-.a-zA-Z0-9:_]*)=\"([^\"]*)\"")
 # attr spans with no uppercase letter need no per-name .lower() pass —
 # _SIMPLE_ATTR's findall tuples are final as-is (values are never lowered)
 _UPPER_SEARCH = re.compile(r"[A-Z]").search
+# tags whose start handling routes through the implicit-structure builders
+# (_ensure_html/head/body) instead of plain element construction
+_STRUCT_TAGS = frozenset(("html", "head", "body"))
 
 
 def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
@@ -559,9 +566,22 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     handle_data = builder.handle_data
     start_fast = builder._start_fast
     startend_fast = builder._startend_fast
-    simple_start = _SIMPLE_START.match
+    simple_tag = _SIMPLE_TAG.match
     attr_findall = _SIMPLE_ATTR.findall
     has_upper = _UPPER_SEARCH
+    # builder.stack and builder._nodes are bound once in __init__ and only
+    # mutated in place afterwards, so these aliases stay live; the inline
+    # text/end-tag blocks below replicate handle_data's stack-nonempty
+    # branch and handle_endtag's top-matches branch exactly, falling back
+    # to the methods for the structural cases (empty stack, mis-nesting)
+    stack = builder.stack
+    nodes_append = builder._nodes.append
+    text_new = TextNode.__new__
+    el_new = Element.__new__
+    by_tag_get = builder._by_tag.get
+    cdata_get = _CDATA_END.get
+    void_elements = VOID_ELEMENTS
+    struct_tags = _STRUCT_TAGS
 
     def recover(lt: int) -> int:
         # stdlib goahead's incomplete-construct-at-EOF recovery: emit data
@@ -590,17 +610,55 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
         lt = find("<", i)
         if lt < 0:
             run = rawdata[i:]
-            handle_data(_unescape(run) if "&" in run else run)
+            if "&" in run:
+                run = _unescape(run)
+            if stack:
+                top = stack[-1]
+                tn = text_new(TextNode)
+                tn.parent = top
+                tn._end_order = -1
+                tn.data = run
+                c = builder._counter + 1
+                builder._counter = c
+                tn.order = c
+                nodes_append(tn)
+                top.children.append(tn)
+            else:
+                handle_data(run)
             break
         if lt > i:
             run = rawdata[i:lt]
-            handle_data(_unescape(run) if "&" in run else run)
-        # try the one-regex simple start tag first (it self-anchors on
-        # '<[a-zA-Z]', so no next-char probe is needed in the common case)
-        sm = simple_start(rawdata, lt)
+            if "&" in run:
+                run = _unescape(run)
+            if stack:
+                top = stack[-1]
+                tn = text_new(TextNode)
+                tn.parent = top
+                tn._end_order = -1
+                tn.data = run
+                c = builder._counter + 1
+                builder._counter = c
+                tn.order = c
+                nodes_append(tn)
+                top.children.append(tn)
+            else:
+                handle_data(run)
+        # try the one-regex simple start-or-end tag first (it self-anchors
+        # on '<[a-zA-Z]' / '</', so no next-char probe is needed in the
+        # common case and end tags don't pay a failed start-match)
+        sm = simple_tag(rawdata, lt)
         if sm is not None:
-            tag = sm.group(1).lower()
-            rawattrs = sm.group(2)
+            tag, rawattrs, slash = sm.group(1, 2, 3)
+            if tag is None:
+                # strict end tag (alternation group 4 == _ENDTAG_RE)
+                tag = sm.group(4).lower()
+                if stack and stack[-1].tag == tag:
+                    stack.pop()
+                else:
+                    builder.handle_endtag(tag)
+                i = sm.end()
+                continue
+            tag = tag.lower()
             if rawattrs:
                 # attr names are already lowercase unless the raw span
                 # contains an uppercase letter (values may — then fall
@@ -610,11 +668,42 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                                        for a, v in attr_findall(rawattrs)])
             else:
                 attrs = []
-            if sm.group(3):
+            # inline of _start_fast/_startend_fast for plain tags (the
+            # structural html/head/body tags keep the method path); with
+            # an empty stack and an existing body, _top(tag) always
+            # returns body (head routing only applies while body is None)
+            if tag not in struct_tags:
+                if stack:
+                    top = stack[-1]
+                else:
+                    top = builder.body
+                    if top is None:
+                        top = builder._top(tag)
+                el = el_new(Element)
+                el.parent = top
+                el._end_order = -1
+                el.tag = tag
+                el.attrs = attrs
+                el.children = []
+                c = builder._counter + 1
+                builder._counter = c
+                el.order = c
+                nodes_append(el)
+                lst = by_tag_get(tag)
+                if lst is None:
+                    builder._by_tag[tag] = [el]
+                else:
+                    lst.append(el)
+                top.children.append(el)
+                if not slash:
+                    if tag not in void_elements:
+                        stack.append(el)
+                    cdata_elem = cdata_get(tag)
+            elif slash:
                 startend_fast(tag, attrs)
             else:
                 start_fast(tag, attrs)
-                cdata_elem = _CDATA_END.get(tag)
+                cdata_elem = cdata_get(tag)
             i = sm.end()
             continue
         nxt = rawdata[lt + 1:lt + 2]
@@ -671,7 +760,11 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
         if nxt == "/":
             m = _ENDTAG_RE.match(rawdata, lt)
             if m is not None:
-                builder.handle_endtag(m.group(1).lower())
+                tag = m.group(1).lower()
+                if stack and stack[-1].tag == tag:
+                    stack.pop()
+                else:
+                    builder.handle_endtag(tag)
                 i = m.end()
                 continue
             gtpos = find(">", lt + 1)
