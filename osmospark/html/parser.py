@@ -554,9 +554,13 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     """Whole-document regex tokenizer emitting the exact handle_* callbacks
     ``html.parser.HTMLParser(convert_charrefs=True)`` would — ~2× faster
     because it skips the incremental-feed machinery (goahead/updatepos).
-    It reuses the stdlib's own tolerant tag/attr regexes, so attribute
-    parsing is bit-identical. Differential-tested against the stdlib path
-    over every fixture page plus hypothesis-fuzzed inputs
+    The hot loop is ONE ``_SIMPLE_TAG.finditer`` sweep (a single C-level
+    scan yields every simple start/end tag; the gap between consecutive
+    matches is the text run) — a ``<`` inside a gap marks a construct the
+    simple regex rejected, handled by ``complex_step`` (the stdlib's own
+    tolerant tag/attr regexes, so attribute parsing is bit-identical)
+    after which the sweep restarts. Differential-tested against the
+    stdlib path over every fixture page plus hypothesis-fuzzed inputs
     (tests/test_parser_diff.py); ``OSMOSPARK_STD_PARSER=1`` forces the
     stdlib engine."""
     i, n = 0, len(rawdata)
@@ -566,7 +570,7 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     handle_data = builder.handle_data
     start_fast = builder._start_fast
     startend_fast = builder._startend_fast
-    simple_tag = _SIMPLE_TAG.match
+    finditer = _SIMPLE_TAG.finditer
     attr_findall = _SIMPLE_ATTR.findall
     has_upper = _UPPER_SEARCH
     # builder.stack and builder._nodes are bound once in __init__ and only
@@ -596,62 +600,127 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
         builder.handle_data(_unescape(rawdata[lt:k]))
         return k
 
+    def complex_step(lt: int):
+        # One stateful step at a '<' the simple regex rejected (off the
+        # sweep's hot path — doctype, comments, PIs, single-quoted or
+        # unquoted attrs, bogus markup). Returns (new_i, cdata_pattern).
+        nxt = rawdata[lt + 1:lt + 2]
+        if nxt.isalpha():
+            # faithful port of stdlib parse_starttag +
+            # check_for_whole_start_tag (tolerant mode)
+            j = _locatestart.match(rawdata, lt).end()
+            nextc = rawdata[j:j + 1]
+            if nextc == ">":
+                endpos = j + 1
+            elif nextc == "/" and rawdata[j:j + 2] == "/>":
+                endpos = j + 2
+            elif nextc in ("", "/") or nextc in _INCOMPLETE_NEXT:
+                # stdlib check_for_whole_start_tag: EOF in or before an
+                # attribute value → incomplete → EOF recovery
+                return recover(lt), None
+            else:
+                # buggy start tag: junk to the scan end is one RAW chunk
+                k0 = j if j > lt else lt + 1
+                builder.handle_data(rawdata[lt:k0])
+                return k0, None
+            tm = _tagfind.match(rawdata, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                      or attrvalue[:1] == '"' == attrvalue[-1:]):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end_str = rawdata[k:endpos].strip()
+            if end_str not in (">", "/>"):
+                builder.handle_data(rawdata[lt:endpos])
+                return endpos, None
+            if end_str == "/>":
+                builder.handle_startendtag(tag, attrs)
+                return endpos, None
+            builder.handle_starttag(tag, attrs)
+            return endpos, _CDATA_END.get(tag)
+        if nxt == "/":
+            # the strict end-tag form is _SIMPLE_TAG's own alternation, so
+            # only the tolerant forms ('</div foo>', bogus comments) land
+            # here
+            gtpos = find(">", lt + 1)
+            if gtpos < 0:
+                return recover(lt), None
+            tm = _tagfind.match(rawdata, lt + 2)
+            if tm is not None:
+                builder.handle_endtag(tm.group(1).lower())
+            return gtpos + 1, None
+        if rawdata.startswith("<!--", lt):
+            j = find("-->", lt + 4)
+            if j < 0:
+                return recover(lt), None
+            return j + 3, None
+        if nxt in ("!", "?"):
+            j = find(">", lt + 2)
+            if j < 0:
+                return recover(lt), None
+            return j + 1, None
+        builder.handle_data("<")
+        return lt + 1, None
+
     while i < n:
         if cdata_elem is not None:
             m = cdata_elem.search(rawdata, i)
             if m is None:
-                break  # stdlib discards unterminated CDATA content at EOF
+                return  # stdlib discards unterminated CDATA content at EOF
             j = m.start()
             if j > i:
                 builder.handle_data(rawdata[i:j])  # raw: no charref convert
             cdata_elem = None
             i = j
-            continue
-        lt = find("<", i)
-        if lt < 0:
-            run = rawdata[i:]
-            if "&" in run:
-                run = _unescape(run)
-            if stack:
-                top = stack[-1]
-                tn = text_new(TextNode)
-                tn.parent = top
-                tn._end_order = -1
-                tn.data = run
-                c = builder._counter + 1
-                builder._counter = c
-                tn.order = c
-                nodes_append(tn)
-                top.children.append(tn)
-            else:
-                handle_data(run)
-            break
-        if lt > i:
-            run = rawdata[i:lt]
-            if "&" in run:
-                run = _unescape(run)
-            if stack:
-                top = stack[-1]
-                tn = text_new(TextNode)
-                tn.parent = top
-                tn._end_order = -1
-                tn.data = run
-                c = builder._counter + 1
-                builder._counter = c
-                tn.order = c
-                nodes_append(tn)
-                top.children.append(tn)
-            else:
-                handle_data(run)
-        # try the one-regex simple start-or-end tag first (it self-anchors
-        # on '<[a-zA-Z]' / '</', so no next-char probe is needed in the
-        # common case and end tags don't pay a failed start-match)
-        sm = simple_tag(rawdata, lt)
-        if sm is not None:
-            tag, rawattrs, slash = sm.group(1, 2, 3)
+        broke = False
+        for sm in finditer(rawdata, i):
+            s = sm.start()
+            if s > i:
+                run = rawdata[i:s]
+                lt = run.find("<")
+                if lt >= 0:
+                    # a construct the simple regex rejected sits inside
+                    # the gap: emit the text before it, take one stateful
+                    # step, then restart the sweep
+                    if lt:
+                        run = run[:lt]
+                        if "&" in run:
+                            run = _unescape(run)
+                        handle_data(run)
+                    i, cdata_elem = complex_step(i + lt)
+                    broke = True
+                    break
+                if "&" in run:
+                    run = _unescape(run)
+                if stack:
+                    top = stack[-1]
+                    tn = text_new(TextNode)
+                    tn.parent = top
+                    tn._end_order = -1
+                    tn.data = run
+                    c = builder._counter + 1
+                    builder._counter = c
+                    tn.order = c
+                    nodes_append(tn)
+                    top.children.append(tn)
+                else:
+                    handle_data(run)
+            tag, rawattrs, slash, endtag = sm.group(1, 2, 3, 4)
             if tag is None:
                 # strict end tag (alternation group 4 == _ENDTAG_RE)
-                tag = sm.group(4).lower()
+                tag = endtag.lower()
                 if stack and stack[-1].tag == tag:
                     stack.pop()
                 else:
@@ -698,102 +767,54 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                 if not slash:
                     if tag not in void_elements:
                         stack.append(el)
-                    cdata_elem = cdata_get(tag)
+                    cd = cdata_get(tag)
+                    if cd is not None:
+                        cdata_elem = cd
+                        i = sm.end()
+                        broke = True
+                        break
             elif slash:
                 startend_fast(tag, attrs)
             else:
                 start_fast(tag, attrs)
-                cdata_elem = cdata_get(tag)
-            i = sm.end()
-            continue
-        nxt = rawdata[lt + 1:lt + 2]
-        if nxt.isalpha():
-            # faithful port of stdlib parse_starttag +
-            # check_for_whole_start_tag (tolerant mode)
-            j = _locatestart.match(rawdata, lt).end()
-            nextc = rawdata[j:j + 1]
-            if nextc == ">":
-                endpos = j + 1
-            elif nextc == "/" and rawdata[j:j + 2] == "/>":
-                endpos = j + 2
-            elif nextc in ("", "/") or nextc in _INCOMPLETE_NEXT:
-                # stdlib check_for_whole_start_tag: EOF in or before an
-                # attribute value → incomplete → EOF recovery
-                i = recover(lt)
-                continue
-            else:
-                # buggy start tag: junk to the scan end is one RAW chunk
-                k0 = j if j > lt else lt + 1
-                builder.handle_data(rawdata[lt:k0])
-                i = k0
-                continue
-            tm = _tagfind.match(rawdata, lt + 1)
-            tag = tm.group(1).lower()
-            k = tm.end()
-            attrs = []
-            while k < endpos:
-                am = _attrfind.match(rawdata, k)
-                if not am:
+                cd = cdata_get(tag)
+                if cd is not None:
+                    cdata_elem = cd
+                    i = sm.end()
+                    broke = True
                     break
-                attrname, rest, attrvalue = am.group(1, 2, 3)
-                if not rest:
-                    attrvalue = None
-                elif (attrvalue[:1] == "'" == attrvalue[-1:]
-                      or attrvalue[:1] == '"' == attrvalue[-1:]):
-                    attrvalue = attrvalue[1:-1]
-                if attrvalue:
-                    attrvalue = _unescape(attrvalue)
-                attrs.append((attrname.lower(), attrvalue))
-                k = am.end()
-            end_str = rawdata[k:endpos].strip()
-            if end_str not in (">", "/>"):
-                builder.handle_data(rawdata[lt:endpos])
-                i = endpos
+            i = sm.end()
+        if broke:
+            continue
+        # sweep exhausted: whatever remains is text, unless it hides a
+        # rejected construct
+        if i < n:
+            run = rawdata[i:]
+            lt = run.find("<")
+            if lt >= 0:
+                if lt:
+                    run = run[:lt]
+                    if "&" in run:
+                        run = _unescape(run)
+                    handle_data(run)
+                i, cdata_elem = complex_step(i + lt)
                 continue
-            if end_str == "/>":
-                builder.handle_startendtag(tag, attrs)
+            if "&" in run:
+                run = _unescape(run)
+            if stack:
+                top = stack[-1]
+                tn = text_new(TextNode)
+                tn.parent = top
+                tn._end_order = -1
+                tn.data = run
+                c = builder._counter + 1
+                builder._counter = c
+                tn.order = c
+                nodes_append(tn)
+                top.children.append(tn)
             else:
-                builder.handle_starttag(tag, attrs)
-                cdata_elem = _CDATA_END.get(tag)
-            i = endpos
-            continue
-        if nxt == "/":
-            m = _ENDTAG_RE.match(rawdata, lt)
-            if m is not None:
-                tag = m.group(1).lower()
-                if stack and stack[-1].tag == tag:
-                    stack.pop()
-                else:
-                    builder.handle_endtag(tag)
-                i = m.end()
-                continue
-            gtpos = find(">", lt + 1)
-            if gtpos < 0:
-                i = recover(lt)
-                continue
-            # stdlib tolerant end tag: '</div foo>' closes div; anything
-            # unparseable becomes an (ignored) bogus comment to the '>'
-            tm = _tagfind.match(rawdata, lt + 2)
-            if tm is not None:
-                builder.handle_endtag(tm.group(1).lower())
-            i = gtpos + 1
-            continue
-        if rawdata.startswith("<!--", lt):
-            j = find("-->", lt + 4)
-            if j < 0:
-                i = recover(lt)
-                continue
-            i = j + 3
-            continue
-        if nxt in ("!", "?"):
-            j = find(">", lt + 2)
-            if j < 0:
-                i = recover(lt)
-                continue
-            i = j + 1
-            continue
-        builder.handle_data("<")
-        i = lt + 1
+                handle_data(run)
+        return
 
 
 def parse_html(html, base_url: str | None = None) -> Document:
