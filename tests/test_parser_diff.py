@@ -93,7 +93,60 @@ EDGE_CASES = [
     '<div a="y',
     "<div a='x>more</div>",          # unterminated quote with a later '>'
     "<style>p{}",                    # unterminated style
+    # finditer-sweep structure: several rejected constructs inside ONE
+    # gap between simple-tag matches (each forces a complex_step +
+    # sweep restart), rejected constructs butting against text/tails
+    "<div>a<!-- c1 -->b<!-- c2 -->c<?pi?>d</div>",
+    "<div>t1< t2<!x>t3<a href='s'>y</a>t4</div>",
+    "pre <1 mid <2 post<b>z</b>",
+    "<div>x</div>tail with < stray and &amp; entity",
+    # CDATA entered from the sweep, then sweep resumes after the end tag
+    "<p>a</p><script>1<2</script><p>b</p><style>c>d</style><p>e</p>",
+    "<script>s1</script><script>s2</script>done",
+    "<script>never ends",
+    # simple tag as the very last bytes / text as the very first
+    "lead text<br>",
+    "<img src=\"x\">",
+    "&amp;",
 ]
+
+
+def test_tag_soup_fuzz_identical():
+    """Seeded tag-soup fuzz (deterministic): random interleavings of
+    simple tags, rejected constructs, CDATA and entity-bearing text —
+    the shapes that exercise the finditer sweep's restart logic."""
+    import random
+
+    rng = random.Random(20260820)
+    tags = ["div", "p", "span", "a", "li", "ul", "script", "style",
+            "br", "img", "b", "html", "head", "body", "title"]
+    rejects = ["<!-- c -->", "<!DOCTYPE html>", "<?pi x?>", "<!", "<",
+               "< x", "</ >", "</div foo>", "<a href='s q'>",
+               "<a name=unq>", "<a name=unq", "<![CDATA[x]]>"]
+    texts = ["text & more", "  ", "&lt;tag&gt;", "caf\xe9 &#233;",
+             "plain <notatag", "a&b;c", "\n\t"]
+    for _ in range(400):
+        bits = []
+        for _ in range(rng.randint(1, 50)):
+            r = rng.random()
+            t = rng.choice(tags)
+            if r < 0.30:
+                attrs = "".join(
+                    ' {}="{}"'.format(
+                        rng.choice(["href", "id", "class", "HREF",
+                                    "data-x", "x:y"]),
+                        rng.choice(["a&amp;b", "pl ain", "", "\xe9"]))
+                    for _ in range(rng.randint(0, 2)))
+                bits.append(f"<{t}{attrs}>")
+            elif r < 0.45:
+                bits.append(f"</{t}>")
+            elif r < 0.52:
+                bits.append(f"<{t}/>")
+            elif r < 0.62:
+                bits.append(rng.choice(rejects))
+            else:
+                bits.append(rng.choice(texts))
+        _assert_same("".join(bits))
 
 
 @pytest.mark.parametrize("case", EDGE_CASES)
