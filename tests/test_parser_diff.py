@@ -154,6 +154,36 @@ def test_edge_cases_identical(case):
     _assert_same(case)
 
 
+def test_attr_span_fuzz_identical():
+    """Seeded fuzz of the simple start-tag ATTRIBUTE span specifically:
+    _fast_feed decomposes group 2 of _SIMPLE_TAG with split('\"') instead
+    of a second regex pass, relying on the group's (\\s+name=\"value\")*
+    pre-validation. Random spans across that full grammar — every
+    whitespace kind the class admits, name chars {:-._ digits upper},
+    values with '=', quotes of the OTHER kind, spaces — must parse
+    attr-for-attr identically to the stdlib engine."""
+    import random
+
+    rng = random.Random(20260821)
+    name_first = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_:"
+    name_rest = name_first + "-.0123456789"
+    val_chars = "abcXYZ 0123456789='`( )\t\n;/\\,éß"
+    for _ in range(600):
+        n_attrs = rng.randint(0, 5)
+        span = []
+        for _ in range(n_attrs):
+            ws = "".join(rng.choice(" \t\n\r") for _ in
+                         range(rng.randint(1, 3)))
+            name = (rng.choice(name_first)
+                    + "".join(rng.choice(name_rest)
+                              for _ in range(rng.randint(0, 6))))
+            val = "".join(rng.choice(val_chars)
+                          for _ in range(rng.randint(0, 12)))
+            span.append(f'{ws}{name}="{val}"')
+        close = rng.choice([">", "/>", " >", " />", "\n>"])
+        _assert_same(f"<div{''.join(span)}{close}text</div>")
+
+
 def test_hypothesis_fuzz_identical():
     try:
         from hypothesis import HealthCheck, given, settings
