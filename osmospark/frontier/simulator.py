@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from ..html import Attribute, Element, compile_selector
 from ..interpreter import build_document
-from ..urlnorm import canonicalize, resolve
+from ..urlnorm import canonicalize, link_resolver
 
 DEFAULT_CONCURRENCY = 5  # reference index.js:93
 
@@ -63,6 +63,9 @@ def crawl_order(
         if page is None or depth >= max_depth:
             continue
         doc = build_document(page.html, url)
+        # one base canonicalization per page, same as the extraction
+        # kernel (exactly equal to canonicalize(resolve(url, href)))
+        resolve_link = link_resolver(url)
         outlinks = []
         for node in sel.find(doc, relative=True):
             if isinstance(node, Attribute):
@@ -73,7 +76,7 @@ def crawl_order(
             else:
                 href = None
             if href:
-                outlinks.append(canonicalize(resolve(url, href)))
+                outlinks.append(resolve_link(href)[0])
         # children pushed in document order → LIFO pops the LAST link first;
         # the reference issues requests in document order and the stack
         # holds the overflow beyond the concurrency window

@@ -428,6 +428,12 @@ class _TreeBuilder(_StdHTMLParser):
     # tuples, never None values) and with _number_el inlined — together
     # ~10% of whole-kernel time on a 5 KB-page corpus.
     def _start_fast(self, tag, attrs):
+        # The sweep only routes the structural tags here; every other
+        # start tag is built inline in _fast_feed's hot loop. Delegate
+        # the non-struct remainder to handle_starttag (identical
+        # semantics — the (str, str) attrs make its None-normalization
+        # the identity) so this entry point stays total without a
+        # second, unreachable copy of the element-construction block.
         if tag == "html":
             self._ensure_html()
             return
@@ -438,25 +444,7 @@ class _TreeBuilder(_StdHTMLParser):
         if tag == "body":
             self.stack.append(self._ensure_body())
             return
-        stack = self.stack
-        top = stack[-1] if stack else self._top(tag)
-        el = Element.__new__(Element)
-        el.parent = top
-        el._end_order = -1
-        el.tag = tag
-        el.attrs = attrs
-        el.children = []
-        self._counter += 1
-        el.order = self._counter
-        self._nodes.append(el)
-        lst = self._by_tag.get(tag)
-        if lst is None:
-            self._by_tag[tag] = [el]
-        else:
-            lst.append(el)
-        top.children.append(el)
-        if tag not in VOID_ELEMENTS:
-            stack.append(el)
+        self.handle_starttag(tag, attrs)
 
     def _startend_fast(self, tag, attrs):
         stack = self.stack
@@ -510,8 +498,16 @@ class _TreeBuilder(_StdHTMLParser):
 
 
 _CDATA_TAGS = {"script", "style"}
-_CDATA_END = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_TAGS}
-# stdlib html.parser endtagfind (strict form; tolerant fallback below)
+# stdlib (3.11) set_cdata_mode: CDATA content ends ONLY at a full strict
+# end tag of the owning element ('</\s*tag\s*>', any case); '</script foo>',
+# '</scriptx>', or an unterminated '</script' never leave CDATA mode — the
+# content (and at EOF, everything after) stays raw script/style data.
+_CDATA_END = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE)
+              for t in _CDATA_TAGS}
+# stdlib html.parser endtagfind (strict form; tolerant fallback below).
+# Not called directly — it is the TEMPLATE for _SIMPLE_TAG's group-4
+# alternation (leading '<' factored out), which must stay byte-for-byte
+# in sync; test_parser_diff.test_group4_is_endtag_re pins the identity.
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _USE_STD_PARSER = (os.environ.get("OSMOSPARK_STD_PARSER") == "1"
                    or not _HAVE_TOLERANT_RE)
@@ -565,7 +561,7 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     stdlib engine."""
     i, n = 0, len(rawdata)
     find = rawdata.find
-    cdata_elem = None
+    cdata_elem = None   # compiled strict-end-tag pattern while in CDATA
     # hot-loop locals: skip the attribute lookup per token
     handle_data = builder.handle_data
     start_fast = builder._start_fast
@@ -605,7 +601,10 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
         # sweep's hot path — doctype, comments, PIs, single-quoted or
         # unquoted attrs, bogus markup). Returns (new_i, cdata_pattern).
         nxt = rawdata[lt + 1:lt + 2]
-        if nxt.isalpha():
+        # stdlib starttagopen is '<[a-zA-Z]' — ASCII only. nxt.isalpha()
+        # here would accept any Unicode letter ('a<éb') and then crash on
+        # _locatestart's None; stdlib treats such '<' as plain data.
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
             # faithful port of stdlib parse_starttag +
             # check_for_whole_start_tag (tolerant mode)
             j = _locatestart.match(rawdata, lt).end()
@@ -676,9 +675,13 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
 
     while i < n:
         if cdata_elem is not None:
+            # the pattern is the FULL strict end tag (see _CDATA_END), so
+            # a match here is guaranteed to be handled as a strict end tag
+            # by the resumed sweep (group 4 matches exactly this span);
+            # no match → stdlib discards the unterminated content at EOF
             m = cdata_elem.search(rawdata, i)
             if m is None:
-                return  # stdlib discards unterminated CDATA content at EOF
+                return
             j = m.start()
             if j > i:
                 builder.handle_data(rawdata[i:j])  # raw: no charref convert

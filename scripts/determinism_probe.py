@@ -68,7 +68,7 @@ def main() -> int:
 
     queries = entry_mod.queries()
     names = list(queries)
-    if args.first:
+    if args.first is not None:
         names = names[:args.first]
     missing = [n for n in names if n not in expected]
     if missing:

@@ -108,7 +108,58 @@ EDGE_CASES = [
     "lead text<br>",
     "<img src=\"x\">",
     "&amp;",
+    # '<' + non-ASCII letter: stdlib starttagopen is ASCII-only, so the
+    # '<' is plain data (r5 review: complex_step's isalpha() gate crashed
+    # on the None from _locatestart here)
+    "a<éb",
+    "x<é>y",
+    "<p>français <éléphant</p>",
+    "<Ω>",
+    "a<é",
+    "<é",
+    # CDATA leaves ONLY at a full strict end tag of the owning element
+    # (stdlib 3.11 set_cdata_mode pattern '</\\s*tag\\s*>'); tolerant or
+    # mismatched end-tag shapes stay inside as raw content, and at EOF
+    # the unterminated remainder is discarded (r5 review: the fast path
+    # exited CDATA at any '</script' prefix)
+    "<script>a<b</script foo>after",
+    "<script>a</scriptx>b</script>c",
+    "<script>a</script\nmore",
+    "<style>p{}</style foo>q</style>r",
+    "<script>a</SCRIPT >b</script>c",
+    "<script>a</ script>b</script>c",
+    "<script>a</script x",
+    "<script>a</script\t\n >b",
+    "<script>é<b</script>x",
+    "<style></ style >done</style>z",
 ]
+
+
+def test_group4_is_endtag_re():
+    """_SIMPLE_TAG's end-tag alternation (group 4) must stay byte-for-byte
+    the stdlib strict endtagfind (_ENDTAG_RE) with the leading '<'
+    factored out — the CDATA exit relies on the resumed sweep treating a
+    _CDATA_END match as a strict end tag."""
+    assert P._SIMPLE_TAG.pattern.endswith("|" + P._ENDTAG_RE.pattern[1:] + ")")
+    for t in P._CDATA_TAGS:
+        # _CDATA_END is the same strict shape specialized to the element
+        assert P._CDATA_END[t].pattern == rf"</\s*{t}\s*>"
+
+
+def test_cdata_nonascii_fuzz_identical():
+    """Seeded fuzz of CDATA boundaries and '<'+non-ASCII shapes — the two
+    r5 review findings — against the stdlib engine."""
+    import random
+
+    rng = random.Random(20260820)
+    frag = ["<script>", "</script>", "</script", "</script foo>",
+            "</scriptx>", "<style>", "</style>", "</ScRiPt >", "text",
+            "é", "<é", "a<b", "&amp;", "<p>", "</p>",
+            '<div class="x">', "<!--c-->", "<", ">", "\n", " ",
+            "</style x", "<ω>", "χ<ψ"]
+    for _ in range(800):
+        _assert_same("".join(rng.choice(frag)
+                             for _ in range(rng.randint(1, 12))))
 
 
 def test_tag_soup_fuzz_identical():
