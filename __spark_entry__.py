@@ -2074,6 +2074,104 @@ def q_cap_per_host(spark, sf_dir):
     return cap_per_host(docs, 30)
 
 
+def _meta_pages(spark, sf_dir):
+    """Deterministic head-metadata corpus from documents: 3-doc canonical
+    groups sharing a host, relative AND absolute-denormalized canonical
+    hrefs (the absolute variant is uppercase + default port + fragment,
+    proving the extractor pushes hrefs through resolve+canonicalize),
+    robots noindex/nofollow variants, og:title on even docs."""
+    docs = _documents(spark, sf_dir)
+    host = F.expr("concat('h', CAST((doc_id div 3) % 7 AS STRING), "
+                  "'.test')")
+    g = F.expr("CAST((doc_id div 3) * 3 AS STRING)")
+    ds = F.col("doc_id").cast("string")
+    m3 = F.expr("doc_id % 3")
+    can = (F.when(m3 == 1, F.concat(F.lit('<link rel="canonical" '
+                                          'href="/d/'), g, F.lit('">')))
+           .when(m3 == 2, F.concat(
+               F.lit('<link rel="canonical" href="HTTP://'),
+               F.upper(host), F.lit(':80/d/'), g, F.lit('#frag">')))
+           .otherwise(F.lit("")))
+    rob = (F.when(F.expr("doc_id % 5") == 2,
+                  F.lit('<meta name="robots" content="noindex, nofollow">'))
+           .when(F.expr("doc_id % 5") == 4,
+                 F.lit('<meta name="robots" content="nofollow">'))
+           .otherwise(F.lit("")))
+    og = (F.when(F.expr("doc_id % 2") == 0,
+                 F.concat(F.lit('<meta property="og:title" content="OG doc '),
+                          ds, F.lit('">')))
+          .otherwise(F.lit("")))
+    html = F.concat(F.lit("<head><title>doc "), ds,
+                    F.lit("</title>"), can, rob, og,
+                    F.lit("</head><body><p>b</p></body>"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), ds)
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_page_metadata(spark, sf_dir):
+    """Explicit-dedup-tier metadata extraction: title / rel=canonical /
+    meta-robots / og:title through the real DOM+selector kernel (one
+    mapInPandas pass), canonical hrefs resolved+canonicalized with the
+    frontier's urlnorm. Oracle reconstructs the planted values — the
+    absolute-uppercase-port-fragment variant must normalize to the same
+    canonical string as the relative one."""
+    from osmospark.functions.metadata import page_metadata
+    return page_metadata(_meta_pages(spark, sf_dir)).orderBy("url")
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """rel=canonical collapse over the metadata table: noindex pages
+    excluded, groups keyed by coalesce(canonical, url), deterministic
+    min-url representative, self_canonical flag. One map-side-partial
+    keyed aggregation (min/bool_or) — hot canonical targets cost one
+    reduce row, not a member fan-in."""
+    from osmospark.functions.metadata import (canonical_collapse,
+                                              page_metadata)
+    meta = page_metadata(_meta_pages(spark, sf_dir))
+    return canonical_collapse(meta).orderBy("canonical_url")
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index: SURT keys (reversed host labels, case/port/
+    fragment-normalized), 14-digit timestamps, md5 content digests,
+    octet lengths — pure JVM map-only expressions. The planted URLs are
+    deliberately denormalized (mixed-case host, :80, fragment)."""
+    from osmospark.warc import cdx_index
+    docs = _documents(spark, sf_dir)
+    url = F.concat(F.lit("http://H"),
+                   F.expr("CAST(doc_id % 7 AS STRING)"),
+                   F.lit(".Test:80/p/"), F.col("doc_id").cast("string"),
+                   F.lit("?q="), F.expr("CAST(doc_id % 4 AS STRING)"),
+                   F.lit("#f"))
+    ts = F.expr("timestamp '2026-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, CAST(doc_id % 3600 AS DOUBLE))")
+    pages = docs.select(url.alias("url"), ts.alias("warc_ts"),
+                        F.col("text").alias("html"))
+    return cdx_index(pages).orderBy("surt")
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture planning: 1M-token budget split across planted
+    per-source weights ((suffix*37)%400+100 permille; every suffix%7==3
+    source has NO weight row → target 0; a phantom weight row dilutes
+    the normalizer without emitting output). Exact integral `div`
+    arithmetic on both engines."""
+    from osmospark.functions.curation import mixture_plan
+    docs = _documents(spark, sf_dir)
+    suf = F.expr("CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)")
+    weights = (docs.select("source").distinct()
+               .withColumn("_suf", suf)
+               .where(F.expr("_suf % 7 <> 3"))
+               .select("source",
+                       F.expr("(_suf * 37) % 400 + 100")
+                       .alias("weight_permille"))
+               .union(spark.createDataFrame(
+                   [("src_phantom", 250)],
+                   "source string, weight_permille bigint")))
+    return (mixture_plan(docs, weights, 1_000_000)
+            .orderBy("domain"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2142,6 +2240,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": q_graph_stats,
         "communities_lpa": q_communities_lpa,
         "cap_per_host": q_cap_per_host,
+        # ---- r5 additions (post-window by design: the 50 slots above
+        # pay off the r4 driver-attestation debt; these four are
+        # attested by the committed sf0.01 oracle-sweep ledger + the
+        # hostile-config determinism probe, and rotate into the window
+        # first in any future round — PLANS.md §29 amendment) ----
+        "page_metadata": q_page_metadata,
+        "canonical_collapse": q_canonical_collapse,
+        "cdx_index": q_cdx_index,
+        "mixture_plan": q_mixture_plan,
         # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
@@ -5154,5 +5261,98 @@ def oracle_sql() -> dict[str, str]:
                               doc_id % 37)), 1, 8))::BIGINT % 1000 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        # page_metadata: reconstruct the planted head values; BOTH
+        # canonical variants (relative, absolute-uppercase-:80-#frag)
+        # must normalize to the same canonical string
+        "page_metadata": """
+            SELECT 'http://h' || ((doc_id // 3) % 7) || '.test/p/'
+                     || doc_id AS url,
+                   'doc ' || doc_id AS title,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN 'http://h' || ((doc_id // 3) % 7)
+                             || '.test/d/' || ((doc_id // 3) * 3)
+                   END AS canonical,
+                   doc_id % 5 = 2 AS noindex,
+                   doc_id % 5 IN (2, 4) AS nofollow,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'OG doc ' || doc_id END AS og_title
+            FROM documents ORDER BY url
+        """,
+        # canonical_collapse: indexable pages grouped on
+        # coalesce(canonical, url); min-url representative, bool_or
+        # self-canonical
+        "canonical_collapse": """
+            WITH m AS (
+              SELECT 'http://h' || ((doc_id // 3) % 7) || '.test/p/'
+                       || doc_id AS url,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN 'http://h' || ((doc_id // 3) % 7)
+                               || '.test/d/' || ((doc_id // 3) * 3)
+                     END AS canonical,
+                     doc_id % 5 = 2 AS noindex
+              FROM documents)
+            SELECT coalesce(canonical, url) AS canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(url) AS representative,
+                   bool_or(url = coalesce(canonical, url))
+                     AS self_canonical
+            FROM m WHERE NOT noindex
+            GROUP BY 1 ORDER BY canonical_url
+        """,
+        # cdx_index: SURT normalization (lowercased reversed host
+        # labels, port/fragment stripped) + CDX-14 timestamp + md5
+        # digest replayed relationally
+        "cdx_index": """
+            SELECT 'test,h' || (doc_id % 7) || ')/p/' || doc_id
+                     || '?q=' || (doc_id % 4) AS surt,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00'
+                            + INTERVAL (doc_id % 3600) SECOND,
+                            '%Y%m%d%H%M%S') AS ts,
+                   'http://H' || (doc_id % 7) || '.Test:80/p/' || doc_id
+                     || '?q=' || (doc_id % 4) || '#f' AS url,
+                   md5(text) AS digest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+            FROM documents ORDER BY surt
+        """,
+        # mixture_plan: weighted token-budget split with exact integral
+        # division; suffix%7==3 sources have no weight row (-> 0), the
+        # phantom weight row only dilutes the normalizer
+        "mixture_plan": """
+            WITH w AS (
+              SELECT source,
+                     (CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS BIGINT) * 37) % 400 + 100 AS w
+              FROM (SELECT DISTINCT source FROM documents)
+              WHERE CAST(regexp_extract(source, '([0-9]+)$', 1)
+                         AS BIGINT) % 7 <> 3
+              UNION ALL SELECT 'src_phantom', 250),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+            toks AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS t
+              FROM documents),
+            avail AS (
+              SELECT source AS domain,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS avail_tokens
+              FROM toks GROUP BY 1)
+            SELECT a.domain, a.n_docs, a.avail_tokens,
+                   CAST(1000000 * coalesce(w.w, 0) // t.w_total
+                        AS BIGINT) AS target_tokens,
+                   CAST(CASE WHEN a.avail_tokens > 0
+                        THEN (1000000 * coalesce(w.w, 0) // t.w_total)
+                             * 1000 // a.avail_tokens
+                        ELSE 0 END AS BIGINT) AS epochs_permille,
+                   (CASE WHEN a.avail_tokens > 0
+                         THEN (1000000 * coalesce(w.w, 0) // t.w_total)
+                              * 1000 // a.avail_tokens
+                         ELSE 0 END) > 1000 AS oversampled
+            FROM avail a LEFT JOIN w ON a.domain = w.source
+            CROSS JOIN tot t
+            ORDER BY a.domain
         """,
     }

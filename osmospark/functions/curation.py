@@ -869,3 +869,61 @@ def cap_per_host(documents: DataFrame, k: int,
     return (out.select("doc_id", "host",
                        F.col("cum_before").alias("rank"))
             .orderBy("host", "doc_id"))
+
+
+def mixture_plan(documents: DataFrame, weights: DataFrame,
+                 token_budget: int, text_col: str = "text",
+                 domain_col: str = "source",
+                 weight_col: str = "weight_permille") -> DataFrame:
+    """Static training-mixture planning: per-domain token inventory vs a
+    weighted token budget → integer epoch factors.
+
+    The step between a curated corpus and a training run: given target
+    mixture weights per domain (The Pile / DoReMi-style static weights)
+    and a total token budget, compute for each domain how many tokens it
+    must contribute (``target_tokens``), how many it has
+    (``avail_tokens``), and the repetition factor that implies
+    (``epochs_permille`` = target/avail ×1000 — >1000 means the domain
+    epochs more than once, the signal mixture designers watch).
+
+    Plan shape at 100 TB: ONE map-side-partial aggregation over the
+    corpus keyed by domain (sum of per-row token counts — the shuffle
+    carries one partial row per (task, domain)); the weights table is
+    domains-sized and broadcast, its normalizing sum a broadcast 1-row
+    aggregate.  No windows, no sorts, no driver state.  All integer
+    arithmetic (floor division) so the plan is bit-identical on any
+    engine — the DuckDB oracle replays it exactly.
+
+    Domains present in the corpus but missing a weight row get weight 0
+    (target 0, epochs 0) and stay visible rather than vanishing — the
+    NULL-handling discipline of ``ccnet_buckets``; a NULL domain groups
+    as its own row the same way.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+            .otherwise(toks)
+    avail = (documents
+             .groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(toks).cast("bigint").alias("avail_tokens")))
+    w = weights.select(F.col(domain_col).alias("domain"),
+                       F.col(weight_col).cast("bigint").alias("w"))
+    tot = w.agg(F.sum("w").alias("w_total"))
+    joined = (avail
+              .join(F.broadcast(w), "domain", "left")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("w", F.coalesce(F.col("w"), F.lit(0))))
+    # exact 64-bit integral division on BOTH engines (Spark `div` ≡
+    # DuckDB `//` for non-negative operands) — no double rounding
+    target = F.expr(
+        f"CAST({int(token_budget)} AS BIGINT) * w div w_total")
+    epochs = F.when(
+        F.col("avail_tokens") > 0,
+        F.expr(f"(CAST({int(token_budget)} AS BIGINT) * w div w_total) "
+               f"* 1000 div avail_tokens")) \
+        .otherwise(F.lit(0).cast("bigint"))
+    return joined.select(
+        "domain", "n_docs", "avail_tokens",
+        target.alias("target_tokens"),
+        epochs.alias("epochs_permille"),
+        (epochs > 1000).alias("oversampled"))

@@ -1,0 +1,144 @@
+"""Head-metadata extraction + rel=canonical collapse.
+
+A crawl's dedup signal chain has three tiers: explicit (the page says
+"my canonical URL is X" via ``<link rel=canonical>``), syntactic (DUST
+rules mined from (url, fingerprint) observations — ``urlnorm.dust_rules``),
+and content (MinHash/SimHash — ``functions.dedup``).  This module covers
+the explicit tier, which the reference surfaces only implicitly through
+selector queries over ``head`` (find/set on ``link``/``meta``, e.g. the
+patterns in rchipka/node-osmosis README.md selector examples); here it is
+a first-class page-table operator because at 100 TB the canonical link is
+the cheapest dedup evidence available — no shingling, no pairwise work,
+one map-side parse that is usually piggy-backed on the extraction pass
+already touching every page.
+
+Spark-first shape:
+
+- ``page_metadata`` — ONE Arrow-batched ``mapInPandas`` over (url, html):
+  parse with the same pure-Python DOM used by extraction/main_text,
+  select ``title`` / ``link[rel=canonical]@href`` /
+  ``meta[name=robots]@content`` / ``meta[property='og:title']@content``
+  through the selector engine, resolve + canonicalize the canonical
+  href against the page URL with the same ``urlnorm`` kernel the
+  frontier hashes with.  Zero shuffles, zero driver state.
+- ``canonical_collapse`` — relational: group indexable pages by their
+  canonical fetch key (``coalesce(canonical, url)``), pick the
+  lexicographically-first member URL as representative.  One keyed
+  aggregation; at 10^10 URLs this shuffles (canonical_url, url) pairs
+  only — never html.
+
+Hostile-data discipline (PLANS §36): NULL/empty/headless html yields a
+row with NULL metadata, never a dropped page; a malformed canonical href
+degrades through ``urlnorm.resolve``'s total, idempotent grammar.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..html import parse_html
+from ..urlnorm import canonicalize, resolve
+
+_META_FIELDS = ("title string, canonical string, noindex boolean, "
+                "nofollow boolean, og_title string")
+
+
+def _robots_tokens(content: str) -> set:
+    return {t.strip().lower() for t in content.split(",") if t.strip()}
+
+
+def extract_metadata(url: str, html: str):
+    """(title, canonical, noindex, nofollow, og_title) for one page.
+
+    First match in document order wins for each field (a page with two
+    canonical links is malformed; browsers and indexers take the first).
+    The canonical href is resolved against the page URL and pushed
+    through ``canonicalize`` so it equi-joins frontier fetch keys.
+    """
+    if not html:
+        return None, None, False, False, None
+    doc = parse_html(html)
+    title = next((e.text() for e in doc.find("title")), None)
+    canonical = None
+    for e in doc.find("link[rel=canonical]"):
+        href = e.get_attribute("href")
+        if href:
+            canonical = canonicalize(resolve(url, href))
+            break
+    noindex = nofollow = False
+    for e in doc.find("meta[name=robots]"):
+        toks = _robots_tokens(e.get_attribute("content") or "")
+        noindex = noindex or "noindex" in toks or "none" in toks
+        nofollow = nofollow or "nofollow" in toks or "none" in toks
+    og_title = next(
+        (e.get_attribute("content")
+         for e in doc.find("meta[property='og:title']")
+         if e.get_attribute("content") is not None), None)
+    return title, canonical, noindex, nofollow, og_title
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Head-metadata table over a page corpus: (url, title, canonical,
+    noindex, nofollow, og_title) via one Arrow-batched parse pass."""
+    schema = f"{url_col} string, {_META_FIELDS}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "title", "canonical",
+                                    "noindex", "nofollow", "og_title")}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", "replace")
+                t, c, ni, nf, og = extract_metadata(url, html)
+                rows["url"].append(url)
+                rows["title"].append(t)
+                rows["canonical"].append(c)
+                rows["noindex"].append(ni)
+                rows["nofollow"].append(nf)
+                rows["og_title"].append(og)
+            yield pd.DataFrame({
+                url_col: pd.Series(rows["url"], dtype="object"),
+                "title": pd.Series(rows["title"], dtype="object"),
+                "canonical": pd.Series(rows["canonical"], dtype="object"),
+                "noindex": pd.Series(rows["noindex"], dtype="bool"),
+                "nofollow": pd.Series(rows["nofollow"], dtype="bool"),
+                "og_title": pd.Series(rows["og_title"], dtype="object"),
+            })
+
+    return pages.select(url_col, html_col).mapInPandas(run, schema)
+
+
+def canonical_collapse(meta: DataFrame, url_col: str = "url") -> DataFrame:
+    """Collapse pages onto their declared canonical URL.
+
+    Input is ``page_metadata`` output (or any frame with url / canonical
+    / noindex).  ``noindex`` pages are excluded first — a page that asks
+    not to be indexed contributes neither a group nor a representative
+    (the classic indexer rule).  Returns one row per canonical fetch key:
+
+    - ``canonical_url``  — ``coalesce(canonical, url)``
+    - ``n_pages``        — members collapsed onto it
+    - ``representative`` — lexicographic min member URL (deterministic)
+    - ``self_canonical`` — whether some member IS the canonical target
+      (a group whose target was never crawled is a frontier gap: the
+      canonical page itself still needs fetching)
+
+    One keyed aggregation over (canonical_url, url) pairs; min() and
+    bool_or() are both map-side-partial, so the shuffle carries one
+    partial row per (task, key) — hot canonical targets (site front
+    pages) cost one reduce-side row, not a skewed fan-in of members.
+    """
+    u = F.col(url_col)
+    key = F.coalesce(F.col("canonical"), u)
+    return (meta
+            .where(~F.col("noindex"))
+            .select(key.alias("canonical_url"), u.alias(url_col))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_pages"),
+                 F.min(url_col).alias("representative"),
+                 F.bool_or(F.col(url_col) == F.col("canonical_url"))
+                 .alias("self_canonical")))

@@ -83,3 +83,56 @@ def make_warc_record(url_col, ts_col, status_col, ctype_col,
         F.lit("\r\n\r\nHTTP/1.1 "), status_col,
         F.lit(" X\r\nContent-Type: "), ctype_col,
         F.lit("\r\n\r\n"), body_col)
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts", html_col: str = "html") -> DataFrame:
+    """CDX(J)-style capture index over a page table: one row per capture
+    with a SURT key, so the index of a 100-TB crawl range-partitions by
+    domain and URL lookups / per-domain scans become partition-pruned
+    range reads (the Common-Crawl index layout; reference crawls consume
+    the live-HTTP equivalent via its needle layer, index.js).
+
+    Columns:
+
+    - ``surt``   — Sort-friendly URI Reordering Transform of the
+      canonical URL: reversed host labels comma-joined, then ``)`` and
+      the path?query (fragment stripped, scheme/port/userinfo dropped,
+      host lowercased via the same ``host_expr`` the frontier joins on).
+      ``http://News.Example.com:80/a/b?q=1#x`` →
+      ``com,example,news)/a/b?q=1``.
+    - ``ts``     — 14-digit CDX timestamp string of ``ts_col``.
+    - ``url``    — the original capture URL (SURT is lossy).
+    - ``digest`` — md5 hex of the UTF-8 body (content-identity column;
+      two captures with equal digests are byte-dupes — the exact tier
+      of the dedup chain).
+    - ``nbytes`` — body octet length.
+
+    Pure JVM expressions end-to-end (regexp/split/reverse/md5 — one
+    map-only whole-stage-codegen pass, no Python, no shuffle); writing
+    sorted-by-(surt, ts) is the caller's ``sortWithinPartitions`` after
+    a range ``repartitionByRange("surt")``.
+    """
+    from .urlnorm import host_expr
+
+    u = F.col(url_col)
+    host = host_expr(u)
+    # path?query after the authority, fragment stripped; bare-authority
+    # URLs index as '/'
+    no_frag = F.substring_index(u, "#", 1)
+    pathq = F.regexp_extract(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    # bare authority → '/', query-only ('http://h?q=1') → '/?q=1'
+    pathq = (F.when(pathq == "", F.lit("/"))
+             .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+             .otherwise(pathq))
+    surt = F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                    F.lit(")"), pathq)
+    body = F.col(html_col)
+    body_bin = body.cast("binary")
+    return pages.select(
+        surt.alias("surt"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+        u.alias(url_col),
+        F.md5(body_bin).alias("digest"),
+        F.length(body_bin).cast("bigint").alias("nbytes"),
+    )

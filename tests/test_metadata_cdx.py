@@ -1,0 +1,178 @@
+"""Tests for the r5 additions: page_metadata / canonical_collapse
+(explicit-dedup tier), cdx_index (SURT capture index), mixture_plan
+(token-budget mixture planning) — including the §36 hostile-input
+discipline (NULL/empty/headless html, malformed hrefs, NULL domains)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmospark.functions.metadata import (canonical_collapse,
+                                          extract_metadata, page_metadata)
+from osmospark.functions.curation import mixture_plan
+from osmospark.warc import cdx_index
+
+
+# ---------------------------------------------------------------- kernel
+
+def test_extract_metadata_fields():
+    html = ('<head><title>T</title>'
+            '<link rel="canonical" href="/c/1">'
+            '<meta name="robots" content=" NoIndex , nofollow ">'
+            '<meta property="og:title" content="OG"></head>'
+            '<body><p>x</p></body>')
+    t, c, ni, nf, og = extract_metadata("http://h.test/p/9", html)
+    assert t == "T"
+    assert c == "http://h.test/c/1"
+    assert ni and nf
+    assert og == "OG"
+
+
+def test_extract_metadata_first_canonical_wins():
+    html = ('<head><link rel="canonical" href="/a">'
+            '<link rel="canonical" href="/b"></head>')
+    _, c, *_ = extract_metadata("http://h.test/", html)
+    assert c == "http://h.test/a"
+
+
+def test_extract_metadata_absolute_href_canonicalized():
+    html = '<head><link rel="canonical" href="HTTP://H.TEST:80/X#f"></head>'
+    _, c, *_ = extract_metadata("http://other.test/p", html)
+    assert c == "http://h.test/X"
+
+
+def test_extract_metadata_robots_none_token():
+    html = '<head><meta name="robots" content="none"></head>'
+    _, _, ni, nf, _ = extract_metadata("http://h.test/", html)
+    assert ni and nf
+
+
+def test_extract_metadata_hostile_inputs():
+    # NULL/empty html -> all-NULL row, no exception
+    assert extract_metadata("http://h.test/", "") == (
+        None, None, False, False, None)
+    assert extract_metadata("http://h.test/", None) == (
+        None, None, False, False, None)
+    # headless body, canonical without href, empty robots content
+    t, c, ni, nf, og = extract_metadata(
+        "http://h.test/",
+        '<body><link rel="canonical"><meta name="robots" content=""></body>')
+    assert c is None and not ni and not nf
+
+
+def test_page_metadata_df_binary_html_and_nulls(spark):
+    rows = [
+        ("http://a.test/1", b"<head><title>A</title></head>"),
+        ("http://a.test/2", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in page_metadata(df).collect()}
+    assert got["http://a.test/1"]["title"] == "A"
+    assert got["http://a.test/2"]["title"] is None
+    assert len(got) == 2  # NULL html never drops the page
+
+
+# ------------------------------------------------------------- collapse
+
+def test_canonical_collapse_groups_and_flags(spark):
+    rows = [
+        # two members + the target itself
+        ("http://h.test/p/1", "http://h.test/c", False),
+        ("http://h.test/p/2", "http://h.test/c", False),
+        ("http://h.test/c", None, False),
+        # noindex page contributes nothing
+        ("http://h.test/p/3", "http://h.test/c", True),
+        # orphan group: target never crawled
+        ("http://h.test/p/4", "http://h.test/gone", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, canonical string, noindex boolean")
+    got = {r["canonical_url"]: r for r in canonical_collapse(df).collect()}
+    c = got["http://h.test/c"]
+    assert c["n_pages"] == 3
+    assert c["representative"] == "http://h.test/c"
+    assert c["self_canonical"]
+    gone = got["http://h.test/gone"]
+    assert gone["n_pages"] == 1 and not gone["self_canonical"]
+
+
+# ------------------------------------------------------------------ cdx
+
+def test_cdx_index_surt_normalization(spark):
+    rows = [
+        ("http://News.Example.com:80/a/b?q=1#x", "2026-01-01 00:02:05", "bb"),
+        ("https://example.com", "2026-01-01 00:00:00", "bb"),
+        ("http://example.com?q=1", "2026-01-01 00:00:00", "cc"),
+    ]
+    df = (spark.createDataFrame(rows, "url string, ts string, html string")
+          .select("url", F.to_timestamp("ts").alias("warc_ts"), "html"))
+    got = {r["url"]: r for r in cdx_index(df).collect()}
+    assert got["http://News.Example.com:80/a/b?q=1#x"]["surt"] == \
+        "com,example,news)/a/b?q=1"
+    assert got["http://News.Example.com:80/a/b?q=1#x"]["ts"] == \
+        "20260101000205"
+    assert got["https://example.com"]["surt"] == "com,example)/"
+    assert got["http://example.com?q=1"]["surt"] == "com,example)/?q=1"
+    # identical bodies -> identical digests; distinct -> distinct
+    assert (got["http://News.Example.com:80/a/b?q=1#x"]["digest"]
+            == got["https://example.com"]["digest"])
+    assert (got["http://example.com?q=1"]["digest"]
+            != got["https://example.com"]["digest"])
+    assert got["https://example.com"]["nbytes"] == 2
+
+
+def test_cdx_index_is_map_only(spark):
+    df = (spark.range(8)
+          .select(F.concat(F.lit("http://h.test/"),
+                           F.col("id").cast("string")).alias("url"),
+                  F.current_timestamp().alias("warc_ts"),
+                  F.lit("b").alias("html")))
+    plan = cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -------------------------------------------------------------- mixture
+
+def _mix_inputs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "web"), (1, "a b", "web"), (2, "x", "code"),
+         (3, "y z", None), (4, None, "code"), (5, "", "empty")],
+        "doc_id long, text string, source string")
+    weights = spark.createDataFrame(
+        [("web", 600), ("code", 300), ("phantom", 100)],
+        "source string, weight_permille long")
+    return docs, weights
+
+
+def test_mixture_plan_targets_and_epochs(spark):
+    docs, weights = _mix_inputs(spark)
+    got = {r["domain"]: r for r in
+           mixture_plan(docs, weights, 1000).collect()}
+    # phantom dilutes the normalizer (sum=1000) but emits no row
+    assert "phantom" not in got and len(got) == 4
+    web = got["web"]
+    assert web["avail_tokens"] == 5 and web["target_tokens"] == 600
+    assert web["epochs_permille"] == 120000 and web["oversampled"]
+    # NULL text contributes 0 tokens but counts as a doc
+    code = got["code"]
+    assert code["n_docs"] == 2 and code["avail_tokens"] == 1
+    assert code["target_tokens"] == 300
+    # weightless + NULL domains stay visible with target 0
+    assert got["empty"]["target_tokens"] == 0
+    assert got[None]["avail_tokens"] == 2
+    assert got[None]["epochs_permille"] == 0
+
+
+def test_mixture_plan_zero_avail_no_division_error(spark):
+    docs = spark.createDataFrame([(0, "", "e")],
+                                 "doc_id long, text string, source string")
+    weights = spark.createDataFrame([("e", 1000)],
+                                    "source string, weight_permille long")
+    row = mixture_plan(docs, weights, 100).collect()[0]
+    assert row["avail_tokens"] == 0 and row["epochs_permille"] == 0
+
+
+def test_mixture_plan_broadcasts_weights(spark):
+    docs, weights = _mix_inputs(spark)
+    plan = (mixture_plan(docs, weights, 1000)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
