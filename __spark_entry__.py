@@ -2172,6 +2172,18 @@ def q_mixture_plan(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, 8-token overlap →
+    stride 24) over the documents table: map-only transform+explode,
+    short docs yield exactly one chunk, the last window runs short
+    instead of re-anchoring. Oracle replays the window arithmetic with
+    generate_series + list_slice."""
+    from osmospark.functions.curation import chunk_documents
+    docs = _documents(spark, sf_dir)
+    return (chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+            .orderBy("doc_id", "chunk_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2249,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": q_canonical_collapse,
         "cdx_index": q_cdx_index,
         "mixture_plan": q_mixture_plan,
+        "chunk_documents": q_chunk_documents,
         # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
@@ -5354,5 +5367,37 @@ def oracle_sql() -> dict[str, str]:
             FROM avail a LEFT JOIN w ON a.domain = w.source
             CROSS JOIN tot t
             ORDER BY a.domain
+        """,
+        # chunk_documents: 32-token windows, stride 24; n_chunks =
+        # 1 + ceil(max(0, n-32)/24); window i = tokens
+        # [i*24+1, i*24+32] (1-based inclusive, DuckDB list_slice)
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN coalesce(length(trim(text)), 0) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks,
+                     text IS NULL AS is_null
+              FROM documents),
+            n AS (
+              SELECT doc_id, toks, is_null, len(toks) AS n,
+                     1 + (greatest(0, len(toks) - 32) + 23) // 24 AS nc
+              FROM t),
+            c AS (
+              SELECT doc_id, toks, is_null, n, nc,
+                     unnest(generate_series(0, nc - 1)) AS chunk_id
+              FROM n)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(nc AS BIGINT) AS n_chunks,
+                   CASE WHEN is_null THEN NULL
+                        ELSE array_to_string(list_slice(
+                                 toks, chunk_id * 24 + 1,
+                                 chunk_id * 24 + 32), ' ')
+                   END AS chunk_text,
+                   CAST(CASE WHEN is_null THEN 0
+                        ELSE greatest(0, least(32, n - chunk_id * 24))
+                        END AS BIGINT) AS n_chunk_tokens
+            FROM c ORDER BY doc_id, chunk_id
         """,
     }

@@ -927,3 +927,68 @@ def mixture_plan(documents: DataFrame, weights: DataFrame,
         target.alias("target_tokens"),
         epochs.alias("epochs_permille"),
         (epochs > 1000).alias("oversampled"))
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 512,
+                    overlap_tokens: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — fixed token windows with
+    overlap, the per-document splitter RAG indexes and long-document
+    training pipelines run before embedding (``pack_sequences`` is the
+    cross-document concat-and-chunk variant; this one never crosses a
+    document boundary, so a chunk is always attributable to one url).
+
+    Window ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap_tokens``;
+    ``n_chunks = 1 + ceil(max(0, n_tokens - chunk_tokens) / stride)``,
+    so a short document yields exactly one chunk and the final window
+    is allowed to run short rather than re-anchoring to the text end
+    (re-anchored tails duplicate up to a full window of tokens and make
+    chunk membership depend on document length — bad dedup keys).
+
+    MAP-ONLY: tokens split once into a NAMED column (the §24 HOF rule —
+    an inline split referenced inside the transform lambda would
+    re-split per window), windows built by one ``transform`` over
+    ``sequence`` and exploded — a generator, not a shuffle; at 100 TB
+    this pipelines inside the scan. Chunk ids are ``(doc_id, chunk_id)``
+    — deterministic on any partitioning.
+
+    §36 discipline: NULL text yields ONE chunk with NULL text (a corpus
+    rewriter must never drop a doc); empty text yields one empty chunk.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    txt = F.col(text_col)
+    toks = F.when(F.coalesce(F.length(F.trim(txt)), F.lit(0)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(txt), r"\s+"))
+    base = documents.select(id_col, txt.alias("_txt"),
+                            toks.alias("_toks"))
+    # integer ceil via (x + stride-1) div stride, kept integral
+    n_chunks = F.expr(
+        f"CAST(1 + (greatest(0, size(_toks) - {chunk_tokens})"
+        f" + {stride} - 1) div {stride} AS BIGINT)")
+    wins = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(F.col("_toks"),
+                                 (i * stride + 1).cast("int"),
+                                 chunk_tokens), " ").alias("chunk_text")))
+    out = (base
+           .withColumn("_nc", n_chunks)
+           .select(id_col, "_txt", "_nc",
+                   F.explode(wins).alias("_w"))
+           .select(id_col,
+                   F.col("_w.chunk_id").alias("chunk_id"),
+                   F.col("_nc").alias("n_chunks"),
+                   F.when(F.col("_txt").isNull(),
+                          F.lit(None).cast("string"))
+                   .otherwise(F.col("_w.chunk_text"))
+                   .alias("chunk_text")))
+    return out.withColumn("n_chunk_tokens",
+                          F.when(F.col("chunk_text").isNull(), F.lit(0))
+                          .when(F.col("chunk_text") == "", F.lit(0))
+                          .otherwise(F.size(F.split(F.col("chunk_text"),
+                                                    " "))).cast("bigint"))

@@ -176,3 +176,57 @@ def test_mixture_plan_broadcasts_weights(spark):
     plan = (mixture_plan(docs, weights, 1000)
             ._jdf.queryExecution().executedPlan().toString())
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_documents_windows_and_tail(spark):
+    from osmospark.functions.curation import chunk_documents
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(23))),
+         (1, "a b"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = (chunk_documents(docs, chunk_tokens=10, overlap_tokens=4)
+            .orderBy("doc_id", "chunk_id").collect())
+    d0 = [r for r in rows if r.doc_id == 0]
+    # n=23, stride=6 -> n_chunks = 1 + ceil(13/6) = 4
+    assert len(d0) == 4 and d0[0].n_chunks == 4
+    assert d0[0].chunk_text.split() == [f"t{i}" for i in range(10)]
+    assert d0[1].chunk_text.split() == [f"t{i}" for i in range(6, 16)]
+    # the last window runs short; it is NOT re-anchored to the text end
+    assert d0[3].chunk_text.split() == [f"t{i}" for i in range(18, 23)]
+    assert d0[3].n_chunk_tokens == 5
+    # short doc -> exactly one chunk
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert len(d1) == 1 and d1[0].n_chunks == 1 and d1[0].chunk_text == "a b"
+    # empty -> one empty chunk; NULL -> one NULL chunk (never dropped)
+    d2 = [r for r in rows if r.doc_id == 2][0]
+    assert d2.chunk_text == "" and d2.n_chunk_tokens == 0
+    d3 = [r for r in rows if r.doc_id == 3][0]
+    assert d3.chunk_text is None and d3.n_chunk_tokens == 0
+
+
+def test_chunk_documents_map_only_and_validation(spark):
+    import pytest as _pytest
+    from osmospark.functions.curation import chunk_documents
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (chunk_documents(docs, 4, 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 4, 4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 4, -1)
+
+
+def test_chunk_documents_exact_boundary(spark):
+    from osmospark.functions.curation import chunk_documents
+    # n == chunk_tokens -> one chunk; n == chunk+1 -> two
+    docs = spark.createDataFrame(
+        [(0, " ".join("x" * 1 for _ in range(8))),
+         (1, " ".join("x" for _ in range(9)))],
+        "doc_id long, text string")
+    rows = (chunk_documents(docs, chunk_tokens=8, overlap_tokens=2)
+            .orderBy("doc_id", "chunk_id").collect())
+    assert [r.n_chunks for r in rows if r.doc_id == 0] == [1]
+    assert [r.n_chunks for r in rows if r.doc_id == 1] == [2, 2]
