@@ -395,6 +395,65 @@ def q_crawl_frontier(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def doc_pages_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_pages with planted robots directives: doc%11==1 pages carry
+    meta-robots nofollow (their links must not expand), doc%7==2 pages
+    carry noindex (visited and expanded, but no record row), and the
+    SECOND link of doc%5==0 pages carries rel="nofollow" (that one link
+    is skipped)."""
+    docs = _documents(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    url = F.concat(F.lit(f"{DOC_HOST}/d/"), F.col("doc_id"))
+    l1 = F.pmod(F.col("doc_id") + 1, F.lit(n))
+    l2 = F.pmod(F.col("doc_id") * 7 + 3, F.lit(n))
+    # nofollow on doc%11==1 / noindex on doc%7==2 / rel=nofollow on the
+    # second link of doc%5==0 pages — moduli chosen so a 5-seed depth-4
+    # crawl reaches ~73 docs with all three behaviors live (a %7
+    # nofollow modulus starves the frontier right at the seed)
+    m11 = F.pmod(F.col("doc_id"), F.lit(11)) == 1
+    m7 = F.pmod(F.col("doc_id"), F.lit(7)) == 2
+    meta = (F.when(m11 & m7,
+                   F.lit('<meta name="robots" content="noindex, nofollow">'))
+            .when(m11, F.lit('<meta name="robots" content="nofollow">'))
+            .when(m7, F.lit('<meta name="robots" content="noindex">'))
+            .otherwise(F.lit("")))
+    rel2 = (F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                   F.lit(' rel="nofollow"')).otherwise(F.lit("")))
+    html = F.concat(
+        F.lit("<head><title>doc "), F.col("doc_id"),
+        F.lit("</title>"), meta,
+        F.lit('</head><body><div class="content">'), F.col("text"),
+        F.lit('</div><ul><li><a href="/d/'), l1,
+        F.lit('"></a></li><li><a'), rel2, F.lit(' href="/d/'), l2,
+        F.lit('"></a></li></ul></body>'),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_crawl_frontier_nofollow(spark, sf_dir):
+    """crawl_frontier with ``respect_meta_robots=True`` over the planted
+    robots corpus: meta-nofollow pages expand no links, rel=nofollow
+    anchors are skipped, meta-noindex pages are visited (their links
+    expand) but emit no record row. Oracle = the recursive reachability
+    with the same conditional edge sets, noindex docs excluded from the
+    final projection only."""
+    from osmospark.frontier import FrontierEngine
+    engine = FrontierEngine(spark, doc_pages_robots(spark, sf_dir),
+                            dedup=True, politeness=False)
+    seeds = [f"{DOC_HOST}/d/{i}" for i in (0, 17, 101, 263, 388)]
+    records, _ = engine.run_crawl(
+        seeds, "li > a", extract_spec=None,
+        max_depth=CRAWL_MAX_DEPTH, max_rounds=CRAWL_MAX_DEPTH + 1,
+        respect_meta_robots=True)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_crawl_frontier_streaming(spark, sf_dir):
     """The SAME frontier reachability computed by the Structured-Streaming
     crawl (micro-batch rounds: frontier landing dir → state-store URL-seen
@@ -2262,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "mixture_plan": q_mixture_plan,
         "chunk_documents": q_chunk_documents,
+        "crawl_frontier_nofollow": q_crawl_frontier_nofollow,
         # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
@@ -5399,5 +5459,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE greatest(0, least(32, n - chunk_id * 24))
                         END AS BIGINT) AS n_chunk_tokens
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        # crawl_frontier_nofollow: conditional edge sets (meta-nofollow
+        # docs expand nothing, rel=nofollow suppresses the second link),
+        # noindex docs excluded from the projection ONLY (they still
+        # expand)
+        "crawl_frontier_nofollow": f"""
+            WITH RECURSIVE r(doc, depth) AS (
+                SELECT 0, 0 UNION SELECT 17, 0 UNION SELECT 101, 0
+                UNION SELECT 263, 0 UNION SELECT 388, 0
+                UNION
+                SELECT u.nxt, r.depth + 1
+                FROM r, unnest(
+                    CASE WHEN r.doc % 11 = 1 THEN CAST([] AS BIGINT[])
+                         WHEN r.doc % 5 = 0
+                           THEN [(r.doc + 1) % {n_docs}]
+                         ELSE [(r.doc + 1) % {n_docs},
+                               (r.doc * 7 + 3) % {n_docs}]
+                    END) u(nxt)
+                WHERE r.depth < {CRAWL_MAX_DEPTH}
+            )
+            SELECT 'http://docs.local/d/' || doc AS url,
+                   min(depth)::INT AS depth
+            FROM r WHERE doc % 7 <> 2 GROUP BY doc
         """,
     }

@@ -360,7 +360,8 @@ def _kind_frame(row_kind: str, n: int, data: dict) -> pd.DataFrame:
 
 
 def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
-                   hash_conts: bool = True, process_response=None):
+                   hash_conts: bool = True, process_response=None,
+                   respect_meta_robots: bool = False):
     """Crawl-mode mapInPandas: per page, evaluate a static extraction spec
     locally (records close per page) and expand outlinks via the follow
     selector — the 10^10-scale fast path. Raw-encoding URL capture mirrors
@@ -382,6 +383,23 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
     spec_chain = Chain().set(extract_spec) if extract_spec else None
     follow_compiled = (compile_selector(follow_selector)
                        if follow_selector else None)
+    # opt-in meta-robots honoring (off by default: reference parity) —
+    # page-level noindex suppresses the page's RECORD rows (it is still
+    # visited and its links expand), page-level nofollow suppresses its
+    # outlinks, and a per-anchor rel~="nofollow" suppresses that link.
+    # The indexer-side analogue lives in functions.metadata.
+    robots_sel = (compile_selector("meta[name=robots]")
+                  if respect_meta_robots else None)
+
+    def _page_robots(doc):
+        ni = nf = False
+        for el in robots_sel.find(doc):
+            a = el.attr("content")
+            toks = {t.strip().lower()
+                    for t in (a.value() if a is not None else "").split(",")}
+            ni = ni or "noindex" in toks or "none" in toks
+            nf = nf or "nofollow" in toks or "none" in toks
+        return ni, nf
 
     def crawl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -471,7 +489,12 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                 # (reference lib/Request.js:110-117)
                 doc.response["size"] = {"body": len(html)}
                 errors = 0
-                if spec_chain is None:
+                pg_noindex = pg_nofollow = False
+                if robots_sel is not None:
+                    pg_noindex, pg_nofollow = _page_robots(doc)
+                if pg_noindex:
+                    pass  # visited, links expand, no record rows
+                elif spec_chain is None:
                     # no extraction spec: the visit itself is the record
                     r_url.append(urls[i])
                     r_hash.append(hashes[i])
@@ -500,7 +523,7 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                     except Exception as exc:
                         errors += 1
                         m_msg[i] = repr(exc)
-                if follow_compiled is not None:
+                if follow_compiled is not None and not pg_nofollow:
                     idx = 0
                     # splits the page URL once; per-link fast path equals
                     # canonicalize(resolve(...)) / url_host exactly
@@ -516,6 +539,15 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
                             href = None
                         if not href:
                             continue
+                        if robots_sel is not None:
+                            owner = (node.owner
+                                     if isinstance(node, Attribute)
+                                     else node)
+                            rel = (owner.get_attribute("rel")
+                                   if isinstance(owner, Element) else None)
+                            # rel is a space-separated token list
+                            if rel and "nofollow" in rel.lower().split():
+                                continue
                         target, t_host = resolve_link(href)
                         c_url.append(target)
                         if hash_conts:

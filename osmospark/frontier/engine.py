@@ -1031,6 +1031,7 @@ class FrontierEngine:
         resume_frontier: DataFrame | None = None,
         start_round: int = 0,
         process_response=None,
+        respect_meta_robots: bool = False,
     ):
         """Seed → extract → follow recursion with URL-seen dedup, robots,
         politeness and DFS-priority admission. Records close per page (no
@@ -1081,7 +1082,8 @@ class FrontierEngine:
         # xxhash64_py, verified) — the UDF skips per-link Python hashing
         crawl_udf = make_crawl_udf(extract_spec, follow_selector,
                                    hash_conts=False,
-                                   process_response=process_response)
+                                   process_response=process_response,
+                                   respect_meta_robots=respect_meta_robots)
 
         # Each round is exactly TWO substantial jobs, both fully parallel:
         #   A. admission pipeline (seen anti-join/probe → within-round window

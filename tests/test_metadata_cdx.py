@@ -230,3 +230,49 @@ def test_chunk_documents_exact_boundary(spark):
             .orderBy("doc_id", "chunk_id").collect())
     assert [r.n_chunks for r in rows if r.doc_id == 0] == [1]
     assert [r.n_chunks for r in rows if r.doc_id == 1] == [2, 2]
+
+
+# ----------------------------------------------- frontier robots respect
+
+def _robots_corpus(spark):
+    H = "http://rb.test"
+    def page(body):
+        return f"<head>{body[0]}</head><body>{body[1]}</body>".encode()
+    a = lambda href, rel="": f'<a{rel} href="{href}"></a>'
+    rows = [
+        (f"{H}/A", page(("", a("/B") + a("/C")
+                         + a("/F", ' rel="nofollow"')))),
+        (f"{H}/B", page(('<meta name="robots" content="nofollow">',
+                         a("/D")))),
+        (f"{H}/C", page(('<meta name="robots" content="noindex">',
+                         a("/E")))),
+        (f"{H}/D", page(("", "d"))),
+        (f"{H}/E", page(("", "e"))),
+        (f"{H}/F", page(("", "f"))),
+    ]
+    return spark.createDataFrame(
+        [(u, None, h, "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+def test_frontier_respects_meta_robots(spark):
+    from osmospark.frontier import FrontierEngine
+    pages = _robots_corpus(spark)
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False)
+    recs, _ = eng.run_crawl(["http://rb.test/A"], "a", extract_spec=None,
+                            max_depth=3, respect_meta_robots=True)
+    got = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
+    # B's meta-nofollow blocks D; A's rel=nofollow anchor blocks F;
+    # C is visited (E proves its links expanded) but noindex drops its
+    # record row
+    assert got == ["A", "B", "E"]
+
+
+def test_frontier_meta_robots_off_by_default(spark):
+    from osmospark.frontier import FrontierEngine
+    pages = _robots_corpus(spark)
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False)
+    recs, _ = eng.run_crawl(["http://rb.test/A"], "a", extract_spec=None,
+                            max_depth=3)
+    got = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
+    assert got == ["A", "B", "C", "D", "E", "F"]
