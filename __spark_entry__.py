@@ -415,7 +415,9 @@ def doc_pages_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = (F.when(m11 & m7,
                    F.lit('<meta name="robots" content="noindex, nofollow">'))
             .when(m11, F.lit('<meta name="robots" content="nofollow">'))
-            .when(m7, F.lit('<meta name="robots" content="noindex">'))
+            # uppercase variant: the crawl-side robots walk must match
+            # name/content values ASCII-case-insensitively
+            .when(m7, F.lit('<meta name="Robots" content="NoIndex">'))
             .otherwise(F.lit("")))
     rel2 = (F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
                    F.lit(' rel="nofollow"')).otherwise(F.lit("")))
@@ -2145,14 +2147,20 @@ def _meta_pages(spark, sf_dir):
     g = F.expr("CAST((doc_id div 3) * 3 AS STRING)")
     ds = F.col("doc_id").cast("string")
     m3 = F.expr("doc_id % 3")
+    # the m3==2 variant is uppercase throughout — rel VALUE
+    # ("CANONICAL"), scheme, host, plus :80 and #frag — pinning both
+    # the ASCII-case-insensitive rel-token match and the
+    # resolve+canonicalize normalization; the %5==2 robots variant
+    # pins the case-insensitive name/content match
     can = (F.when(m3 == 1, F.concat(F.lit('<link rel="canonical" '
                                           'href="/d/'), g, F.lit('">')))
            .when(m3 == 2, F.concat(
-               F.lit('<link rel="canonical" href="HTTP://'),
+               F.lit('<link rel="CANONICAL" href="HTTP://'),
                F.upper(host), F.lit(':80/d/'), g, F.lit('#frag">')))
            .otherwise(F.lit("")))
     rob = (F.when(F.expr("doc_id % 5") == 2,
-                  F.lit('<meta name="robots" content="noindex, nofollow">'))
+                  F.lit('<meta name="ROBOTS" '
+                        'content="NOINDEX, NOFOLLOW">'))
            .when(F.expr("doc_id % 5") == 4,
                  F.lit('<meta name="robots" content="nofollow">'))
            .otherwise(F.lit("")))

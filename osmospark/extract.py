@@ -387,18 +387,25 @@ def make_crawl_udf(extract_spec: dict | None, follow_selector: str | None,
     # page-level noindex suppresses the page's RECORD rows (it is still
     # visited and its links expand), page-level nofollow suppresses its
     # outlinks, and a per-anchor rel~="nofollow" suppresses that link.
-    # The indexer-side analogue lives in functions.metadata.
-    robots_sel = (compile_selector("meta[name=robots]")
+    # Directive grammar is shared with the indexer side
+    # (functions.metadata.robots_flags); the meta walk compares the
+    # lowercased name VALUE itself because HTML defines it ASCII
+    # case-insensitive ('<META NAME="ROBOTS">' must match) while the
+    # selector engine's [attr=v] is correctly case-sensitive.
+    robots_sel = (compile_selector("meta")
                   if respect_meta_robots else None)
+    if respect_meta_robots:
+        from .functions.metadata import robots_flags
 
     def _page_robots(doc):
         ni = nf = False
         for el in robots_sel.find(doc):
-            a = el.attr("content")
-            toks = {t.strip().lower()
-                    for t in (a.value() if a is not None else "").split(",")}
-            ni = ni or "noindex" in toks or "none" in toks
-            nf = nf or "nofollow" in toks or "none" in toks
+            name = (el.get_attribute("name") or "").strip().lower()
+            if name != "robots":
+                continue
+            i, f = robots_flags(el.get_attribute("content") or "")
+            ni = ni or i
+            nf = nf or f
         return ni, nf
 
     def crawl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -46,8 +46,20 @@ _META_FIELDS = ("title string, canonical string, noindex boolean, "
                 "nofollow boolean, og_title string")
 
 
-def _robots_tokens(content: str) -> set:
+def robots_tokens(content: str) -> set:
+    """Parse a robots directive value ('NoIndex, nofollow') into its
+    lowercase token set — THE robots-content grammar, shared by the
+    indexer side here and the crawl loop's ``respect_meta_robots``
+    (``extract.make_crawl_udf``); fix directive semantics in one place."""
     return {t.strip().lower() for t in content.split(",") if t.strip()}
+
+
+def robots_flags(content: str) -> tuple:
+    """(noindex, nofollow) from one robots content value; 'none' implies
+    both (the Googlebot/Bingbot rule)."""
+    toks = robots_tokens(content)
+    return ("noindex" in toks or "none" in toks,
+            "nofollow" in toks or "none" in toks)
 
 
 def extract_metadata(url: str, html: str):
@@ -57,26 +69,38 @@ def extract_metadata(url: str, html: str):
     canonical links is malformed; browsers and indexers take the first).
     The canonical href is resolved against the page URL and pushed
     through ``canonicalize`` so it equi-joins frontier fetch keys.
+
+    HTML defines ``rel`` / ``name`` / ``property`` VALUES as ASCII
+    case-insensitive, and ``rel`` as a space-separated token list — so
+    matching walks the link/meta elements and compares lowercased
+    tokens rather than using the selector engine's (correctly)
+    case-sensitive ``[attr=v]`` predicate: ``<META NAME="ROBOTS"
+    CONTENT="NOINDEX">`` and ``rel="CANONICAL nofollow"`` must match.
+    (Attribute NAMES are already lowercased by the parser.)
     """
     if not html:
         return None, None, False, False, None
     doc = parse_html(html)
     title = next((e.text() for e in doc.find("title")), None)
     canonical = None
-    for e in doc.find("link[rel=canonical]"):
+    for e in doc.find("link"):
+        rel = (e.get_attribute("rel") or "").lower().split()
         href = e.get_attribute("href")
-        if href:
+        if "canonical" in rel and href:
             canonical = canonicalize(resolve(url, href))
             break
     noindex = nofollow = False
-    for e in doc.find("meta[name=robots]"):
-        toks = _robots_tokens(e.get_attribute("content") or "")
-        noindex = noindex or "noindex" in toks or "none" in toks
-        nofollow = nofollow or "nofollow" in toks or "none" in toks
-    og_title = next(
-        (e.get_attribute("content")
-         for e in doc.find("meta[property='og:title']")
-         if e.get_attribute("content") is not None), None)
+    og_title = None
+    for e in doc.find("meta"):
+        name = (e.get_attribute("name") or "").strip().lower()
+        if name == "robots":
+            ni, nf = robots_flags(e.get_attribute("content") or "")
+            noindex = noindex or ni
+            nofollow = nofollow or nf
+        prop = (e.get_attribute("property") or "").strip().lower()
+        if (prop == "og:title" and og_title is None
+                and e.get_attribute("content") is not None):
+            og_title = e.get_attribute("content")
     return title, canonical, noindex, nofollow, og_title
 
 

@@ -169,15 +169,21 @@ def host_expr(col):
     from pyspark.sql import functions as F
 
     auth = F.regexp_extract(col, "//([^/?#]+)", 1)
+    # userinfo strips to the LAST '@' (greedy ^.*@ over the
+    # slash-free authority) because urlsplit().hostname rpartitions on
+    # '@' — 'a@b@h.test' must key as 'h.test' on both derivations
     bare = F.regexp_replace(
-        F.regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]*$", "")
+        F.regexp_replace(auth, "^.*@", ""), ":[0-9]*$", "")
     return F.lower(F.regexp_replace(bare, r"^\[|\]$", ""))
 
 
-# DuckDB mirror of host_expr (RE2 ∩ Java regex syntax only)
+# DuckDB mirror of host_expr (RE2 ∩ Java regex syntax only).  The
+# bracket strip needs the explicit 'g' option: DuckDB regexp_replace
+# replaces the FIRST match only by default while Spark replaces all —
+# without it '[2001:db8::1]' keeps its trailing bracket in the oracle.
 HOST_SQL = ("lower(regexp_replace(regexp_replace(regexp_replace("
             "regexp_extract({u}, '//([^/?#]+)', 1),"
-            " '^[^@/]*@', ''), ':[0-9]*$', ''), '^\\[|\\]$', ''))")
+            " '^.*@', ''), ':[0-9]*$', ''), '^\\[|\\]$', '', 'g'))")
 
 
 def strip_params_expr(u, strip_col):

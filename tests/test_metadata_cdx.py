@@ -276,3 +276,64 @@ def test_frontier_meta_robots_off_by_default(spark):
                             max_depth=3)
     got = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
     assert got == ["A", "B", "C", "D", "E", "F"]
+
+
+# --------------------------------------- review regressions (r5 late pass)
+
+def test_extract_metadata_case_insensitive_values():
+    """HTML attribute VALUES for rel/name are ASCII case-insensitive and
+    rel is a token list — '<META NAME="ROBOTS">' and
+    rel="CANONICAL nofollow" must match (review finding: the selector
+    engine's [attr=v] is correctly case-sensitive, so metadata matching
+    walks elements and compares lowercased tokens instead)."""
+    html = ('<head><META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">'
+            '<link rel="CANONICAL nofollow" href="/c"></head>')
+    _, c, ni, nf, _ = extract_metadata("http://h.test/p", html)
+    assert c == "http://h.test/c"
+    assert ni and nf
+
+
+def test_crawl_robots_uppercase_meta(spark):
+    """Crawl-side respect_meta_robots shares the same case-insensitive
+    grammar: an uppercase META NAME=ROBOTS nofollow must block links."""
+    from osmospark.frontier import FrontierEngine
+    H = "http://rbu.test"
+    rows = [
+        (f"{H}/A", ('<head><META NAME="ROBOTS" CONTENT="NOFOLLOW">'
+                    '</head><body><a href="/B"></a></body>').encode()),
+        (f"{H}/B", b"<body>b</body>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h, "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False)
+    recs, _ = eng.run_crawl([f"{H}/A"], "a", extract_spec=None,
+                            max_depth=2, respect_meta_robots=True)
+    assert [r.url for r in recs.collect()] == [f"{H}/A"]
+
+
+def test_host_expr_matches_url_host_hostile_authorities(spark):
+    """host_expr / HOST_SQL ≡ url_host on multi-'@' userinfo (strip to
+    the LAST '@', like urlsplit().hostname's rpartition) and IPv6
+    brackets (DuckDB regexp_replace needs the explicit 'g' option —
+    without it the trailing bracket survives in the oracle)."""
+    import duckdb
+    from osmospark.urlnorm import HOST_SQL, host_expr, url_host
+    urls = [
+        "http://a@b@H.Test:8080/p",
+        "http://[2001:DB8::1]:8080/x",
+        "http://user:pw@Example.COM:443/q?a=1",
+        "http://plain.test/",
+    ]
+    expected = [url_host(u) for u in urls]
+    assert expected[0] == "h.test" and expected[1] == "2001:db8::1"
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.h for r in
+           df.select(host_expr(F.col("url")).alias("h")).collect()]
+    assert got == expected
+    con = duckdb.connect()
+    sql = HOST_SQL.format(u="url")
+    duck = [con.sql(
+        f"SELECT {sql} FROM (SELECT '{u}' AS url)").fetchone()[0]
+        for u in urls]
+    assert duck == expected
