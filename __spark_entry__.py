@@ -456,6 +456,31 @@ def q_crawl_frontier_nofollow(spark, sf_dir):
     return records.select("url", F.col("depth").cast("int").alias("depth"))
 
 
+def q_crawl_frontier_alias(spark, sf_dir):
+    """crawl_frontier with the rel=canonical alias loop closed:
+    ``url_alias_df`` maps /d/u → /d/(u-5) for every u%9==5 (the
+    page_metadata → canonical_collapse output shape), applied to seeds
+    and every round's discovered links before URL-seen — aliased pages
+    are NEVER fetched, their canonical targets are. Oracle = the
+    reachability recursion with the alias function applied to every
+    discovered edge target."""
+    from osmospark.frontier import FrontierEngine
+    docs = _documents(spark, sf_dir)
+    alias = docs.where(F.expr("doc_id % 9 = 5")).select(
+        F.concat(F.lit(f"{DOC_HOST}/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit(f"{DOC_HOST}/d/"),
+                 (F.col("doc_id") - 5).cast("string"))
+        .alias("canonical_url"))
+    engine = FrontierEngine(spark, doc_pages(spark, sf_dir),
+                            dedup=True, politeness=False,
+                            url_alias_df=alias)
+    records, _ = engine.run_crawl(
+        [f"{DOC_HOST}/d/0"], "li > a", extract_spec=None,
+        max_depth=CRAWL_MAX_DEPTH, max_rounds=CRAWL_MAX_DEPTH + 1)
+    return records.select("url", F.col("depth").cast("int").alias("depth"))
+
+
 def q_crawl_frontier_streaming(spark, sf_dir):
     """The SAME frontier reachability computed by the Structured-Streaming
     crawl (micro-batch rounds: frontier landing dir → state-store URL-seen
@@ -2330,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "chunk_documents": q_chunk_documents,
         "crawl_frontier_nofollow": q_crawl_frontier_nofollow,
+        "crawl_frontier_alias": q_crawl_frontier_alias,
         # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
@@ -5490,5 +5516,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://docs.local/d/' || doc AS url,
                    min(depth)::INT AS depth
             FROM r WHERE doc % 7 <> 2 GROUP BY doc
+        """,
+        # crawl_frontier_alias: every discovered edge target passes
+        # through the alias function (u%9==5 → u-5; u-5 ≡ 0 mod 9 so
+        # there are no chains) before dedup/visit — aliased docs are
+        # never fetched, their canonical targets are
+        "crawl_frontier_alias": f"""
+            WITH RECURSIVE r(doc, depth) AS (
+                SELECT 0, 0
+                UNION
+                SELECT CASE WHEN u.nxt % 9 = 5 THEN u.nxt - 5
+                            ELSE u.nxt END,
+                       r.depth + 1
+                FROM r, unnest([(r.doc + 1) % {n_docs},
+                                (r.doc * 7 + 3) % {n_docs}]) u(nxt)
+                WHERE r.depth < {CRAWL_MAX_DEPTH}
+            )
+            SELECT 'http://docs.local/d/' || doc AS url,
+                   min(depth)::INT AS depth
+            FROM r GROUP BY doc
         """,
     }

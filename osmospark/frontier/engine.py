@@ -134,6 +134,7 @@ class FrontierEngine:
         host_delay_df: DataFrame | None = None,
         url_predicate: str | None = None,
         url_rewrites_df: DataFrame | None = None,
+        url_alias_df: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         # corpus side: hash once; Catalyst prunes unread columns at the scan.
@@ -298,6 +299,33 @@ class FrontierEngine:
                               .agg(F.collect_set("param").alias("_strip")))
         else:
             self._rewrites = None
+        # optional exact URL→canonical alias map (url, canonical_url) —
+        # e.g. functions.metadata page_metadata/canonical_collapse
+        # output (the rel=canonical tier of the dedup chain; DUST
+        # handles the syntactic tier above). Keyed by xxhash64(url) and
+        # applied to seeds and every round's discovered links AFTER the
+        # DUST strip and BEFORE URL-seen, so alias URLs collapse onto
+        # their canonical fetch key and never consume state or slots.
+        # Unlike the hosts-sized frames this table scales with the
+        # corpus: the join is left UNHINTED so Catalyst/AQE picks
+        # broadcast vs shuffle from stats — at 10^10 URLs, store it
+        # bucketed by url_hash so the per-round join co-locates.
+        # Multi-target aliases (malformed input) collapse to
+        # min(canonical_url) so the join can never fan out frontier
+        # rows; chains (A→B, B→C) apply ONE hop per discovery —
+        # pre-resolve chains offline if byte-exact one-hop targets
+        # matter.
+        if url_alias_df is not None:
+            self._aliases = (
+                url_alias_df
+                .filter(F.col("canonical_url").isNotNull()
+                        & (F.col("canonical_url") != F.col("url")))
+                .select(F.xxhash64("url").alias("_akey"),
+                        F.col("canonical_url"))
+                .groupBy("_akey")
+                .agg(F.min("canonical_url").alias("_canon")))
+        else:
+            self._aliases = None
         # optional pre-fetch URL filter: a SQL boolean over column
         # ``url`` (e.g. urlnorm.default_url_predicate() — skip asset
         # extensions / session-id URLs). Applied to seeds and to every
@@ -546,21 +574,46 @@ class FrontierEngine:
         self._seen_state = _checkpoint_truncated(new_state)
 
     def _rewrite_urls(self, frontier: DataFrame) -> DataFrame:
-        """Apply per-host DUST param-strip rules (url_rewrites_df) to a
-        frontier frame: map-only broadcast join + array filter + rejoin,
-        then url_hash recomputed from the canonical url. Paramless URLs
-        and rule-less hosts pass through byte-identical. Host is
-        unchanged by a param strip, so bucketing/politeness keys hold."""
-        if self._rewrites is None:
+        """Apply per-host DUST param-strip rules (url_rewrites_df), then
+        the exact URL→canonical alias map (url_alias_df), to a frontier
+        frame. DUST is a map-only broadcast join + array filter +
+        rejoin; the alias pass is an equi-join on url_hash with url /
+        host / url_hash rebuilt for matched rows (a rel=canonical
+        target may live on a different host, so politeness keys must
+        follow). Rule-less and alias-less rows pass through
+        byte-identical."""
+        if self._rewrites is None and self._aliases is None:
             return frontier
-        from ..urlnorm import strip_params_expr
-        # frontier URLs are canonicalize()d (fragment already stripped);
-        # the shared expression preserves fragments on raw inputs too.
-        new_url = strip_params_expr(F.col("url"), F.col("_strip"))
-        return (frontier.join(F.broadcast(self._rewrites), "host", "left")
-                .withColumn("url", new_url)
-                .withColumn("url_hash", F.xxhash64("url"))
-                .drop("_strip"))
+        from ..urlnorm import host_expr, strip_params_expr
+        if self._rewrites is not None:
+            # frontier URLs are canonicalize()d (fragment already
+            # stripped); the shared expression preserves fragments on
+            # raw inputs too.
+            new_url = strip_params_expr(F.col("url"), F.col("_strip"))
+            frontier = (frontier
+                        .join(F.broadcast(self._rewrites), "host", "left")
+                        .withColumn("url", new_url)
+                        .withColumn("url_hash", F.xxhash64("url"))
+                        .drop("_strip"))
+        if self._aliases is not None:
+            # key on a FRESH hash of the (possibly DUST-stripped) url —
+            # cont rows reach here before their url_hash column is
+            # recomputed (the UDF skips per-link hashing), so joining
+            # the stale column would silently skip every alias
+            frontier = (frontier
+                        .withColumn("_akey", F.xxhash64("url"))
+                        .join(self._aliases, "_akey", "left")
+                        .withColumn(
+                            "url", F.coalesce(F.col("_canon"),
+                                              F.col("url")))
+                        .withColumn(
+                            "host",
+                            F.when(F.col("_canon").isNotNull(),
+                                   host_expr(F.col("url")))
+                            .otherwise(F.col("host")))
+                        .withColumn("url_hash", F.xxhash64("url"))
+                        .drop("_canon", "_akey"))
+        return frontier
 
     def _rank_politeness(self, frontier: DataFrame) -> DataFrame:
         """Per-host fetch-slot ranking (SURVEY §2.6): adds ``_rank``/``_slots``

@@ -337,3 +337,83 @@ def test_host_expr_matches_url_host_hostile_authorities(spark):
         f"SELECT {sql} FROM (SELECT '{u}' AS url)").fetchone()[0]
         for u in urls]
     assert duck == expected
+
+
+# ------------------------------------------------- url alias loop (engine)
+
+def _alias_corpus(spark):
+    H = "http://al.test"
+    rows = [
+        (f"{H}/A", f'<body><a href="/B"></a><a href="/D"></a></body>'.encode()),
+        (f"{H}/B", b"<body>b</body>"),                 # aliased -> never fetched
+        (f"{H}/C", f'<body><a href="/E"></a></body>'.encode()),  # canonical
+        (f"{H}/D", b"<body>d</body>"),
+        (f"{H}/E", b"<body>e</body>"),
+    ]
+    return spark.createDataFrame(
+        [(u, None, h, "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+def test_frontier_url_alias_collapses_to_canonical(spark):
+    """rel=canonical loop closed: the alias table rewrites /B to /C at
+    frontier entry, so B is never fetched, C is — and C's OWN links
+    expand (E proves the canonical page's frontier role)."""
+    from osmospark.frontier import FrontierEngine
+    H = "http://al.test"
+    alias = spark.createDataFrame([(f"{H}/B", f"{H}/C")],
+                                  "url string, canonical_url string")
+    eng = FrontierEngine(spark, _alias_corpus(spark), dedup=True,
+                         politeness=False, url_alias_df=alias)
+    recs, _ = eng.run_crawl([f"{H}/A"], "a", extract_spec=None, max_depth=3)
+    got = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
+    assert got == ["A", "C", "D", "E"]
+    # control: without the alias, B is fetched and E never discovered
+    eng0 = FrontierEngine(spark, _alias_corpus(spark), dedup=True,
+                          politeness=False)
+    recs0, _ = eng0.run_crawl([f"{H}/A"], "a", extract_spec=None, max_depth=3)
+    assert sorted(r.url.rsplit("/", 1)[1] for r in recs0.collect()) == \
+        ["A", "B", "D"]
+
+
+def test_frontier_url_alias_dedups_with_direct_link(spark):
+    """An aliased link and a direct link to the canonical collapse onto
+    ONE fetch (the whole point: aliases must not consume state/slots)."""
+    from osmospark.frontier import FrontierEngine
+    H = "http://al.test"
+    pages = spark.createDataFrame(
+        [(f"{H}/A", None,
+          f'<body><a href="/B"></a><a href="/C"></a></body>'.encode(),
+          "", "en"),
+         (f"{H}/B", None, b"<body>b</body>", "", "en"),
+         (f"{H}/C", None, b"<body>c</body>", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    alias = spark.createDataFrame([(f"{H}/B", f"{H}/C")],
+                                  "url string, canonical_url string")
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False,
+                         url_alias_df=alias)
+    recs, meta = eng.run_crawl([f"{H}/A"], "a", extract_spec=None,
+                               max_depth=2)
+    urls = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
+    assert urls == ["A", "C"]  # C fetched exactly once, B never
+
+
+def test_frontier_url_alias_multi_target_never_fans_out(spark):
+    """Malformed alias input (one url, two canonical rows) must not
+    duplicate frontier rows: the map collapses to min(canonical_url)."""
+    from osmospark.frontier import FrontierEngine
+    H = "http://al.test"
+    pages = spark.createDataFrame(
+        [(f"{H}/A", None, f'<body><a href="/B"></a></body>'.encode(),
+          "", "en"),
+         (f"{H}/C1", None, b"<body>1</body>", "", "en"),
+         (f"{H}/C2", None, b"<body>2</body>", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    alias = spark.createDataFrame(
+        [(f"{H}/B", f"{H}/C2"), (f"{H}/B", f"{H}/C1")],
+        "url string, canonical_url string")
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False,
+                         url_alias_df=alias)
+    recs, _ = eng.run_crawl([f"{H}/A"], "a", extract_spec=None, max_depth=2)
+    urls = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
+    assert urls == ["A", "C1"]  # deterministic min target, one row
