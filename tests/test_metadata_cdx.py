@@ -417,3 +417,92 @@ def test_frontier_url_alias_multi_target_never_fans_out(spark):
     recs, _ = eng.run_crawl([f"{H}/A"], "a", extract_spec=None, max_depth=2)
     urls = sorted(r.url.rsplit("/", 1)[1] for r in recs.collect())
     assert urls == ["A", "C1"]  # deterministic min target, one row
+
+
+# -------------------------------------- property pins + full-loop compose
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Coverage invariant over random sizes: dropping each later
+    chunk's overlap prefix and concatenating reconstructs the original
+    token sequence exactly — no token lost, none duplicated beyond the
+    declared overlap. One Spark job for all cases."""
+    import random
+    from osmospark.functions.curation import chunk_documents
+    rng = random.Random(42)
+    cases = []
+    params = [(10, 4), (8, 0), (16, 15), (5, 1)]
+    for doc_id in range(40):
+        n = rng.choice([0, 1, 2, 5, 9, 10, 11, 23, 64, 97, 200])
+        cases.append((doc_id, " ".join(f"w{doc_id}_{i}" for i in range(n))))
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    for chunk, overlap in params:
+        stride = chunk - overlap
+        rows = (chunk_documents(docs, chunk, overlap)
+                .orderBy("doc_id", "chunk_id").collect())
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in cases:
+            toks = text.split()
+            chunks = by_doc[doc_id]
+            assert len(chunks) == chunks[0].n_chunks
+            rebuilt = []
+            for i, r in enumerate(chunks):
+                ct = r.chunk_text.split() if r.chunk_text else []
+                assert len(ct) <= chunk
+                # consecutive windows overlap by exactly `overlap`
+                # tokens (the final window always runs longer than the
+                # overlap by construction), so dropping each later
+                # chunk's overlap prefix rebuilds the original
+                rebuilt.extend(ct if i == 0 else ct[overlap:])
+            assert rebuilt == toks, (doc_id, chunk, overlap)
+
+
+def test_mixture_plan_budget_property(spark):
+    """With every domain weighted, the summed targets never exceed the
+    budget and undershoot only by integer-floor remainders (< one
+    permille unit per domain)."""
+    from osmospark.functions.curation import mixture_plan
+    docs = spark.createDataFrame(
+        [(i, "t " * (i + 1), f"s{i % 7}") for i in range(40)],
+        "doc_id long, text string, source string")
+    weights = spark.createDataFrame(
+        [(f"s{k}", 100 + 37 * k) for k in range(7)],
+        "source string, weight_permille long")
+    budget = 999_983  # prime: exercises remainders
+    rows = mixture_plan(docs, weights, budget).collect()
+    total = sum(r.target_tokens for r in rows)
+    assert total <= budget
+    # floor division loses strictly less than one unit per domain
+    assert budget - total < len(rows)
+
+
+def test_metadata_alias_crawl_full_loop(spark):
+    """The whole explicit-dedup tier composed: pages carry REAL
+    rel=canonical links → page_metadata extracts them through the DOM
+    kernel → the (url, canonical) rows feed FrontierEngine's
+    url_alias_df → the crawl fetches canonicals, never aliases."""
+    from osmospark.frontier import FrontierEngine
+    from osmospark.functions.metadata import page_metadata
+    H = "http://loop.test"
+    rows = [
+        (f"{H}/A", '<body><a href="/B?ref=x"></a></body>'),
+        (f"{H}/B?ref=x",
+         '<head><link rel="CANONICAL" href="/B"></head>'
+         '<body><a href="/C"></a></body>'),
+        (f"{H}/B", '<body><a href="/C"></a></body>'),
+        (f"{H}/C", "<body>c</body>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, h.encode(), "", "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    meta = page_metadata(pages)
+    alias = (meta.where(F.col("canonical").isNotNull())
+             .select("url", F.col("canonical").alias("canonical_url")))
+    eng = FrontierEngine(spark, pages, dedup=True, politeness=False,
+                         url_alias_df=alias)
+    recs, _ = eng.run_crawl([f"{H}/A"], "a", extract_spec=None,
+                            max_depth=3)
+    got = sorted(r.url for r in recs.collect())
+    # the tracking-param variant is never fetched; its canonical is
+    assert got == [f"{H}/A", f"{H}/B", f"{H}/C"]
