@@ -166,3 +166,22 @@ def canonical_collapse(meta: DataFrame, url_col: str = "url") -> DataFrame:
                  F.min(url_col).alias("representative"),
                  F.bool_or(F.col(url_col) == F.col("canonical_url"))
                  .alias("self_canonical")))
+
+
+def orphan_canonicals(collapsed: DataFrame) -> DataFrame:
+    """Canonical targets that were never crawled — the frontier gap
+    ``canonical_collapse`` exposes: a group whose ``self_canonical`` is
+    false means pages declare a canonical URL that no crawled page IS.
+    Those targets are the highest-value next seeds (every member page
+    is, by its own declaration, a stand-in for them).
+
+    Returns (url, n_aliases) ordered by alias count descending then
+    url — feed the ``url`` column to ``FrontierEngine.run_crawl`` as
+    seeds, or join it into a recrawl priority table. A trivial filter
+    over the collapse output: no new shuffle beyond its aggregation.
+    """
+    return (collapsed
+            .where(~F.col("self_canonical"))
+            .select(F.col("canonical_url").alias("url"),
+                    F.col("n_pages").alias("n_aliases"))
+            .orderBy(F.col("n_aliases").desc(), "url"))

@@ -506,3 +506,38 @@ def test_metadata_alias_crawl_full_loop(spark):
     got = sorted(r.url for r in recs.collect())
     # the tracking-param variant is never fetched; its canonical is
     assert got == [f"{H}/A", f"{H}/B", f"{H}/C"]
+
+
+def test_orphan_canonicals_feed(spark):
+    """Orphan canonical targets (declared but never crawled) surface as
+    seed candidates, ranked by alias count; crawled targets don't."""
+    from osmospark.functions.metadata import (canonical_collapse,
+                                              orphan_canonicals)
+    rows = [
+        ("http://h.test/p/1", "http://h.test/big", False),
+        ("http://h.test/p/2", "http://h.test/big", False),
+        ("http://h.test/p/3", "http://h.test/small", False),
+        ("http://h.test/c", None, False),          # self-canonical
+        ("http://h.test/p/4", "http://h.test/c", False),
+    ]
+    meta = spark.createDataFrame(
+        rows, "url string, canonical string, noindex boolean")
+    got = orphan_canonicals(canonical_collapse(meta)).collect()
+    assert [(r.url, r.n_aliases) for r in got] == [
+        ("http://h.test/big", 2), ("http://h.test/small", 1)]
+
+
+def test_cdx_index_hostile_urls(spark):
+    """cdx_index stays total on hostile rows: NULL url -> NULL surt
+    (row kept), scheme-less url degrades to a ')'-prefixed path-only
+    key, NULL html -> NULL digest/nbytes."""
+    rows = [(None, "b"), ("example.com/x", "b"), ("http://h.test/", None)]
+    df = (spark.createDataFrame(rows, "url string, html string")
+          .withColumn("warc_ts", F.lit(None).cast("timestamp")))
+    got = {r["url"]: r for r in
+           cdx_index(df).collect()}
+    assert len(got) == 3
+    assert got[None]["surt"] is None
+    assert got["example.com/x"]["surt"] == ")/"
+    assert got["http://h.test/"]["digest"] is None
+    assert got["http://h.test/"]["nbytes"] is None
