@@ -2276,6 +2276,17 @@ def q_chunk_documents(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the documents table: gear split at
+    token-hash % 16 == 0 using the repo's cross-engine md5-prefix
+    integer, so boundaries — and therefore every chunk text and hash —
+    replay bit-exactly in the oracle's window formulation."""
+    from osmospark.functions.curation import cdc_chunks
+    docs = _documents(spark, sf_dir)
+    return (cdc_chunks(docs, divisor=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_crawl_extract(spark, "/root/testdata/sf0.001")
@@ -2356,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "crawl_frontier_nofollow": q_crawl_frontier_nofollow,
         "crawl_frontier_alias": q_crawl_frontier_alias,
+        "cdc_chunks": q_cdc_chunks,
         # ---- driver-green in CORRECTNESS_r04 (rows 51-100) ----
         "crawl_extract": q_crawl_extract,
         "crawl_frontier": q_crawl_frontier,
@@ -5535,5 +5547,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://docs.local/d/' || doc AS url,
                    min(depth)::INT AS depth
             FROM r GROUP BY doc
+        """,
+        # cdc_chunks: gear boundaries at md5-prefix-hash % 16 == 0
+        # (boundary AFTER the matching token), chunk id = prefix count
+        # of boundary tokens; NULL text -> one NULL chunk, empty -> one
+        # empty chunk, sentinel '' tokens never count or bound
+        "cdc_chunks": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN coalesce(length(trim(text)), 0) = 0
+                          THEN ['']
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS toks
+              FROM documents),
+            e AS (
+              SELECT doc_id, text, toks[s.i] AS tok, s.i AS pos
+              FROM t, unnest(generate_series(1, len(toks))) s(i)),
+            f AS (
+              SELECT doc_id, text, tok, pos,
+                     CASE WHEN tok <> '' AND
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                          % 16 = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM e),
+            c AS (
+              SELECT doc_id, text, tok, pos,
+                     coalesce(sum(b) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+              FROM f),
+            g AS (
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                     CAST(sum(CASE WHEN tok <> '' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_tokens,
+                     CASE WHEN bool_or(text IS NULL) THEN NULL
+                          ELSE string_agg(tok, ' ' ORDER BY pos)
+                     END AS chunk_text
+              FROM c GROUP BY doc_id, chunk_id)
+            SELECT doc_id, chunk_id, n_tokens, chunk_text,
+                   md5(chunk_text) AS chunk_hash
+            FROM g ORDER BY doc_id, chunk_id
         """,
     }

@@ -992,3 +992,61 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 512,
                           .when(F.col("chunk_text") == "", F.lit(0))
                           .otherwise(F.size(F.split(F.col("chunk_text"),
                                                     " "))).cast("bigint"))
+
+
+def cdc_chunks(documents: DataFrame, divisor: int = 16,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking: boundaries where a token's hash
+    satisfies ``h % divisor == 0`` (gear/CDC splitting), so chunk
+    identity depends on CONTENT, not position — insert a sentence into
+    a document and every chunk outside the edited region keeps its
+    exact text and hash (``chunk_documents``' fixed windows all shift).
+    That is the property dedup-friendly storage and partial-dup mining
+    at 100 TB want: re-crawled pages share almost all chunk hashes with
+    their previous capture.
+
+    Token hash = the repo's cross-engine 60-bit md5-prefix integer (the
+    minhash family's hash), so the DuckDB oracle replays boundaries
+    bit-exactly.  Expected chunk length ≈ ``divisor`` tokens.
+
+    Plan shape: ONE Exchange — posexplode(tokens) shuffles (doc, pos,
+    token) keyed by ``id_col`` for the boundary prefix-sum window, and
+    the (doc, chunk) aggregation reuses that partitioning (doc_id is a
+    subset of the grouping key), so chunking a corpus costs one shuffle
+    of its token stream.  Output per (doc, chunk): ``chunk_text``,
+    ``n_tokens``, ``chunk_hash`` (md5 — the content-addressed identity
+    column; equal hashes across docs/captures = shared content).
+
+    §36 discipline: NULL text → one chunk with NULL text/hash and
+    n_tokens 0; empty text → one empty chunk.  Never drops a doc.
+    """
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    toks = F.when(F.coalesce(F.length(F.trim(txt)), F.lit(0)) == 0,
+                  F.array(F.lit(""))) \
+            .otherwise(F.split(F.trim(txt), r"\s+"))
+    e = documents.select(
+        id_col, txt.isNull().alias("_isnull"),
+        F.posexplode(toks).alias("pos", "tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+         .cast("bigint")
+    flag = F.when((h % divisor == 0) & (F.col("tok") != ""), 1) \
+            .otherwise(0)
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = e.withColumn("_b", flag).withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(w), F.lit(0))
+        .cast("bigint"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+        lambda x: x["tok"])
+    text_out = F.when(F.bool_or(F.col("_isnull")),
+                      F.lit(None).cast("string")) \
+                .otherwise(F.array_join(ordered, " "))
+    return (c.groupBy(id_col, "chunk_id")
+            .agg(F.sum(F.when(F.col("tok") != "", 1).otherwise(0))
+                 .cast("bigint").alias("n_tokens"),
+                 text_out.alias("chunk_text"))
+            .withColumn("chunk_hash",
+                        F.md5(F.encode(F.col("chunk_text"), "UTF-8"))))

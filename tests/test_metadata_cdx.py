@@ -541,3 +541,45 @@ def test_cdx_index_hostile_urls(spark):
     assert got["example.com/x"]["surt"] == ")/"
     assert got["http://h.test/"]["digest"] is None
     assert got["http://h.test/"]["nbytes"] is None
+
+
+# ------------------------------------------------ content-defined chunks
+
+def test_cdc_chunks_edit_robustness_and_conservation(spark):
+    """The CDC property: a 3-token mid-document insertion changes at
+    most 2 chunk hashes (fixed windows would shift ALL downstream
+    chunks); tokens are conserved and concatenation rebuilds the doc."""
+    import random
+    from osmospark.functions.curation import cdc_chunks
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10000)}" for _ in range(300)]
+    base = " ".join(words)
+    edited = " ".join(words[:150] + ["INSERTED", "TOKENS", "HERE"]
+                      + words[150:])
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = (cdc_chunks(docs, divisor=16)
+            .orderBy("doc_id", "chunk_id").collect())
+    h0 = [r.chunk_hash for r in rows if r.doc_id == 0]
+    h1 = [r.chunk_hash for r in rows if r.doc_id == 1]
+    assert len(set(h0) & set(h1)) >= len(h0) - 2
+    assert sum(r.n_tokens for r in rows if r.doc_id == 0) == 300
+    assert " ".join(r.chunk_text for r in rows if r.doc_id == 0) == base
+    # §36: empty -> one empty chunk; NULL -> one NULL chunk
+    d2 = [r for r in rows if r.doc_id == 2]
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert len(d2) == 1 and d2[0].chunk_text == "" and d2[0].n_tokens == 0
+    assert len(d3) == 1 and d3[0].chunk_text is None \
+        and d3[0].chunk_hash is None
+
+
+def test_cdc_chunks_single_exchange(spark):
+    """Chunking a corpus costs ONE shuffle: the (doc, chunk) aggregation
+    reuses the boundary window's doc_id partitioning."""
+    from osmospark.functions.curation import cdc_chunks
+    docs = spark.createDataFrame([(i, "a b c d e f g h") for i in range(4)],
+                                 "doc_id long, text string")
+    plan = (cdc_chunks(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
